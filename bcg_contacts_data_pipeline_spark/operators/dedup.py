@@ -1,0 +1,187 @@
+"""Dedup-merge operators (SURVEY.md §2.4 A1/A2/A6, §2.6 O2/O3).
+
+Reference semantics (cites into /root/reference):
+- A1 derived dedup key: cleaning/clean_contacts.py:164-177 —
+  key = normalized email, else ``lower(fullname) + '-' + mobile``.
+- A2 most-complete-record merge: cleaning/clean_contacts.py:194-223 —
+  per column within a duplicate group take the longest valid value,
+  ties broken toward most-recent (input pre-sorted LAST_UPDATED desc).
+- O2 SEQNO renumbering: cleaning/clean_contacts.py:57-86.
+
+Scale design: the merge is a single ``groupBy(key).agg(max_by(...))`` —
+one shuffle, map-side partial aggregation, no window pre-pass and no
+Python in the group loop. Ordering is made *total* (length, then recency,
+then a unique row id) so distributed aggregation is deterministic without
+any global sort. Empty/NULL keys pass through unmerged (the reference
+merges all keyless rows into one Frankenstein record — SURVEY §4 flags
+this as a bug; ``merge_empty_keys=True`` restores bug-compat).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from bcg_contacts_data_pipeline_spark.functions.normalize import (
+    is_valid_value,
+    norm_email,
+)
+
+
+def dedup_key(
+    email: Column | str,
+    fullname: Column | str,
+    mobile: Column | str,
+) -> Column:
+    """A1 — normalized email if present, else ``lower(fullname)-mobile``;
+    NULL when neither side yields a usable key (clean_contacts.py:164-177)."""
+    email_c = F.col(email) if isinstance(email, str) else email
+    fullname_c = F.col(fullname) if isinstance(fullname, str) else fullname
+    mobile_c = F.col(mobile) if isinstance(mobile, str) else mobile
+    fallback = F.concat_ws(
+        "-", F.lower(F.trim(fullname_c)), F.trim(mobile_c.cast("string"))
+    )
+    fallback = F.when(F.length(F.trim(F.lower(F.trim(fullname_c)))) > 0, fallback)
+    return F.coalesce(norm_email(email_c), fallback)
+
+
+def most_complete_merge(
+    df: DataFrame,
+    key: Column | str,
+    value_cols: list[str],
+    order_by: Column | str | None = None,
+    merge_empty_keys: bool = False,
+    key_name: str = "dedup_key",
+) -> DataFrame:
+    """A2 — collapse duplicate groups into one most-complete record.
+
+    Per column: the longest valid (non-null, non-sentinel) value wins;
+    ties break toward the row ranked highest by ``order_by`` (descending —
+    the reference's recency bias), then toward a stable synthetic row id so
+    the result is fully deterministic.
+
+    One shuffle total: the ordering rank is computed *inside* the
+    aggregation as ``max_by(value, struct(len, order))`` rather than via a
+    window pre-pass, so partial (map-side) aggregation stays enabled —
+    essential when one key is hot (the empty-key skew hazard).
+    """
+    key_col = F.col(key) if isinstance(key, str) else key
+    order_col = (
+        (F.col(order_by) if isinstance(order_by, str) else order_by)
+        if order_by is not None
+        else F.lit(0)
+    )
+
+    work = df.withColumn(key_name, key_col).withColumn("__ord", order_col)
+
+    keyed = work if merge_empty_keys else work.filter(
+        F.col(key_name).isNotNull() & (F.length(F.trim(F.col(key_name))) > 0)
+    )
+    keyless = None if merge_empty_keys else work.filter(
+        F.col(key_name).isNull() | (F.length(F.trim(F.col(key_name))) == 0)
+    )
+
+    aggs = []
+    for c in value_cols:
+        col = F.col(c)
+        valid = is_valid_value(col)
+        order = F.when(
+            valid,
+            F.struct(
+                F.length(col.cast("string")).alias("l"),
+                F.col("__ord").alias("o"),
+            ),
+        )
+        aggs.append(F.max_by(F.when(valid, col), order).alias(c))
+    aggs.append(F.count(F.lit(1)).alias("group_size"))
+
+    merged = keyed.groupBy(key_name).agg(*aggs)
+
+    if keyless is not None:
+        passthrough = keyless.select(
+            F.col(key_name),
+            *[F.col(c) for c in value_cols],
+            F.lit(1).cast("long").alias("group_size"),
+        )
+        merged = merged.unionByName(passthrough)
+    return merged
+
+
+def first_row_per_group(df: DataFrame, keys: list[str], order_by: list[Column]) -> DataFrame:
+    """A6 — keep the first row per group under an explicit total order
+    (fill_missing_contacts_large.py:239-245's MIN(rowid) dedup)."""
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def exact_dedup(
+    df: DataFrame,
+    text: Column | str,
+    id_col: str,
+    normalize: bool = True,
+) -> DataFrame:
+    """Exact content dedup: hash-groupBy on (normalized) content.
+
+    Returns one row per distinct content hash with the canonical (minimum)
+    id and the duplicate count. Scale: single shuffle on a 32-hex-char key;
+    at 100 TB the md5 key keeps shuffle rows tiny vs shuffling full text.
+    """
+    t = F.col(text) if isinstance(text, str) else text
+    if normalize:
+        t = F.lower(F.trim(F.regexp_replace(t, r"\s+", " ")))
+    return (
+        df.select(F.md5(t).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def renumber(
+    df: DataFrame,
+    order_by: list[Column | str],
+    seq_name: str = "seqno",
+    scalable: bool = True,
+) -> DataFrame:
+    """O2 — assign a global contiguous 1..N sequence under a total order.
+
+    ``scalable=True`` uses the two-pass partition-offset pattern instead of
+    a single-partition window: range-repartition on the sort keys (so
+    partition i holds globally-ordered slice i), count rows per partition
+    (tiny aggregate collected to the driver), then add the broadcast offset
+    to a partition-local row_number. No stage ever sees more than one
+    partition's rows — this is the distributed replacement for the
+    reference's in-memory ``SEQNO = 1..N`` (clean_contacts.py:57-86).
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    if not scalable:
+        w = Window.orderBy(*cols)
+        return df.withColumn(seq_name, F.row_number().over(w))
+
+    parted = df.repartitionByRange(*cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    # Small driver-side collect: one row per partition (#partitions rows).
+    counts = (
+        parted.groupBy("__pid").count().collect()
+    )
+    offsets = {}
+    running = 0
+    for row in sorted(counts, key=lambda r: r["__pid"]):
+        offsets[row["__pid"]] = running
+        running += row["count"]
+    offset_expr = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    w = Window.partitionBy("__pid").orderBy(*cols)
+    return (
+        parted.withColumn("__local", F.row_number().over(w))
+        .withColumn(seq_name, (offset_expr[F.col("__pid")] + F.col("__local")).cast("long"))
+        .drop("__pid", "__local")
+    )

@@ -1,0 +1,102 @@
+"""Unit tests for the scalar normalization library (SURVEY §2.5 F1–F14)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bcg_contacts_data_pipeline_spark.functions import normalize as N
+
+
+def one(spark, expr, value=None):
+    df = spark.createDataFrame([(value,)], "v string")
+    return df.select(expr.alias("r")).collect()[0]["r"]
+
+
+def col_on(spark, expr_fn, values):
+    df = spark.createDataFrame([(v,) for v in values], "v string")
+    return [r["r"] for r in df.select(expr_fn(F.col("v")).alias("r")).collect()]
+
+
+def test_nullify_sentinels(spark):
+    vals = ["", "  ", "nan", "None", "NaN", " nan ", "real", None]
+    out = col_on(spark, N.nullify_sentinels, vals)
+    assert out == [None, None, None, None, None, None, "real", None]
+
+
+def test_norm_email(spark):
+    vals = [
+        "  Alice@Example.COM ",
+        "bad-at-example.com",
+        "a@b.c",
+        "x@y",          # no dot after @
+        "weird@x.com extra",  # prefix match passes (re.match parity)
+        None,
+    ]
+    out = col_on(spark, N.norm_email, vals)
+    assert out == ["alice@example.com", None, "a@b.c", None, "weird@x.com extra", None]
+
+
+def test_digits_only_and_norm_phone(spark):
+    assert col_on(spark, N.digits_only, ["+1 (555) 123-4567"]) == ["15551234567"]
+    # >= 10 digits -> keep LAST 10 (fill_missing_contacts.py:14-21)
+    out = col_on(spark, N.norm_phone, ["+1 (555) 123-4567", "123456", "", None])
+    assert out == ["5551234567", "123456", None, None]
+
+
+def test_phone_valid(spark):
+    out = col_on(spark, lambda c: N.phone_valid(c), ["5551234", "123", "1" * 15, "1" * 16])
+    assert out == [True, False, True, False]
+
+
+def test_title_case_pandas_parity(spark):
+    import pandas as pd
+
+    vals = ["o'brien o'neil", "anne-marie smith", "MIXED case", "  ed  ", "d3v ops", "a"]
+    expected = pd.Series(vals).str.title().tolist()
+    out = col_on(spark, N.title_case, vals)
+    assert out == expected
+
+
+def test_yn_flag(spark):
+    out = col_on(spark, N.yn_flag, [" y ", "N", "yes", "1", "", None])
+    assert out == ["Y", "N", None, None, None, None]
+
+
+def test_norm_ws(spark):
+    out = col_on(spark, N.norm_ws, ["  John   Q.\t Smith "])
+    assert out == ["john q. smith"]
+
+
+def test_full_name_fallback(spark):
+    df = spark.createDataFrame(
+        [("Ann", "Lee", "ignored"), ("", "", "Full Name"), (None, None, None)],
+        "first string, last string, fullname string",
+    )
+    out = [
+        r["r"]
+        for r in df.select(
+            N.full_name("first", "last", "fullname").alias("r")
+        ).collect()
+    ]
+    assert out == ["Ann Lee", "Full Name", None]
+
+
+def test_parse_ts_coerce(spark):
+    out = col_on(spark, N.parse_ts, ["2010-12-13 14:54:49.000", "not a date"])
+    assert out[0] is not None and out[0].year == 2010
+    assert out[1] is None
+
+
+def test_longest_valid_aggregate(spark):
+    df = spark.createDataFrame(
+        [(1, "ab", 1), (1, "abcd", 2), (1, "nan", 3), (1, None, 4), (2, "", 1)],
+        "k int, v string, rn int",
+    )
+    out = (
+        df.groupBy("k")
+        .agg(N.longest_valid(F.col("v"), -F.col("rn")).alias("best"))
+        .orderBy("k")
+        .collect()
+    )
+    assert out[0]["best"] == "abcd"
+    assert out[1]["best"] is None
