@@ -1,0 +1,107 @@
+"""Text-analysis expression library for the documents pipeline
+(LLM-training-data extensions; SURVEY §7.1 module 7).
+
+All pure Catalyst expressions over ``array<string>`` tokens — no Python
+in the hot path, so these run inside whole-stage codegen and scale to a
+100 TB documents table as a single narrow projection (no shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Tiny English stopword list used by the language-ID heuristic and the
+#: quality score. Keep in sync with the oracle SQL (plans/queries.py).
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+#: Punctuation class counted by the quality score.
+PUNCT_CLASS = "[.,!?;:]"
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def tokens(c: Column | str) -> Column:
+    """Whitespace tokenization; empty/blank text -> empty array (plain
+    ``split`` would yield ``[""]``)."""
+    c = _col(c)
+    return F.when(
+        F.length(F.trim(c)) > 0, F.split(F.trim(c), r"\s+")
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def token_count(c: Column | str) -> Column:
+    return F.size(tokens(c)).cast("long")
+
+
+def char_count(c: Column | str) -> Column:
+    return F.length(_col(c)).cast("long")
+
+
+def punct_count(c: Column | str) -> Column:
+    c = _col(c)
+    return (F.length(c) - F.length(F.regexp_replace(c, PUNCT_CLASS, ""))).cast("long")
+
+
+def stopword_count(c: Column | str) -> Column:
+    toks = tokens(c)
+    stops = F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS))
+    return F.size(stops).cast("long")
+
+
+def lang_guess(c: Column | str, min_stopwords: int = 2) -> Column:
+    """n-gram-free language-ID heuristic: enough English stopwords -> 'en',
+    else 'und'. (A real model would be a broadcast-dict scorer; the
+    heuristic keeps the operator expression-only.)"""
+    return F.when(stopword_count(c) >= min_stopwords, F.lit("en")).otherwise(
+        F.lit("und")
+    )
+
+
+def quality_score(c: Column | str) -> Column:
+    """Composite 0..1 quality score from exact integer counts (so the
+    value is bit-identical across engines):
+
+    0.4 * clamp(tokens/100) + 0.3 * stopword_ratio*3 (capped 1)
+    + 0.3 * (1 - punct_ratio*10 (capped 1))
+    """
+    nt = token_count(c).cast("double")
+    nc = char_count(c).cast("double")
+    st = stopword_count(c).cast("double")
+    pc = punct_count(c).cast("double")
+    len_component = F.least(nt / F.lit(100.0), F.lit(1.0))
+    stop_component = F.least(st / nt * F.lit(3.0), F.lit(1.0))
+    punct_component = F.lit(1.0) - F.least(pc / nc * F.lit(10.0), F.lit(1.0))
+    score = (
+        F.lit(0.4) * len_component
+        + F.lit(0.3) * stop_component
+        + F.lit(0.3) * punct_component
+    )
+    return F.when(nt > 0, score).otherwise(F.lit(0.0))
+
+
+def fingerprint(c: Column | str) -> Column:
+    """Canonical document fingerprint: md5 over the sorted distinct
+    lowercase token set (the classic key-collision clustering key). Two
+    documents with the same word set -> same fingerprint regardless of
+    order/duplication."""
+    toks = F.transform(tokens(c), F.lower)
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " "))
+
+
+def word_ngrams(toks: Column, n: int) -> Column:
+    """n-gram shingles over a token array, as space-joined strings.
+    Expression-only: transform over an index sequence + element_at
+    (1-based). Arrays shorter than n -> empty array."""
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0)))
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + F.lit(j)) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))

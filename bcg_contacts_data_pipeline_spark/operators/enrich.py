@@ -1,0 +1,182 @@
+"""Enrichment joins (SURVEY.md §2.3 J1/J2/J3): fill-only-if-missing
+cross-source entity matching.
+
+Reference semantics (cites into /root/reference):
+- J1 two-key enrichment: cleaning/merge_contacts_kindaworks.py:77-96 —
+  match on two normalized keys, take the FIRST match, fill only missing
+  target fields, log every fill.
+- J2 k-of-n match: cleaning/fill_missing_contacts.py:47-138 — three hash
+  indexes (name/email/phone); a candidate is accepted iff >= 2 of the 3
+  keys agree; first accepted match fills all still-missing fields.
+- J3 (fill_missing_contacts_large.py:115-225) is the same logical op
+  staged through SQLite; it collapses into J2 here.
+
+Spark-first design (not a port): ">= k of n keys agree" is equivalent to
+"agrees on at least one size-k key *combination*", which turns the
+disjunctive predicate into a UNION of plain equi-joins — hash-joinable,
+broadcastable, no theta join, no per-row probing. "First match" becomes a
+``groupBy(target).min(source_order)`` (partial-aggregatable — cheaper
+than a window) and the in-place cell updates become ``coalesce`` after a
+left join. The change log the reference writes row-by-row
+(fill_missing_contacts.py:124-131) is emitted as a DataFrame.
+
+Scale notes: each pairwise join shuffles on a composite key; when the
+source is dimension-sized pass ``broadcast_source=True`` and every branch
+becomes a broadcast-hash join with zero shuffle of the target. NULL keys
+never match (SQL equi-join semantics), mirroring the reference's skip of
+falsy keys (fill_missing_contacts.py:61-78).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from itertools import combinations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class MatchKey:
+    """One normalized match key: a name plus expressions over each side."""
+
+    name: str
+    target_expr: Column
+    source_expr: Column
+
+
+def kofn_enrich(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[MatchKey],
+    fill: dict[str, str],
+    target_id: str,
+    source_order: str,
+    min_matches: int = 2,
+    broadcast_source: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """J2 — fill missing target fields from the first source row agreeing on
+    >= ``min_matches`` of ``len(keys)`` normalized keys.
+
+    Returns ``(enriched, change_log)``. ``enriched`` keeps the target's
+    original columns (fill columns coalesced); ``change_log`` has one row
+    per actually-filled cell: (target_id, field, old_value, new_value,
+    source_id, matched_on).
+    """
+    t_keyed = target.select(
+        F.col(target_id).alias("__tid"),
+        *[k.target_expr.alias(f"__tk_{k.name}") for k in keys],
+        *[F.col(c).alias(f"__tf_{c}") for c in fill],
+    )
+    s_keyed = source.select(
+        F.col(source_order).alias("__sid"),
+        *[k.source_expr.alias(f"__sk_{k.name}") for k in keys],
+        *[F.col(c).alias(f"__sf_{c}") for c in set(fill.values())],
+    )
+    if broadcast_source:
+        s_keyed = F.broadcast(s_keyed)
+
+    # Only rows missing at least one fill field probe the source
+    # (fill_missing_contacts.py:52-53 pre-filter; prunes the probe side).
+    missing_any = None
+    for c in fill:
+        cond = F.col(f"__tf_{c}").isNull()
+        missing_any = cond if missing_any is None else (missing_any | cond)
+    needy = t_keyed.filter(missing_any).select(
+        "__tid", *[f"__tk_{k.name}" for k in keys]
+    )
+
+    # >= k-of-n  ==  equality on at least one size-k key combination.
+    pair_frames = []
+    for combo in combinations(keys, min_matches):
+        cond = None
+        for k in combo:
+            c = F.col(f"__tk_{k.name}") == F.col(f"__sk_{k.name}")
+            cond = c if cond is None else (cond & c)
+        pair_frames.append(
+            needy.join(s_keyed, on=cond, how="inner").select("__tid", "__sid")
+        )
+    candidates = pair_frames[0]
+    for frame in pair_frames[1:]:
+        candidates = candidates.unionByName(frame)
+
+    # First accepted match == minimum source_order per target. A partial-
+    # aggregatable min, not a window: map-side combine absorbs the skew of
+    # targets matching many source rows.
+    best = candidates.groupBy("__tid").agg(F.min("__sid").alias("__sid"))
+
+    enriched_keys = (
+        t_keyed.join(best, on="__tid", how="left")
+        .join(s_keyed, on="__sid", how="left")
+    )
+
+    matched_on = F.array_compact(
+        F.array(
+            *[
+                F.when(
+                    F.col(f"__tk_{k.name}").isNotNull()
+                    & (F.col(f"__tk_{k.name}") == F.col(f"__sk_{k.name}")),
+                    F.lit(k.name),
+                )
+                for k in keys
+            ]
+        )
+    )
+
+    fill_exprs = {
+        c: F.coalesce(F.col(f"__tf_{c}"), F.col(f"__sf_{src}"))
+        for c, src in fill.items()
+    }
+    enriched = enriched_keys.select(
+        F.col("__tid").alias(target_id),
+        *[fill_exprs[c].alias(c) for c in fill],
+        F.col("__sid").alias("matched_source_id"),
+        F.when(F.col("__sid").isNotNull(), matched_on).alias("matched_on"),
+    )
+
+    log_parts = []
+    for c, src in fill.items():
+        log_parts.append(
+            enriched_keys.filter(
+                F.col("__sid").isNotNull()
+                & F.col(f"__tf_{c}").isNull()
+                & F.col(f"__sf_{src}").isNotNull()
+            ).select(
+                F.col("__tid").alias(target_id),
+                F.lit(c).alias("field"),
+                F.col(f"__tf_{c}").cast("string").alias("old_value"),
+                F.col(f"__sf_{src}").cast("string").alias("new_value"),
+                F.col("__sid").alias("source_id"),
+                F.array_join(matched_on, ",").alias("matched_on"),
+            )
+        )
+    change_log = log_parts[0]
+    for part in log_parts[1:]:
+        change_log = change_log.unionByName(part)
+
+    return enriched, change_log
+
+
+def two_key_enrich(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[MatchKey],
+    fill: dict[str, str],
+    target_id: str,
+    source_order: str,
+    broadcast_source: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """J1 — the Mailchimp-style strict variant: ALL listed keys must match
+    (merge_contacts_kindaworks.py:77-96). Same machinery with
+    min_matches == len(keys); source defaults to broadcast because the
+    reference's enrichment sources are dimension-sized."""
+    return kofn_enrich(
+        target,
+        source,
+        keys,
+        fill,
+        target_id,
+        source_order,
+        min_matches=len(keys),
+        broadcast_source=broadcast_source,
+    )

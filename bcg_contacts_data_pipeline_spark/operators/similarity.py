@@ -1,0 +1,386 @@
+"""Near-duplicate detection + similarity search operators
+(LLM-training-data extensions; BASELINE.json north star).
+
+Every operator here is built for the 100 TB shape of the problem:
+
+- ``ngram_jaccard_pairs``: exact set-similarity via shingle inverted
+  index (explode -> self-join on shingle -> count agreement). The join
+  key is a 64-bit shingle hash, never the text.
+- ``minhash_signatures`` / ``minhash_lsh_pairs``: MinHash + banded LSH.
+  Candidate generation touches only (band_id, band_hash) buckets, so the
+  self-join is linear in bucket occupancy instead of quadratic in corpus
+  size. Signatures use xxhash64 (JVM, vectorized).
+- ``simhash64`` / ``simhash_pairs``: 64-bit SimHash via explode + 64
+  bit-count aggregates; banding on 16-bit quarters for candidate pairs,
+  exact hamming verify after.
+- ``embedding_topk``: brute-force cosine top-k (the exact baseline) —
+  block-nested-loop via crossJoin of a broadcast query set.
+- ``embedding_ann_lsh``: random-hyperplane LSH bucketing as the scale
+  path: cosine is only evaluated within matching sign-buckets.
+
+No Python UDFs anywhere — signatures, hamming, cosine are all Catalyst
+expressions (see functions/vectors.py for the determinism contract).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from bcg_contacts_data_pipeline_spark.functions.text import tokens, word_ngrams
+from bcg_contacts_data_pipeline_spark.functions.vectors import cosine, dot, l2_norm
+
+#: 31-bit Mersenne prime for the minhash permutation family: with a, b, h
+#: all < 2^31, ``a*h + b`` stays under 2^62 — no int64 overflow under ANSI
+#: mode (Spark 4 default).
+MERSENNE_31 = (1 << 31) - 1
+
+
+def shingle_frame(
+    df: DataFrame, id_col: str, text: Column | str, n: int = 3, parallelism: int = 64
+) -> DataFrame:
+    """(id, shingle) pairs — distinct word n-grams, lowercased.
+
+    The input is repartitioned first: document tables often arrive as few
+    fat partitions (one per parquet row-group), and the explode below is
+    the expensive step — spread it before it runs, not after.
+    """
+    t = F.col(text) if isinstance(text, str) else text
+    toks = F.transform(tokens(t), F.lower)
+    return df.repartition(parallelism).select(
+        F.col(id_col), F.explode(F.array_distinct(word_ngrams(toks, n))).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text: Column | str,
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing >= 1 shingle.
+
+    Inverted-index self-join: |pairs| is bounded by shingle co-occurrence,
+    not corpus². Jaccard = shared / (|A| + |B| - shared) — integer counts,
+    one IEEE division, engine-exact.
+    """
+    shingles = shingle_frame(df, id_col, text, n)
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+
+    a = shingles.select(F.col(id_col).alias("id_a"), "shingle")
+    b = shingles.select(F.col(id_col).alias("id_b"), "shingle")
+    shared = (
+        a.join(b, on="shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("size_b"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("shared").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("shared")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "shared", "size_a", "size_b", "jaccard")
+    )
+
+
+def _minhash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MERSENNE_31), rng.randrange(0, MERSENNE_31))
+        for _ in range(num_hashes)
+    ]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text: Column | str,
+    n: int = 3,
+    num_hashes: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signature per document: sig_i = min over shingles of
+    (a_i * h(shingle) + b_i) mod M31, with h = xxhash64 folded to 31 bits.
+    One explode + one groupBy; the mins are partial-aggregatable (map-side
+    combine), so the shuffle carries only (id, num_hashes longs)."""
+    params = _minhash_params(num_hashes, seed)
+    shingles = shingle_frame(df, id_col, text, n)
+    h = F.pmod(F.xxhash64(F.col("shingle")), F.lit(MERSENNE_31))
+    mins = [
+        F.min(
+            F.pmod(F.lit(a) * h + F.lit(b), F.lit(MERSENNE_31))
+        ).alias(f"sig_{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    return shingles.groupBy(id_col).agg(*mins)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text: Column | str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    verify_threshold: float | None = 0.5,
+) -> DataFrame:
+    """Banded-LSH candidate pairs + estimated Jaccard.
+
+    Signatures are split into ``bands`` bands of ``num_hashes/bands``
+    rows; documents colliding on any full band become candidates.
+    Candidate generation joins only on (band, band_hash) — the 100 TB
+    path. ``verify_threshold`` filters on the signature-estimated
+    Jaccard (fraction of agreeing hash positions).
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text, n, num_hashes, seed).cache()
+
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("bh"))
+        )
+    buckets = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+    l = buckets.select(F.col(id_col).alias("id_a"), "band", "bh")
+    r = buckets.select(F.col(id_col).alias("id_b"), "band", "bh")
+    cand = (
+        l.join(r, on=["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    sig_cols = [f"sig_{i}" for i in range(num_hashes)]
+    sa = sigs.select(
+        F.col(id_col).alias("id_a"),
+        F.array(*[F.col(c) for c in sig_cols]).alias("sig_a"),
+    )
+    sb = sigs.select(
+        F.col(id_col).alias("id_b"),
+        F.array(*[F.col(c) for c in sig_cols]).alias("sig_b"),
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda v: v,
+        )
+    )
+    out = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "est_jaccard", agree.cast("double") / F.lit(float(num_hashes))
+        )
+        .select("id_a", "id_b", "est_jaccard")
+    )
+    if verify_threshold is not None:
+        out = out.filter(F.col("est_jaccard") >= verify_threshold)
+    return out
+
+
+def simhash64(
+    df: DataFrame, id_col: str, text: Column | str
+) -> DataFrame:
+    """64-bit SimHash per document: per bit, sum +1/-1 token votes.
+
+    Explode tokens once, then 64 conditional-sum aggregates (all partial-
+    aggregatable). Returns (id, simhash long).
+    """
+    t = F.col(text) if isinstance(text, str) else text
+    toks = df.repartition(64).select(
+        F.col(id_col), F.explode(F.transform(tokens(t), F.lower)).alias("tok")
+    )
+    h = F.xxhash64(F.col("tok"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agg = toks.groupBy(id_col).agg(*bit_sums)
+    sim = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        sim = term if sim is None else sim.bitwiseOR(term)
+    return agg.select(F.col(id_col), sim.alias("simhash"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text: Column | str,
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band on the 4 16-bit quarters (any
+    candidate pair within hamming distance <= 16*3 shares a quarter —
+    with max_hamming <= 15 a shared quarter is guaranteed by pigeonhole
+    only for <= 3 differing quarters; standard LSH recall tradeoff),
+    verify exact hamming."""
+    sims = simhash64(df, id_col, text)
+    quarters = sims.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).alias("q"),
+                        F.shiftright(F.col("simhash"), q * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("qh"),
+                    )
+                    for q in range(4)
+                ]
+            )
+        ).alias("qq"),
+    ).select(id_col, "simhash", F.col("qq.q").alias("q"), F.col("qq.qh").alias("qh"))
+
+    l = quarters.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"), "q", "qh"
+    )
+    r = quarters.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"), "q", "qh"
+    )
+    return (
+        l.join(r, on=["q", "qh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sim_a", "sim_b")
+        .distinct()
+        .withColumn("hamming", hamming64(F.col("sim_a"), F.col("sim_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def embedding_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    queries: DataFrame | None = None,
+) -> DataFrame:
+    """Exact brute-force cosine top-k neighbors.
+
+    ``queries`` defaults to the corpus itself (all-pairs top-k). The
+    query side is broadcast — at scale the corpus streams once per query
+    *batch* and never shuffles; ranking is a per-query-key window over
+    the (query x corpus) product."""
+    from pyspark.sql import Window
+
+    q = queries if queries is not None else df
+    # Norms are computed ONCE per vector (not per pair): 2N folds instead
+    # of 2N² — and the per-pair work collapses to a single dot fold.
+    qn = q.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
+    )
+    corpus = df.repartition(64).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
+    )
+    pairs = corpus.crossJoin(F.broadcast(qn)).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = pairs.withColumn(
+        "score", dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )
+
+
+def _hyperplanes(dim: int, num_planes: int, seed: int) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(num_planes)
+    ]
+
+
+def embedding_ann_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 5,
+    num_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via random-hyperplane (sign) LSH.
+
+    Bucket = the sign bit-vector of ``num_planes`` fixed hyperplane dot
+    products; cosine is evaluated only within a bucket. The scale path:
+    shuffle keys are (bucket), candidate sets are bucket-local. Recall is
+    tunable via num_planes (fewer planes = bigger buckets = higher
+    recall + cost)."""
+    from pyspark.sql import Window
+
+    planes = _hyperplanes(dim, num_planes, seed)
+    v = F.col(vec_col)
+    bucket = None
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(x) for x in plane])
+        d = dot(v, lit_plane)
+        bit = F.when(d >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        bucket = term if bucket is None else bucket.bitwiseOR(term)
+    bucketed = df.repartition(64).select(
+        F.col(id_col),
+        v.alias("__v"),
+        bucket.alias("__bucket"),
+        l2_norm(v).alias("__n"),
+    )
+
+    l = bucketed.select(
+        F.col(id_col).alias("query_id"),
+        F.col("__v").alias("__qv"),
+        F.col("__n").alias("__qn"),
+        "__bucket",
+    )
+    r = bucketed.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("__v").alias("__cv"),
+        F.col("__n").alias("__cn"),
+        "__bucket",
+    )
+    pairs = l.join(r, on="__bucket").filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.withColumn(
+        "score", dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )

@@ -41,6 +41,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
+    rejects; read nanos as long (runtime-settable legacy conf) and convert
+    to a micros timestamp with INTEGER division (ns > 2^53, so a double
+    division would lose precision). Matches DuckDB's micro truncation."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+
+
 def _dec(c, scale: int = 4):
     col = F.col(c) if isinstance(c, str) else c
     return col.cast(f"decimal(18,{scale})")
@@ -121,4 +133,798 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(_dec("l_discount")).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar normalization (SURVEY §2.5 F1-F13) over synthesized dirty fields
+# ---------------------------------------------------------------------------
+
+@register(
+    "norm_scalars",
+    oracle="""
+    WITH synth AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 13 = 0 THEN 'no-at-sign'
+                  ELSE lower(c_name) || '@' || lower(c_mktsegment) || '.example' END AS raw_email,
+             '+61-' || CAST(c_custkey * 7919 AS VARCHAR) AS raw_phone,
+             CASE c_custkey % 5 WHEN 0 THEN 'y' WHEN 1 THEN ' N ' WHEN 2 THEN 'yes'
+                  WHEN 3 THEN '' ELSE NULL END AS raw_flag,
+             CASE c_custkey % 4 WHEN 0 THEN 'nan' WHEN 1 THEN 'None' WHEN 2 THEN ''
+                  ELSE c_name END AS raw_sentinel,
+             c_mktsegment AS raw_title
+      FROM customer)
+    SELECT c_custkey,
+           CASE WHEN regexp_matches(lower(trim(raw_email)), '^[^@]+@[^@]+\\.[^@]+')
+                THEN lower(trim(raw_email)) END AS email,
+           CASE WHEN length(regexp_replace(raw_phone, '[^0-9]', '', 'g')) >= 10
+                THEN right(regexp_replace(raw_phone, '[^0-9]', '', 'g'), 10)
+                WHEN length(regexp_replace(raw_phone, '[^0-9]', '', 'g')) > 0
+                THEN regexp_replace(raw_phone, '[^0-9]', '', 'g') END AS phone,
+           CASE WHEN upper(trim(raw_flag)) IN ('Y','N') THEN upper(trim(raw_flag)) END AS flag,
+           CASE WHEN trim(raw_sentinel) IN ('', 'nan', 'None', 'NaN') THEN NULL
+                ELSE raw_sentinel END AS clean_value,
+           upper(substr(raw_title, 1, 1)) || lower(substr(raw_title, 2)) AS title_cased
+    FROM synth
+    """,
+)
+def q_norm_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F3/F7/F13/F5 applied to synthesized dirty fields. All-expression
+    projection — zero shuffle, fully codegen'd."""
+    from bcg_contacts_data_pipeline_spark.functions import normalize as N
+
+    cust = _t(spark, sf_dir, "customer")
+    synth = cust.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 13 == 0, F.lit("no-at-sign"))
+        .otherwise(
+            F.concat(
+                F.lower("c_name"), F.lit("@"), F.lower("c_mktsegment"), F.lit(".example")
+            )
+        )
+        .alias("raw_email"),
+        F.concat(F.lit("+61-"), (F.col("c_custkey") * 7919).cast("string")).alias(
+            "raw_phone"
+        ),
+        F.when(F.col("c_custkey") % 5 == 0, "y")
+        .when(F.col("c_custkey") % 5 == 1, " N ")
+        .when(F.col("c_custkey") % 5 == 2, "yes")
+        .when(F.col("c_custkey") % 5 == 3, "")
+        .alias("raw_flag"),
+        F.when(F.col("c_custkey") % 4 == 0, "nan")
+        .when(F.col("c_custkey") % 4 == 1, "None")
+        .when(F.col("c_custkey") % 4 == 2, "")
+        .otherwise(F.col("c_name"))
+        .alias("raw_sentinel"),
+        F.col("c_mktsegment").alias("raw_title"),
+    )
+    return synth.select(
+        "c_custkey",
+        N.norm_email("raw_email").alias("email"),
+        N.norm_phone("raw_phone").alias("phone"),
+        N.yn_flag("raw_flag").alias("flag"),
+        N.nullify_sentinels("raw_sentinel").alias("clean_value"),
+        N.title_case("raw_title").alias("title_cased"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-of-n enrichment join (SURVEY §2.3 J2/J3) + change log
+# ---------------------------------------------------------------------------
+
+_ENRICH_ORACLE_BASE = """
+    WITH target AS (
+      SELECT c_custkey AS id,
+             lower(c_name) AS k_name,
+             CAST(c_nationkey AS VARCHAR) AS k_nat,
+             CAST(CAST(floor(c_acctbal) AS BIGINT) AS VARCHAR) AS k_bal,
+             CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_mktsegment END AS mktsegment,
+             CASE WHEN c_custkey % 11 = 0 THEN NULL ELSE c_acctbal END AS acctbal
+      FROM customer),
+    source AS (
+      SELECT c_custkey + 1000000 AS sid,
+             lower(CASE WHEN c_custkey % 5 = 0 THEN c_name || '_x' ELSE c_name END) AS k_name,
+             CAST(CASE WHEN c_custkey % 3 = 0 THEN c_nationkey + 1 ELSE c_nationkey END AS VARCHAR) AS k_nat,
+             CAST(CAST(floor(c_acctbal) AS BIGINT) AS VARCHAR) AS k_bal,
+             c_mktsegment AS s_mktsegment,
+             c_acctbal AS s_acctbal
+      FROM customer),
+    needy AS (SELECT * FROM target WHERE mktsegment IS NULL OR acctbal IS NULL),
+    cand AS (
+      SELECT n.id, s.sid FROM needy n JOIN source s
+        ON n.k_name = s.k_name AND n.k_nat = s.k_nat
+      UNION
+      SELECT n.id, s.sid FROM needy n JOIN source s
+        ON n.k_name = s.k_name AND n.k_bal = s.k_bal
+      UNION
+      SELECT n.id, s.sid FROM needy n JOIN source s
+        ON n.k_nat = s.k_nat AND n.k_bal = s.k_bal
+    ),
+    best AS (SELECT id, min(sid) AS sid FROM cand GROUP BY id),
+    joined AS (
+      SELECT t.*, b.sid, s.s_mktsegment, s.s_acctbal, s.k_name AS sk_name,
+             s.k_nat AS sk_nat, s.k_bal AS sk_bal
+      FROM target t LEFT JOIN best b ON t.id = b.id
+      LEFT JOIN source s ON b.sid = s.sid)
+"""
+
+
+def _enrich_inputs(spark: SparkSession, sf_dir: str):
+    cust = _t(spark, sf_dir, "customer")
+    target = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name"),
+        F.col("c_nationkey"),
+        F.col("c_acctbal").alias("orig_acctbal"),
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("mktsegment"),
+        F.when(F.col("c_custkey") % 11 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("c_acctbal"))
+        .alias("acctbal"),
+    )
+    source = cust.select(
+        (F.col("c_custkey") + 1000000).alias("sid"),
+        F.when(F.col("c_custkey") % 5 == 0, F.concat(F.col("c_name"), F.lit("_x")))
+        .otherwise(F.col("c_name"))
+        .alias("s_name"),
+        F.when(F.col("c_custkey") % 3 == 0, F.col("c_nationkey") + 1)
+        .otherwise(F.col("c_nationkey"))
+        .alias("s_nationkey"),
+        F.col("c_acctbal").alias("s_bal_src"),
+        F.col("c_mktsegment").alias("s_mktsegment"),
+        F.col("c_acctbal").alias("s_acctbal"),
+    )
+    from bcg_contacts_data_pipeline_spark.operators.enrich import MatchKey
+
+    keys = [
+        MatchKey("name", F.lower(F.col("c_name")), F.lower(F.col("s_name"))),
+        MatchKey(
+            "nat",
+            F.col("c_nationkey").cast("string"),
+            F.col("s_nationkey").cast("string"),
+        ),
+        MatchKey(
+            "bal",
+            F.floor(F.col("orig_acctbal")).cast("long").cast("string"),
+            F.floor(F.col("s_bal_src")).cast("long").cast("string"),
+        ),
+    ]
+    return target, source, keys
+
+
+@register(
+    "enrich_2of3",
+    oracle=_ENRICH_ORACLE_BASE
+    + """
+    SELECT id, coalesce(mktsegment, s_mktsegment) AS mktsegment,
+           coalesce(acctbal, s_acctbal) AS acctbal,
+           sid AS matched_source_id
+    FROM joined
+    """,
+)
+def q_enrich_2of3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 — >=2-of-3 key match as a union of pairwise broadcast-able
+    equi-joins; first-match = partial-aggregatable min; fills = coalesce
+    (fill_missing_contacts.py:47-138 semantics, Spark-first shape)."""
+    from bcg_contacts_data_pipeline_spark.operators.enrich import kofn_enrich
+
+    target, source, keys = _enrich_inputs(spark, sf_dir)
+    enriched, _log = kofn_enrich(
+        target,
+        source,
+        keys,
+        fill={"mktsegment": "s_mktsegment", "acctbal": "s_acctbal"},
+        target_id="id",
+        source_order="sid",
+        min_matches=2,
+    )
+    return enriched.select("id", "mktsegment", "acctbal", "matched_source_id")
+
+
+@register(
+    "enrich_change_log",
+    oracle=_ENRICH_ORACLE_BASE
+    + """
+    , matched AS (
+      SELECT *,
+             concat_ws(',',
+               CASE WHEN k_name IS NOT NULL AND k_name = sk_name THEN 'name' END,
+               CASE WHEN k_nat IS NOT NULL AND k_nat = sk_nat THEN 'nat' END,
+               CASE WHEN k_bal IS NOT NULL AND k_bal = sk_bal THEN 'bal' END) AS matched_on
+      FROM joined WHERE sid IS NOT NULL)
+    SELECT id, 'mktsegment' AS field, CAST(NULL AS VARCHAR) AS old_value,
+           CAST(s_mktsegment AS VARCHAR) AS new_value, sid AS source_id, matched_on
+    FROM matched WHERE mktsegment IS NULL AND s_mktsegment IS NOT NULL
+    UNION ALL
+    SELECT id, 'acctbal', CAST(NULL AS VARCHAR), CAST(s_acctbal AS VARCHAR),
+           sid, matched_on
+    FROM matched WHERE acctbal IS NULL AND s_acctbal IS NOT NULL
+    """,
+)
+def q_enrich_change_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fill audit log (fill_missing_contacts.py:124-131) as a DataFrame:
+    one row per filled cell with the match basis."""
+    from bcg_contacts_data_pipeline_spark.operators.enrich import kofn_enrich
+
+    target, source, keys = _enrich_inputs(spark, sf_dir)
+    _enriched, log = kofn_enrich(
+        target,
+        source,
+        keys,
+        fill={"mktsegment": "s_mktsegment", "acctbal": "s_acctbal"},
+        target_id="id",
+        source_order="sid",
+        min_matches=2,
+    )
+    return log.select(
+        "id", "field", "old_value", "new_value", "source_id", "matched_on"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Validation rule engine (SURVEY §2.8)
+# ---------------------------------------------------------------------------
+
+@register(
+    "validate_rules",
+    oracle="""
+    WITH synth AS (
+      SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+             CASE WHEN c_custkey % 13 = 0 THEN 'not-an-email'
+                  ELSE lower(c_name) || '@corp.example' END AS email,
+             CASE WHEN c_custkey % 17 = 0 THEN '12'
+                  ELSE '+61-' || CAST(c_custkey * 7919 + 10000000 AS VARCHAR) END AS phone
+      FROM customer)
+    SELECT c_custkey, 'Invalid email format in email' AS error FROM synth
+    WHERE email IS NOT NULL AND length(trim(email)) > 0
+      AND NOT regexp_matches(lower(trim(email)), '^[^@]+@[^@]+\\.[^@]+')
+    UNION ALL
+    SELECT c_custkey, 'Invalid phone format in phone' FROM synth
+    WHERE phone IS NOT NULL AND length(trim(phone)) > 0
+      AND (length(regexp_replace(phone, '[^0-9]', '', 'g')) < 7
+           OR length(regexp_replace(phone, '[^0-9]', '', 'g')) > 15)
+    UNION ALL
+    SELECT c_custkey, 'c_acctbal out of range' FROM synth
+    WHERE c_acctbal IS NOT NULL AND (c_acctbal < -500 OR c_acctbal > 8000)
+    UNION ALL
+    SELECT c_custkey, 'Unexpected value in c_mktsegment' FROM synth
+    WHERE c_mktsegment IS NOT NULL
+      AND c_mktsegment NOT IN ('BUILDING','MACHINERY','AUTOMOBILE','FURNITURE')
+    """,
+)
+def q_validate_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 rule engine (validate_fields.py:60-116 semantics) compiled to
+    expressions; exploded (id, error) relation. No shuffle."""
+    from bcg_contacts_data_pipeline_spark.operators import validate as V
+
+    cust = _t(spark, sf_dir, "customer")
+    synth = cust.select(
+        "c_custkey",
+        "c_name",
+        "c_acctbal",
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 13 == 0, F.lit("not-an-email"))
+        .otherwise(F.concat(F.lower("c_name"), F.lit("@corp.example")))
+        .alias("email"),
+        F.when(F.col("c_custkey") % 17 == 0, F.lit("12"))
+        .otherwise(
+            F.concat(
+                F.lit("+61-"), (F.col("c_custkey") * 7919 + 10000000).cast("string")
+            )
+        )
+        .alias("phone"),
+    )
+    rules = [
+        V.email_format("email"),
+        V.phone_format("phone"),
+        V.in_range("c_acctbal", -500, 8000),
+        V.in_set("c_mktsegment", ["BUILDING", "MACHINERY", "AUTOMOBILE", "FURNITURE"]),
+    ]
+    return V.validate_exploded(synth, rules, ["c_custkey"])
+
+
+# ---------------------------------------------------------------------------
+# Join-heavy analytics (bench headliners)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+           o.o_orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective filters pushed to scans, two shuffled
+    joins, agg, total-ordered top-10."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_region_revenue",
+    oracle="""
+    SELECT r.r_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 shape: star join — nation/region explicitly broadcast (dimension
+    tables never shuffle the fact side)."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "topk_parts_per_brand",
+    oracle="""
+    WITH rev AS (
+      SELECT p.p_brand, l.l_partkey,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_brand, l.l_partkey),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY revenue DESC, l_partkey) AS rk_global,
+             row_number() OVER (PARTITION BY p_brand ORDER BY revenue DESC, l_partkey) AS rk
+      FROM rev)
+    SELECT p_brand, l_partkey AS partkey, revenue, CAST(rk AS BIGINT) AS brand_rank
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def q_topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped top-k via ranking window over an aggregated frame (SURVEY
+    §2.6 — windows the reference lacks). Total order = (revenue desc, key)."""
+    from pyspark.sql import Window
+
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    rev = (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "l_partkey")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.col("revenue").desc(), F.col("l_partkey"))
+    return (
+        rev.withColumn("brand_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("brand_rank") <= 3)
+        .select("p_brand", F.col("l_partkey").alias("partkey"), "revenue", "brand_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temporal operators on events (green-field extensions, SURVEY §2.6/§2.9)
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_hourly",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (batch twin of the streaming windowed
+    agg)."""
+    from bcg_contacts_data_pipeline_spark.operators.temporal import tumbling_agg
+
+    e = _events(spark, sf_dir)
+    return tumbling_agg(
+        e,
+        "ts",
+        "hour",
+        ["event_type"],
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        ],
+    )
+
+
+@register(
+    "sessionize",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sessions AS (
+      SELECT user_id, ts, event_id,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked)
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap): lag + running sum, one
+    shuffle; then the per-session rollup reuses the same partitioning."""
+    from bcg_contacts_data_pipeline_spark.operators.temporal import sessionize
+
+    e = _events(spark, sf_dir)
+    s = sessionize(e, "user_id", "ts", 1_800_000_000, "event_id")
+    return (
+        s.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .select(
+            "user_id",
+            F.col("session_id").cast("long").alias("session_id"),
+            "n_events",
+            "session_start",
+            "session_end",
+        )
+    )
+
+
+@register(
+    "asof_purchase_click",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+    clicks AS (
+      SELECT user_id, ts, arg_max(value, event_id) AS click_value
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           c.click_value AS last_click_value
+    FROM purchases p
+    ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def q_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (backward inclusive): for each purchase, the most recent
+    click value per user. Union-tag implementation — one shuffle, no range
+    explosion; oracle is DuckDB's native ASOF JOIN."""
+    from bcg_contacts_data_pipeline_spark.operators.temporal import asof_join
+
+    e = _events(spark, sf_dir)
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("click_value"))
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_values={"last_click_value": "click_value"},
+    )
+
+
+@register(
+    "error_burst",
+    oracle="""
+    SELECT e.event_id, COUNT(f.event_id) AS n_follow
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    LEFT JOIN events f
+      ON e.user_id = f.user_id AND f.ts > e.ts
+         AND epoch_us(f.ts) <= epoch_us(e.ts) + 3600000000
+    GROUP BY e.event_id
+    """,
+)
+def q_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded range join: events within 1 h after each error, per user —
+    bucketed implementation (each row probes 2 time buckets, not the whole
+    user history)."""
+    from bcg_contacts_data_pipeline_spark.operators.temporal import (
+        range_join_bucketed,
+    )
+
+    e = _events(spark, sf_dir)
+    errors = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), F.col("user_id"), F.col("ts").alias("err_ts")
+    )
+    follow = e.select(
+        F.col("event_id").alias("f_id"), F.col("user_id"), F.col("ts").alias("f_ts")
+    )
+    joined = range_join_bucketed(
+        errors, follow, on=["user_id"], left_ts="err_ts", right_ts="f_ts",
+        window_us=3_600_000_000,
+    )
+    counts = joined.groupBy("err_id").agg(
+        F.countDistinct("f_id").alias("n_follow")
+    )
+    return (
+        errors.select("err_id").distinct()
+        .join(counts, "err_id", "left")
+        .select(
+            F.col("err_id").alias("event_id"),
+            F.coalesce(F.col("n_follow"), F.lit(0)).cast("long").alias("n_follow"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document pipeline: text analysis + dedup (LLM-data extensions)
+# ---------------------------------------------------------------------------
+
+@register(
+    "exact_dedup",
+    oracle="""
+    SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_hash,
+           MIN(doc_id) AS canonical_id,
+           COUNT(*) AS dup_count
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via hash-groupBy on normalized content. The shuffle key
+    is the 32-char md5, never the document text."""
+    from bcg_contacts_data_pipeline_spark.operators.dedup import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs, "text", "doc_id")
+
+
+_TOKS_SQL = "string_split_regex(trim(text), '\\s+')"
+_STOPLIST_SQL = "['the','a','of','and','to','in','is','on','for','with']"
+
+
+@register(
+    "token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(CASE WHEN length(trim(text)) > 0 THEN len({_TOKS_SQL}) ELSE 0 END AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+           CAST(CASE WHEN length(trim(text)) > 0
+                THEN len(list_filter({_TOKS_SQL}, t -> list_contains({_STOPLIST_SQL}, lower(t))))
+                ELSE 0 END AS BIGINT) AS n_stopwords
+    FROM documents
+    """,
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token/char/punct/stopword counting — narrow projection, no shuffle."""
+    from bcg_contacts_data_pipeline_spark.functions import text as T
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        T.char_count("text").alias("n_chars"),
+        T.punct_count("text").alias("n_punct"),
+        T.stopword_count("text").alias("n_stopwords"),
+    )
+
+
+@register(
+    "lang_quality",
+    oracle=f"""
+    WITH counts AS (
+      SELECT doc_id,
+             CAST(CASE WHEN length(trim(text)) > 0 THEN len({_TOKS_SQL}) ELSE 0 END AS DOUBLE) AS nt,
+             CAST(length(text) AS DOUBLE) AS nc,
+             CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) AS pc,
+             CAST(CASE WHEN length(trim(text)) > 0
+                  THEN len(list_filter({_TOKS_SQL}, t -> list_contains({_STOPLIST_SQL}, lower(t))))
+                  ELSE 0 END AS DOUBLE) AS st
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN st >= 2 THEN 'en' ELSE 'und' END AS lang_guess,
+           CASE WHEN nt > 0 THEN
+             0.4 * least(nt / 100.0, 1.0)
+             + 0.3 * least(st / nt * 3.0, 1.0)
+             + 0.3 * (1.0 - least(pc / nc * 10.0, 1.0))
+           ELSE 0.0 END AS quality
+    FROM counts
+    """,
+)
+def q_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic + composite quality score (exact integer
+    components -> bit-identical doubles)."""
+    from bcg_contacts_data_pipeline_spark.functions import text as T
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.lang_guess("text").alias("lang_guess"),
+        T.quality_score("text").alias("quality"),
+    )
+
+
+@register(
+    "fingerprint_dedup",
+    oracle=f"""
+    SELECT md5(array_to_string(list_sort(list_distinct(
+             list_transform({_TOKS_SQL}, t -> lower(t)))), ' ')) AS fingerprint,
+           MIN(doc_id) AS canonical_id,
+           COUNT(*) AS dup_count
+    FROM documents
+    WHERE length(trim(text)) > 0
+    GROUP BY 1
+    """,
+)
+def q_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-set fingerprint dedup (order/multiplicity-insensitive)."""
+    from bcg_contacts_data_pipeline_spark.functions import text as T
+
+    docs = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    return (
+        docs.select(T.fingerprint("text").alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+@register(
+    "ngram_jaccard",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS t FROM documents WHERE length(trim(text)) > 0),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+      FROM toks WHERE len(t) >= 3),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT s.id_a, s.id_b, s.shared,
+           sa.n AS size_a, sb.n AS size_b,
+           CAST(s.shared AS DOUBLE) / CAST(sa.n + sb.n - s.shared AS DOUBLE) AS jaccard
+    FROM shared s
+    JOIN sizes sa ON s.id_a = sa.doc_id
+    JOIN sizes sb ON s.id_b = sb.doc_id
+    WHERE CAST(s.shared AS DOUBLE) / CAST(sa.n + sb.n - s.shared AS DOUBLE) >= 0.05
+    """,
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs via shingle inverted index."""
+    from bcg_contacts_data_pipeline_spark.operators.similarity import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.05)
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity search
+# ---------------------------------------------------------------------------
+
+_DOT_SQL = (
+    "list_reduce(list_transform(list_zip({a}, {b}), "
+    "x -> x[1]::DOUBLE * x[2]::DOUBLE), (acc, v) -> acc + v)"
+)
+
+
+@register(
+    "embedding_topk",
+    oracle=f"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_DOT_SQL.format(a='q.embedding', b='c.embedding')}
+             / (sqrt({_DOT_SQL.format(a='q.embedding', b='q.embedding')})
+                * sqrt({_DOT_SQL.format(a='c.embedding', b='c.embedding')})) AS score
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, score
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5. Float math is a sequential double
+    fold on BOTH engines (see functions/vectors.py) so scores are
+    bit-identical and even the ranking hash-matches."""
+    from bcg_contacts_data_pipeline_spark.operators.similarity import embedding_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = embedding_topk(emb, "vec_id", "embedding", k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "score"
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH family — genuinely non-SQL-expressible (seeded hash families);
+# registered without oracles -> driver records rows-only checks.
+# ---------------------------------------------------------------------------
+
+@register("minhash_lsh")
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) + 16-band LSH candidate pairs with estimated Jaccard."""
+    from bcg_contacts_data_pipeline_spark.operators.similarity import (
+        minhash_lsh_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=64, bands=16, verify_threshold=None
+    )
+
+
+@register("simhash_pairs")
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash64 near-dup pairs (quarter-banding + exact hamming verify)."""
+    from bcg_contacts_data_pipeline_spark.operators.similarity import simhash_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_pairs(docs, "doc_id", "text", max_hamming=16)
+
+
+@register("embedding_ann_lsh")
+def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH approximate top-5 (the scale path for ANN)."""
+    from bcg_contacts_data_pipeline_spark.operators.similarity import (
+        embedding_ann_lsh,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = embedding_ann_lsh(emb, "vec_id", "embedding", dim=64, k=5, num_planes=6)
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "score"
     )

@@ -1,0 +1,98 @@
+"""Dedup-merge operator tests (SURVEY §2.4 A1/A2, §2.6 O2)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bcg_contacts_data_pipeline_spark.operators import dedup as D
+
+
+def contacts_df(spark):
+    # (email, fullname, mobile, notes, recency) — recency high = newer
+    rows = [
+        ("a@x.com", "Ann Lee", "111", "short", 1),
+        ("A@X.com ", "Ann Lee", "111", "a much longer note", 2),
+        ("a@x.com", "Ann Q. Lee", "111", "nan", 3),
+        (None, "Bob Roy", "222", "only row", 1),
+        (None, "", "", "keyless row", 1),
+        ("", None, None, "another keyless", 2),
+    ]
+    return spark.createDataFrame(
+        rows, "email string, fullname string, mobile string, notes string, rec int"
+    )
+
+
+def test_dedup_key_email_else_name_mobile(spark):
+    df = contacts_df(spark).select(
+        D.dedup_key("email", "fullname", "mobile").alias("k"), "notes"
+    )
+    got = {r["notes"]: r["k"] for r in df.collect()}
+    assert got["short"] == "a@x.com"
+    assert got["a much longer note"] == "a@x.com"  # trimmed+lowered
+    assert got["only row"] == "bob roy-222"
+    assert got["keyless row"] is None
+    assert got["another keyless"] is None
+
+
+def test_most_complete_merge_longest_then_recent(spark):
+    df = contacts_df(spark)
+    merged = D.most_complete_merge(
+        df,
+        D.dedup_key("email", "fullname", "mobile"),
+        value_cols=["email", "fullname", "mobile", "notes"],
+        order_by="rec",
+    )
+    rows = {r["dedup_key"]: r for r in merged.collect()}
+    ann = rows["a@x.com"]
+    assert ann["group_size"] == 3
+    # longest wins; 'nan' sentinel is never picked
+    assert ann["notes"] == "a much longer note"
+    assert ann["fullname"] == "Ann Q. Lee"
+    # ties on length ('a@x.com' vs 'a@x.com') -> highest rec among originals
+    assert ann["mobile"] == "111"
+    # keyless rows pass through unmerged (reference bug fixed by default)
+    keyless = [r for r in merged.collect() if r["dedup_key"] is None]
+    assert len(keyless) == 2
+
+
+def test_merge_empty_keys_compat_mode(spark):
+    df = contacts_df(spark)
+    merged = D.most_complete_merge(
+        df,
+        D.dedup_key("email", "fullname", "mobile"),
+        value_cols=["notes"],
+        order_by="rec",
+        merge_empty_keys=True,
+    )
+    keyless = [r for r in merged.collect() if r["dedup_key"] is None]
+    # bug-compat: all keyless rows collapse into ONE record
+    assert len(keyless) == 1
+    assert keyless[0]["group_size"] == 2
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "different")],
+        "id long, text string",
+    )
+    out = {r["canonical_id"]: r["dup_count"] for r in D.exact_dedup(df, "text", "id").collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_renumber_scalable_contiguous(spark):
+    df = spark.createDataFrame([(x,) for x in range(997, 0, -1)], "v int").repartition(7)
+    out = D.renumber(df, ["v"], scalable=True).collect()
+    assert len(out) == 997
+    by_v = {r["v"]: r["seqno"] for r in out}
+    # seqno follows the total order on v, contiguous 1..N
+    assert sorted(by_v.values()) == list(range(1, 998))
+    assert by_v[1] == 1 and by_v[997] == 997
+
+
+def test_first_row_per_group(spark):
+    df = spark.createDataFrame(
+        [(1, "b", 10), (1, "a", 20), (2, "z", 5)], "k int, v string, ord int"
+    )
+    out = D.first_row_per_group(df, ["k"], [F.col("ord").asc()])
+    got = {r["k"]: r["v"] for r in out.collect()}
+    assert got == {1: "b", 2: "z"}

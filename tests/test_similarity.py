@@ -1,0 +1,88 @@
+"""Similarity operator tests: jaccard, minhash-LSH, simhash, embedding ANN."""
+
+from __future__ import annotations
+
+import random
+
+from bcg_contacts_data_pipeline_spark.operators import similarity as S
+
+
+def doc_corpus(spark):
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(50)]
+    base = " ".join(rng.choice(vocab) for _ in range(60))
+    near = base.rsplit(" ", 6)[0] + " zz yy xx ww vv uu"  # ~90% shared prefix
+    other = " ".join(rng.choice(vocab) for _ in range(60))
+    return spark.createDataFrame(
+        [(1, base), (2, near), (3, other), (4, base)],  # 4 = exact dup of 1
+        "doc_id long, text string",
+    )
+
+
+def test_ngram_jaccard_exact(spark):
+    df = doc_corpus(spark)
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in S.ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.3).collect()
+    }
+    assert out[(1, 4)] == 1.0
+    assert 0.5 < out[(1, 2)] < 1.0
+    assert (1, 3) not in out
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    df = doc_corpus(spark)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in S.minhash_lsh_pairs(
+            df, "doc_id", "text", verify_threshold=0.3
+        ).collect()
+    }
+    assert pairs[(1, 4)] == 1.0  # identical docs: all signatures agree
+    assert (1, 2) in pairs  # near-dup caught by banding
+    assert (1, 3) not in pairs
+
+
+def test_simhash_near_dups(spark):
+    df = doc_corpus(spark)
+    sims = {r["doc_id"]: r["simhash"] for r in S.simhash64(df, "doc_id", "text").collect()}
+
+    def ham(a, b):
+        return bin((sims[a] ^ sims[b]) & ((1 << 64) - 1)).count("1")
+
+    assert ham(1, 4) == 0  # identical docs -> identical simhash
+    assert ham(1, 2) < ham(1, 3)  # near-dup closer than unrelated
+    # pair generation finds the exact dup via quarter banding
+    pairs = {(r["id_a"], r["id_b"]) for r in S.simhash_pairs(df, "doc_id", "text", max_hamming=4).collect()}
+    assert (1, 4) in pairs
+
+
+def vec_corpus(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.99, 0.1, 0.0, 0.0]),   # near 1
+        (3, [0.0, 1.0, 0.0, 0.0]),    # orthogonal to 1
+        (4, [-1.0, 0.0, 0.0, 0.0]),   # opposite of 1
+        (5, [0.98, 0.15, 0.01, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_embedding_topk_exact(spark):
+    df = vec_corpus(spark)
+    out = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in S.embedding_topk(df, "vec_id", "embedding", k=2).collect()
+    }
+    assert out[(1, 1)] == 2
+    assert out[(1, 2)] == 5
+    assert out[(4, 1)] == 3  # orthogonal (cos 0) beats anti-parallel vectors
+
+
+def test_embedding_ann_lsh_same_bucket_for_identical(spark):
+    rows = [(i, [float(i % 3), 1.0, 0.5, -0.25]) for i in range(9)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = S.embedding_ann_lsh(df, "vec_id", "embedding", dim=4, k=3, num_planes=4)
+    got = {(r["query_id"], r["neighbor_id"]) for r in out.collect()}
+    # identical vectors always share a bucket -> found as top neighbors
+    assert (0, 3) in got or (0, 6) in got
