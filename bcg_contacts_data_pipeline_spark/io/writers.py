@@ -1,0 +1,54 @@
+"""Sink connectors (SURVEY.md §2.1 S9–S11).
+
+- ``write_tsv_single`` — the reference's single-file TSV export
+  (clean_contacts.py:273 etc.). Spark writes a directory of parts; when a
+  caller genuinely needs ONE file (CRM import), we coalesce(1) and move
+  the part file. Coalesce-to-1 is the serial point — it exists because
+  the *output contract* is a single file, not because the engine needs it;
+  ``write_tsv`` (partitioned) is the scale path.
+- ``write_json_log`` — change-log / validation-report sinks (S11).
+- ``write_jdbc`` — S7's staging sink generalized.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+from pyspark.sql import DataFrame
+
+
+def write_tsv(df: DataFrame, path: str, header: bool = True) -> None:
+    """Partitioned TSV output — the 100 TB path."""
+    df.write.mode("overwrite").option("sep", "\t").option("header", header).csv(path)
+
+
+def write_tsv_single(df: DataFrame, path: str, header: bool = True) -> str:
+    """Single-file TSV for edge export. Writes via a temp dir then moves
+    the one part file to ``path``."""
+    tmp = path + ".__tmpdir__"
+    df.coalesce(1).write.mode("overwrite").option("sep", "\t").option(
+        "header", header
+    ).csv(tmp)
+    part = glob.glob(os.path.join(tmp, "part-*"))[0]
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    shutil.move(part, path)
+    shutil.rmtree(tmp)
+    return path
+
+
+def write_json_log(df: DataFrame, path: str, single: bool = False) -> None:
+    """JSON side-output (fill log / validation report)."""
+    if single:
+        tmp = path + ".__tmpdir__"
+        df.coalesce(1).write.mode("overwrite").json(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*"))[0]
+        shutil.move(part, path)
+        shutil.rmtree(tmp)
+    else:
+        df.write.mode("overwrite").json(path)
+
+
+def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append") -> None:
+    df.write.mode(mode).jdbc(url, table)

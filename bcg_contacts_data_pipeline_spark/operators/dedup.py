@@ -164,8 +164,15 @@ def renumber(
         w = Window.orderBy(*cols)
         return df.withColumn(seq_name, F.row_number().over(w))
 
-    parted = df.repartitionByRange(*cols).withColumn(
-        "__pid", F.spark_partition_id()
+    # persist() is load-bearing: repartitionByRange samples range boundaries
+    # with an rdd-id-derived seed, so RE-computation (e.g. both branches of
+    # a later self-join) could assign rows to different partitions than the
+    # ones the offsets below were computed from. Materializing once freezes
+    # the assignment (and the offset collect pays for the materialization).
+    parted = (
+        df.repartitionByRange(*cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
     )
     # Small driver-side collect: one row per partition (#partitions rows).
     counts = (

@@ -1,0 +1,319 @@
+"""The complete contact-unification pipeline — the reference's whole
+run.py workflow (fill-missing -> clean -> dedup -> validate, plus the
+optional Mailchimp stage 0) as composable DataFrame stages in ONE Spark
+plan, files only at the edges.
+
+Reference parity map (cites into /root/reference):
+- master schema: output/MergedDatabase.tsv header (88 columns)
+- UNUSED_FIELDS nullification: cleaning/clean_contacts.py:16-23,92-100
+- field cleaning: cleaning/clean_contacts.py:88-155
+- dedup-merge: cleaning/clean_contacts.py:158-236
+- SEQNO reset: cleaning/clean_contacts.py:57-86
+- integer preservation: cleaning/clean_contacts.py:26-54
+- fill-missing (k-of-n): cleaning/fill_missing_contacts.py (entire)
+- mailchimp enrich: cleaning/merge_contacts_kindaworks.py (entire)
+- validation: cleaning/validate_fields.py (entire)
+- orchestration replaced: cleaning/run.py ran each stage as a subprocess
+  communicating through TSV files; here stages are DataFrame->DataFrame
+  and Catalyst optimizes across stage boundaries (column pruning alone is
+  decisive: 88 columns, most stages touch <10).
+
+Known intentional divergences (SURVEY §7.4): keyless rows pass through
+dedup unmerged by default (`merge_empty_keys=True` restores the
+reference's Frankenstein-record behavior); title-casing follows pandas
+``str.title()`` semantics via functions.normalize.title_case.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from bcg_contacts_data_pipeline_spark.functions import normalize as N
+from bcg_contacts_data_pipeline_spark.operators import validate as V
+from bcg_contacts_data_pipeline_spark.operators.dedup import (
+    dedup_key,
+    most_complete_merge,
+    renumber,
+)
+from bcg_contacts_data_pipeline_spark.operators.enrich import (
+    MatchKey,
+    kofn_enrich,
+    two_key_enrich,
+)
+
+#: The master contact schema — output/MergedDatabase.tsv header, row 1.
+MASTER_COLUMNS = (
+    "seqno salutation firstname lastname title mobile directphone directfax "
+    "homephone email notes address1 address2 address3 address4 deladdr5 "
+    "deladdr6 post_code deladdr1 deladdr2 deladdr3 deladdr4 isactive "
+    "advertsource salesno company_accno company_acctype msn_id yahoo_id "
+    "skype_id address5 last_updated "
+    + " ".join(f"sub{i}" for i in range(1, 27))
+    + " x_region sync_contacts linkedin twitter facebook optout_emarketing "
+    "campaign_wave_seqno latitude longitude geocode_status x_xs_allowlogin "
+    "x_xs_clientadmin x_xs_login x_xs_password x_xs_sendclientadmin "
+    "x_xs_resetpassword x_xs_sorttasksby x_tt_createtasks x_tt_pocontact "
+    "x_store x_email2 x_email3 x_phone1 x_phone2 x_phone3 x_phone4 x_phone5 "
+    "x_tt_extension fullname name"
+).split()
+
+#: clean_contacts.py:16-23 — columns force-nulled by the cleaning stage.
+UNUSED_FIELDS = [
+    "salutation", "directphone", "directfax", "homephone",
+    "msn_id", "yahoo_id", "skype_id", "sync_contacts", "linkedin",
+    "twitter", "facebook", "campaign_wave_seqno", "latitude", "longitude",
+    "geocode_status", "x_store", "x_email2", "x_email3",
+    "x_phone1", "x_phone2", "x_phone3", "x_phone4", "x_phone5",
+    "x_tt_extension", "x_region",
+]
+
+#: validate_fields.py:7,9
+REQUIRED_FIELDS = ["firstname", "lastname", "email"]
+PHONE_FIELDS = ["mobile", "directphone", "homephone"]
+
+SUB_FIELDS = [f"sub{i}" for i in range(1, 27)]
+YN_FIELDS = ["isactive", "optout_emarketing", *SUB_FIELDS]
+NAME_FIELDS = ["firstname", "lastname", "fullname", "title"]
+INT_FIELDS = ["seqno", "salesno", "company_accno"]
+
+
+def _with_row_id(df: DataFrame) -> DataFrame:
+    """Stable row identity (O3). NOT monotonically_increasing_id: that is
+    partition-layout-dependent and a plan that branches (join back after
+    enrichment) could recompute different ids. A renumber over the full
+    column order is deterministic under any partitioning."""
+    if "__row_id" in df.columns:
+        return df
+    order = [F.col(c).asc_nulls_last() for c in df.columns]
+    return renumber(df, order, seq_name="__row_id")
+
+
+def conform_to_master(df: DataFrame) -> DataFrame:
+    """Project any frame onto the 88-column master schema (missing columns
+    -> NULL string), case-insensitively."""
+    lookup = {c.lower(): c for c in df.columns}
+    return df.select(
+        *[
+            F.col(lookup[c]).cast("string").alias(c)
+            if c in lookup
+            else F.lit(None).cast("string").alias(c)
+            for c in MASTER_COLUMNS
+        ]
+    )
+
+
+def clean_fields(df: DataFrame) -> DataFrame:
+    """clean_contacts.py:88-155 as one withColumns projection:
+    sentinel-null everything, null the unused fields, normalize emails,
+    strip phones to digits, title-case names, trim addresses/postcodes,
+    Y/N-standardize flags, parse last_updated."""
+    updates: dict[str, Column] = {}
+    for c in df.columns:
+        updates[c] = N.nullify_sentinels(F.col(c))
+    for c in UNUSED_FIELDS:
+        if c in df.columns:
+            updates[c] = F.lit(None).cast("string")
+    if "email" in df.columns:
+        updates["email"] = N.norm_email(N.nullify_sentinels(F.col("email")))
+    if "mobile" in df.columns:
+        # stored values keep all digits (no last-10: that is match-key only)
+        d = N.digits_only(N.nullify_sentinels(F.col("mobile")))
+        updates["mobile"] = F.when(F.length(d) > 0, d)
+    for c in NAME_FIELDS:
+        if c in df.columns:
+            updates[c] = N.title_case(F.trim(N.nullify_sentinels(F.col(c))))
+    for c in df.columns:
+        if "address" in c or "post_code" in c or "deladdr" in c:
+            updates[c] = F.trim(N.nullify_sentinels(F.col(c)))
+    for c in YN_FIELDS:
+        if c in df.columns:
+            updates[c] = N.yn_flag(N.nullify_sentinels(F.col(c)))
+    if "last_updated" in df.columns:
+        updates["parsed_last_updated"] = N.parse_ts(F.col("last_updated"))
+    return df.withColumns(updates)
+
+
+def contact_match_keys() -> list[MatchKey]:
+    """The shared J1-J3 key contract (fill_missing_contacts.py:8-32):
+    name = collapsed/lower full name, email = trim/lower/validated,
+    phone = digits last-10."""
+    def tgt(c):
+        return F.col(c)
+
+    name_t = N.norm_ws(N.full_name("firstname", "lastname", "fullname", "name"))
+    name_s = N.norm_ws(N.full_name("s_firstname", "s_lastname", "s_fullname"))
+    return [
+        MatchKey("name", name_t, name_s),
+        MatchKey("email", N.norm_email(tgt("email")), N.norm_email(F.col("s_email"))),
+        MatchKey("phone", N.norm_phone(tgt("mobile")), N.norm_phone(F.col("s_mobile"))),
+    ]
+
+
+def fill_missing(
+    master: DataFrame,
+    source: DataFrame,
+    fill_fields: dict[str, str] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """fill_missing_contacts.py semantics: fill firstname/lastname/
+    fullname/mobile (SURVEY J2 fill set) from the first source row
+    agreeing on >=2 of (name, email, phone).
+
+    ``source`` columns must be pre-mapped to s_firstname, s_lastname,
+    s_fullname, s_email, s_mobile + a numeric ``sid`` order column (use
+    io.readers.SourceRegistry for raw files).
+    """
+    fill_fields = fill_fields or {
+        "firstname": "s_firstname",
+        "lastname": "s_lastname",
+        "fullname": "s_fullname",
+        "mobile": "s_mobile",
+    }
+    master_with_id = _with_row_id(master)
+    enriched, log = kofn_enrich(
+        master_with_id,
+        source,
+        contact_match_keys(),
+        fill=fill_fields,
+        target_id="__row_id",
+        source_order="sid",
+        min_matches=2,
+        broadcast_source=True,
+    )
+    # splice filled values back into the full-width master
+    out = (
+        master_with_id.drop(*fill_fields.keys())
+        .join(enriched.select("__row_id", *fill_fields.keys()), "__row_id")
+        .select(*[c for c in master_with_id.columns if c != "__row_id"])
+    )
+    return out, log
+
+
+def mailchimp_enrich(
+    master: DataFrame, mailchimp: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """merge_contacts_kindaworks.py: fill missing email on (name, phone)
+    match; fill missing mobile on (name, email) match. Two strict two-key
+    passes against a broadcast dimension."""
+    mc = (
+        mailchimp
+        if "sid" in mailchimp.columns
+        else renumber(mailchimp, [F.col(c) for c in mailchimp.columns], seq_name="sid")
+    )
+    m1 = _with_row_id(master)
+
+    name_t = N.norm_ws(N.full_name("firstname", "lastname", "fullname", "name"))
+    name_s = N.norm_ws(N.full_name("s_firstname", "s_lastname", "s_fullname"))
+
+    email_fill, log1 = two_key_enrich(
+        m1,
+        mc,
+        [
+            MatchKey("name", name_t, name_s),
+            MatchKey("phone", N.norm_phone(F.col("mobile")), N.norm_phone(F.col("s_mobile"))),
+        ],
+        fill={"email": "s_email"},
+        target_id="__row_id",
+        source_order="sid",
+    )
+    m2 = (
+        m1.drop("email")
+        .join(email_fill.select("__row_id", "email"), "__row_id")
+    )
+    mobile_fill, log2 = two_key_enrich(
+        m2,
+        mc,
+        [
+            MatchKey("name", name_t, name_s),
+            MatchKey("email", N.norm_email(F.col("email")), N.norm_email(F.col("s_email"))),
+        ],
+        fill={"mobile": "s_mobile"},
+        target_id="__row_id",
+        source_order="sid",
+    )
+    out = (
+        m2.drop("mobile")
+        .join(mobile_fill.select("__row_id", "mobile"), "__row_id")
+        .select(*[c for c in m1.columns if c != "__row_id"])
+    )
+    return out, log1.unionByName(log2)
+
+
+def dedup_contacts(
+    df: DataFrame, merge_empty_keys: bool = False
+) -> DataFrame:
+    """clean_contacts.py:158-236: derive the dedup key (email else
+    lower(fullname)-mobile), merge duplicate groups most-complete-wins
+    with recency bias (last_updated desc), reset SEQNO 1..N."""
+    recency = N.parse_ts(F.col("last_updated"))
+    work = df.withColumn("__recency", F.coalesce(F.unix_micros(recency), F.lit(0)))
+    value_cols = [c for c in df.columns]
+    merged = most_complete_merge(
+        work,
+        dedup_key("email", "fullname", "mobile"),
+        value_cols=value_cols,
+        order_by="__recency",
+        merge_empty_keys=merge_empty_keys,
+    )
+    # contiguous SEQNO over a deterministic order (recency is gone after
+    # the merge; order by the derived key for stability)
+    renumbered = renumber(
+        merged.drop("seqno"),
+        [F.col("dedup_key").asc_nulls_last()],
+        seq_name="seqno",
+        scalable=True,
+    )
+    return renumbered.select("seqno", *[c for c in MASTER_COLUMNS if c != "seqno"], "group_size")
+
+
+def contact_rules() -> list[V.Rule]:
+    """validate_fields.py rule set (§2.8)."""
+    return [
+        *[V.required(c) for c in REQUIRED_FIELDS],
+        V.email_format("email"),
+        *[V.phone_format(c) for c in PHONE_FIELDS],
+        V.at_least_one_present(PHONE_FIELDS, "No phone number present"),
+    ]
+
+
+def validate_contacts(df: DataFrame) -> DataFrame:
+    """Error documents for failing rows; junk rows (all-missing name and
+    email) skipped, mirroring validate_fields.py:77-85."""
+    skip = (
+        F.col("firstname").isNull()
+        & F.col("lastname").isNull()
+        & F.col("email").isNull()
+    )
+    return V.validate_documents(
+        df, contact_rules(), ["seqno"], name_col="fullname", skip=skip
+    )
+
+
+@dataclass
+class PipelineResult:
+    cleaned: DataFrame
+    errors: DataFrame
+    fill_log: DataFrame | None = None
+    mailchimp_log: DataFrame | None = None
+
+
+def run_pipeline(
+    master: DataFrame,
+    sources: DataFrame | None = None,
+    mailchimp: DataFrame | None = None,
+    merge_empty_keys: bool = False,
+) -> PipelineResult:
+    """The whole reference pipeline as one lazy plan:
+    stage 0 (optional) mailchimp enrich -> stage 1 fill-missing ->
+    stage 2 clean+dedup -> stage 3 validate."""
+    df = conform_to_master(master)
+    mc_log = fill_log = None
+    if mailchimp is not None:
+        df, mc_log = mailchimp_enrich(df, mailchimp)
+    if sources is not None:
+        df, fill_log = fill_missing(df, sources)
+    cleaned = dedup_contacts(clean_fields(df), merge_empty_keys=merge_empty_keys)
+    errors = validate_contacts(cleaned)
+    return PipelineResult(cleaned, errors, fill_log, mc_log)
