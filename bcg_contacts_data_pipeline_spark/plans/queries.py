@@ -928,3 +928,115 @@ def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "score"
     )
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming (SURVEY §2.9 — green-field; each query is the
+# streaming twin of a batch operator above, executed to completion with
+# Trigger.AvailableNow so the DuckDB batch oracle applies verbatim).
+# ---------------------------------------------------------------------------
+
+@register(
+    "stream_hourly_counts",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window streaming aggregation, run to completion
+    (complete output mode: every window emits once the source drains)."""
+    from bcg_contacts_data_pipeline_spark import streaming as S
+
+    st = S.events_stream(spark, sf_dir)
+    agg = S.windowed_agg(
+        st,
+        "ts",
+        "1 hour",
+        ["event_type"],
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+        ],
+        watermark="1 hour",
+    )
+    return S.run_available_now(agg, "complete")
+
+
+@register(
+    "stream_sessions",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked)
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows (30-min gap) via session_window; the
+    window end is last_event_ts + gap, matching the oracle's island SQL.
+    Same session boundaries as the batch `sessionize` query."""
+    from bcg_contacts_data_pipeline_spark import streaming as S
+
+    st = S.events_stream(spark, sf_dir)
+    agg = S.session_agg(
+        st,
+        ["user_id"],
+        "ts",
+        "30 minutes",
+        [F.count(F.lit(1)).alias("n_events")],
+        watermark="1 hour",
+    )
+    return S.run_available_now(agg, "complete")
+
+
+@register(
+    "stream_dedup_keys",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def q_stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (dropDuplicatesWithinWatermark): first row per
+    (user_id, event_type) is emitted as it arrives; key state expires with
+    the watermark. Projected to the key columns so the result is
+    order-insensitive and equals batch DISTINCT."""
+    from bcg_contacts_data_pipeline_spark import streaming as S
+
+    st = S.events_stream(spark, sf_dir)
+    dd = S.dedup_within_watermark(st, ["user_id", "event_type"], "ts", "2 hours")
+    return S.run_available_now(dd.select("user_id", "event_type"), "append")
+
+
+@register(
+    "stream_running_stats",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(MAX(CAST(value AS DOUBLE)) AS DOUBLE) AS max_value
+    FROM events GROUP BY user_id
+    """,
+)
+def q_stream_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user running
+    (count, max) in keyed state, update mode. On the finite test source the
+    single micro-batch's emission equals the batch GROUP BY."""
+    from bcg_contacts_data_pipeline_spark import streaming as S
+
+    st = S.events_stream(spark, sf_dir)
+    out = S.running_user_stats(st.select("user_id", "value"))
+    return S.run_available_now(out, "update")

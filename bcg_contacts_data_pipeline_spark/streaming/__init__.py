@@ -1,0 +1,23 @@
+from bcg_contacts_data_pipeline_spark.streaming.ops import (
+    dedup_within_watermark,
+    running_user_stats,
+    session_agg,
+    windowed_agg,
+)
+from bcg_contacts_data_pipeline_spark.streaming.runner import run_available_now
+from bcg_contacts_data_pipeline_spark.streaming.sources import (
+    events_stream,
+    file_stream,
+    stage_as_dir,
+)
+
+__all__ = [
+    "dedup_within_watermark",
+    "events_stream",
+    "file_stream",
+    "run_available_now",
+    "running_user_stats",
+    "session_agg",
+    "stage_as_dir",
+    "windowed_agg",
+]

@@ -1,0 +1,128 @@
+"""Streaming operators: watermarked windows, session windows, streaming
+dedup, and a custom stateful operator.
+
+Green-field relative to the reference (SURVEY §2.9 — it is strictly
+batch), but each op is the streaming twin of a batch operator we already
+ship, with identical semantics on a finite input:
+
+- tumbling window agg     <-> operators.temporal.tumbling_agg
+- session window agg      <-> operators.temporal.sessionize (30-min gap)
+- dropDuplicatesWithinWatermark <-> exact dedup (first row per key)
+- applyInPandasWithState  <-> groupBy().agg() running totals
+
+Scale notes: all state is keyed and bounded by the watermark, so state
+size is O(active keys x watermark horizon), not O(stream length). The
+shuffle introduced by each stateful op is the same hash partitioning a
+batch groupBy would use; at cluster scale the state store should be
+RocksDB-backed. Watermark choice trades completeness vs. state: these
+helpers take it as an explicit required argument rather than defaulting.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def windowed_agg(
+    stream: DataFrame,
+    ts_col: str,
+    duration: str,
+    keys: list[str],
+    aggs: list,
+    watermark: str,
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation. Output columns: window
+    start/end flattened to `window_start`/`window_end` plus keys + aggs."""
+    w = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, duration).alias("__w"), *keys)
+        .agg(*aggs)
+    )
+    return w.select(
+        F.col("__w.start").alias("window_start"),
+        F.col("__w.end").alias("window_end"),
+        *[c for c in w.columns if c != "__w"],
+    )
+
+
+def session_agg(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    gap: str,
+    aggs: list,
+    watermark: str,
+) -> DataFrame:
+    """Gap-based session windows (`session_window`): a session's window is
+    [first_event_ts, last_event_ts + gap). Same session boundaries as the
+    batch sessionize operator with the same gap."""
+    w = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(*keys, F.session_window(ts_col, gap).alias("__w"))
+        .agg(*aggs)
+    )
+    return w.select(
+        *keys,
+        F.col("__w.start").alias("session_start"),
+        F.col("__w.end").alias("session_end"),
+        *[c for c in w.columns if c not in (*keys, "__w")],
+    )
+
+
+def dedup_within_watermark(
+    stream: DataFrame, keys: list[str], ts_col: str, watermark: str
+) -> DataFrame:
+    """Streaming exact dedup: emit the first row seen per key; drop
+    repeats arriving within the watermark horizon of that first row.
+    State per key expires once the watermark passes, so unlike a plain
+    streaming dropDuplicates the state store does not grow without bound."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+_RUNNING_SCHEMA = "user_id long, n_events long, max_value double"
+_STATE_SCHEMA = "n long, mx double"
+
+
+def _running_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (n, mx) = state.get if state.exists else (0, float("-inf"))
+    for pdf in pdfs:
+        n += len(pdf)
+        if len(pdf):
+            m = float(pdf["value"].max())
+            mx = m if m > mx else mx
+    state.update((n, mx))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "max_value": [mx]}
+    )
+
+
+def running_user_stats(stream: DataFrame) -> DataFrame:
+    """Per-user running (n_events, max_value) maintained in keyed state —
+    the `applyInPandasWithState` extensibility surface for stateful logic
+    the built-in operators can't express. Update output mode: each
+    micro-batch emits the new running value for every key it touched.
+
+    Only order-insensitive, exactly-representable stats (count, max) are
+    kept so results are deterministic regardless of row order within a
+    batch (float summation order is not guaranteed inside a group).
+    """
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _running_fn,
+        outputStructType=_RUNNING_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="Update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,72 @@
+"""Streaming sources (green-field per SURVEY §2.9).
+
+The reference is strictly batch; its closest analogues are the chunked
+micro-batch ingest (fill_missing_contacts_large.py:47-66) and the
+latest-file-by-mtime source (clean_contacts.py:239-245). Structured
+Streaming's file source is the idiomatic Spark replacement for both: new
+files in a directory become micro-batches, `maxFilesPerTrigger` bounds
+batch size the way the 10k-row chunk did, and `Trigger.AvailableNow`
+reproduces the "process everything currently present, then stop" batch
+semantics deterministically (used by tests and the driver oracle).
+
+At cluster scale the same code runs with a durable checkpoint location on
+shared storage and a RocksDB state store
+(`spark.sql.streaming.stateStore.providerClass`); nothing here assumes
+local mode.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stage_as_dir(path: str) -> str:
+    """Spark's file-stream source requires a *directory* (basePath). Given a
+    single data file, stage a stable symlink directory for it under the
+    system temp dir. Given a directory, return it unchanged.
+
+    The directory name is derived from the file path (not random) so
+    repeated calls in one session reuse the same source and the file-stream
+    offset log stays consistent.
+    """
+    if os.path.isdir(path):
+        return path
+    digest = hashlib.sha256(path.encode()).hexdigest()[:16]
+    d = os.path.join(tempfile.gettempdir(), f"stream_src_{digest}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, os.path.basename(path))
+    if not os.path.lexists(link):
+        os.symlink(path, link)
+    return d
+
+
+def file_stream(
+    spark: SparkSession,
+    path: str,
+    schema,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Schema-explicit streaming file source. Explicit schemas are mandatory
+    for streaming reads (and good practice everywhere — SURVEY §1.2)."""
+    reader = spark.readStream.schema(schema).format(fmt)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(stage_as_dir(path))
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of plans.queries._events: the events table as an
+    unbounded source with `ts` converted from nanos-as-long to a micros
+    timestamp (integer division — ns exceed 2^53 so float math would lose
+    precision)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    raw = file_stream(spark, path, schema)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -1,0 +1,102 @@
+"""Streaming operators vs their batch twins on a finite source (sf0.001).
+
+Each streaming op run under Trigger.AvailableNow must equal the batch
+computation of the same semantics — that equivalence is what makes the
+driver's DuckDB oracles valid for the stream_* queries.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from bcg_contacts_data_pipeline_spark import streaming as S
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{SF}/events.parquet")
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def test_windowed_agg_equals_batch(spark, events):
+    st = S.events_stream(spark, SF)
+    out = S.run_available_now(
+        S.windowed_agg(
+            st, "ts", "1 hour", ["event_type"],
+            [F.count(F.lit(1)).alias("n")], watermark="1 hour",
+        ),
+        "complete",
+    )
+    batch = (
+        events.groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("n"))
+    )
+    got = {(r.window_start, r.event_type): r.n for r in out.collect()}
+    want = {(r.window_start, r.event_type): r.n for r in batch.collect()}
+    assert got == want
+
+
+def test_session_agg_equals_batch_sessionize(spark, events):
+    from bcg_contacts_data_pipeline_spark.operators.temporal import sessionize
+
+    st = S.events_stream(spark, SF)
+    out = S.run_available_now(
+        S.session_agg(
+            st, ["user_id"], "ts", "30 minutes",
+            [F.count(F.lit(1)).alias("n")], watermark="1 hour",
+        ),
+        "complete",
+    )
+    batch = (
+        sessionize(events, "user_id", "ts", 1_800_000_000, "event_id")
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("session_start"), F.count(F.lit(1)).alias("n"))
+    )
+    got = {(r.user_id, r.session_start): r.n for r in out.collect()}
+    want = {(r.user_id, r.session_start): r.n for r in batch.collect()}
+    assert got == want
+
+
+def test_dedup_within_watermark_is_distinct(spark, events):
+    st = S.events_stream(spark, SF)
+    out = S.run_available_now(
+        S.dedup_within_watermark(
+            st, ["user_id", "event_type"], "ts", "2 hours"
+        ).select("user_id", "event_type"),
+        "append",
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, events.select("user_id", "event_type").distinct().collect())
+    )
+
+
+def test_running_user_stats(spark, events):
+    st = S.events_stream(spark, SF)
+    out = S.run_available_now(
+        S.running_user_stats(st.select("user_id", "value")), "update"
+    )
+    want = {
+        r.user_id: (r.n, r.mx)
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("value").alias("mx"))
+        .collect()
+    }
+    got = {r.user_id: (r.n_events, r.max_value) for r in out.collect()}
+    assert got.keys() == want.keys()
+    for k, (n, mx) in want.items():
+        assert got[k][0] == n
+        assert got[k][1] == pytest.approx(mx)
+
+
+def test_stage_as_dir_idempotent(tmp_path):
+    f = tmp_path / "x.parquet"
+    f.write_bytes(b"")
+    d1 = S.stage_as_dir(str(f))
+    d2 = S.stage_as_dir(str(f))
+    assert d1 == d2
+    import os
+
+    assert os.path.islink(os.path.join(d1, "x.parquet"))
