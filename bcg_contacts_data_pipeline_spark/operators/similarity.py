@@ -384,3 +384,56 @@ def embedding_ann_lsh(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "score")
     )
+
+
+def embedding_neardup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate detection (greedy lowest-id-wins).
+
+    A row is a duplicate iff some row with a smaller id has cosine
+    similarity >= ``threshold``; its canonical id is the smallest such
+    neighbor. One-hop canonicalization (not transitive closure) — the
+    standard greedy policy for training-data dedup, and fully
+    SQL-expressible for the oracle.
+
+    Scale shape: the id-ordered pair product is pruned with the broadcast
+    side filtered to ``a.id < b.id``; norms are precomputed per vector
+    (2N folds, not 2N^2). At real corpus sizes this brute-force scorer is
+    the verification stage AFTER a blocking stage (``embedding_ann_lsh``
+    or ``minhash_lsh_pairs``) — compose them; alone it is O(N^2/2) pairs.
+
+    Output: (doc_id, canonical_id, is_duplicate), one row per input row.
+    """
+    a = df.select(
+        F.col(id_col).alias("__aid"),
+        F.col(vec_col).alias("__av"),
+        l2_norm(F.col(vec_col)).alias("__an"),
+    )
+    b = df.repartition(64).select(
+        F.col(id_col).alias("__bid"),
+        F.col(vec_col).alias("__bv"),
+        l2_norm(F.col(vec_col)).alias("__bn"),
+    )
+    pairs = (
+        b.crossJoin(F.broadcast(a))
+        .filter(F.col("__aid") < F.col("__bid"))
+        .withColumn(
+            "__score",
+            dot(F.col("__av"), F.col("__bv")) / (F.col("__an") * F.col("__bn")),
+        )
+        .filter(F.col("__score") >= F.lit(threshold))
+    )
+    mins = pairs.groupBy("__bid").agg(F.min("__aid").alias("__min_aid"))
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(mins, F.col("doc_id") == F.col("__bid"), "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("__min_aid"), F.col("doc_id")).alias("canonical_id"),
+            F.col("__min_aid").isNotNull().alias("is_duplicate"),
+        )
+    )

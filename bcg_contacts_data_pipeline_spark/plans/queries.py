@@ -1040,3 +1040,121 @@ def q_stream_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = S.events_stream(spark, sf_dir)
     out = S.running_user_stats(st.select("user_id", "value"))
     return S.run_available_now(out, "update")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal binary columns (beyond-reference; mapInPandas plumbing with a
+# deterministic fake decoder whose arithmetic a SQL oracle can replicate).
+# ---------------------------------------------------------------------------
+
+# payload = unhex(repeat(md5(text), 1 + length(text) % 8)): 16..128 bytes.
+# The fake decoders read hex chars of the payload, which equal md5(text)'s
+# chars, so the oracle works from md5(text) directly.
+_MD5 = "md5(text)"
+_A = "ascii(substr(md5(text), {i}, 1))"
+
+
+@register(
+    "media_image_meta",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(16 * (1 + length(text) % 8) AS INT) AS n_bytes,
+           CAST(16 + {_A.format(i=1)} + 2 * {_A.format(i=2)} AS INT) AS width,
+           CAST(16 + {_A.format(i=3)} + 2 * {_A.format(i=4)} AS INT) AS height,
+           CASE ({_A.format(i=5)} + {_A.format(i=6)}) % 3
+                WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp'
+           END AS format
+    FROM documents
+    """,
+)
+def q_media_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary image column -> typed metadata via Arrow-batched mapInPandas
+    (payload synthesized JVM-side, decoded by the deterministic fake)."""
+    from bcg_contacts_data_pipeline_spark.operators import multimodal as M
+
+    docs = _t(spark, sf_dir, "documents")
+    return M.decode_image_meta(M.with_fake_payload(docs, "text"), "doc_id")
+
+
+@register(
+    "media_frame_sample",
+    oracle=f"""
+    WITH v AS (
+      SELECT doc_id, CAST(4 + {_A.format(i=1)} % 13 AS INT) AS n_frames
+      FROM documents)
+    SELECT doc_id, CAST(unnest(range(0, n_frames, 3)) AS INT) AS frame_idx,
+           n_frames
+    FROM v
+    """,
+)
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling: one row per kept frame (stride 3); fan-out
+    mapInPandas. Frame bytes are dropped here so the oracle compares the
+    sampling plan, not blob encodings (bytes are covered by unit tests)."""
+    from bcg_contacts_data_pipeline_spark.operators import multimodal as M
+
+    docs = _t(spark, sf_dir, "documents")
+    out = M.sample_frames(M.with_fake_payload(docs, "text"), "doc_id", stride=3)
+    return out.select("doc_id", "frame_idx", "n_frames")
+
+
+@register(
+    "media_audio_stats",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id,
+             CASE {_A.format(i=2)} % 3
+                  WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100
+             END AS sample_rate,
+             16 * (1 + length(text) % 8) AS n_bytes
+      FROM documents)
+    SELECT CAST(sample_rate AS INT) AS sample_rate,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST(CAST(n_bytes AS DOUBLE) / sample_rate
+                         AS DECIMAL(18,12))) AS DOUBLE) AS total_duration_s
+    FROM a GROUP BY 1
+    """,
+)
+def q_media_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio decode (fake) then a rollup per sample rate — the typical
+    media-pipeline shape: heavy Python decode first, cheap JVM agg after,
+    payload pruned before the shuffle."""
+    from bcg_contacts_data_pipeline_spark.operators import multimodal as M
+
+    docs = _t(spark, sf_dir, "documents")
+    audio = M.audio_features(M.with_fake_payload(docs, "text"), "doc_id")
+    return audio.groupBy("sample_rate").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("duration_s").cast("decimal(18,12)"))
+        .cast("double")
+        .alias("total_duration_s"),
+    )
+
+
+@register(
+    "embedding_neardup",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS aid, b.vec_id AS bid
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE {_DOT_SQL.format(a='a.embedding', b='b.embedding')}
+            / (sqrt({_DOT_SQL.format(a='a.embedding', b='a.embedding')})
+               * sqrt({_DOT_SQL.format(a='b.embedding', b='b.embedding')}))
+            >= 0.4),
+    mins AS (SELECT bid, MIN(aid) AS min_aid FROM pairs GROUP BY bid)
+    SELECT e.vec_id AS doc_id,
+           COALESCE(m.min_aid, e.vec_id) AS canonical_id,
+           m.bid IS NOT NULL AS is_duplicate
+    FROM embeddings e LEFT JOIN mins m ON e.vec_id = m.bid
+    """,
+)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup dedup (greedy lowest-id canonical,
+    cosine >= 0.4). Scores are bit-identical to DuckDB (sequential double
+    fold), so even the threshold comparison hash-matches."""
+    from bcg_contacts_data_pipeline_spark.operators.similarity import (
+        embedding_neardup,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_neardup(emb, "vec_id", "embedding", threshold=0.4)
