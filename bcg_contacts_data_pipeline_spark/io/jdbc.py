@@ -1,0 +1,99 @@
+"""JDBC staging connector (SURVEY §2.1 S7/S8).
+
+The reference stages its master table in SQLite (`fill_missing_contacts_
+large.py:44-76`: chunked INSERTs + B-tree indexes on the match keys, then
+indexed point lookups). In Spark the staging pattern itself is obsolete —
+shuffle/spill is the out-of-core story — but the JDBC edge remains part
+of the target surface (BASELINE.json: "Spark batch DataFrame ops + JDBC
+connectors"): real deployments stage to / enrich from an RDBMS.
+
+Apache Derby (embedded, ships on Spark's own classpath) is the stand-in
+endpoint here, playing the role SQLite plays in the reference. The API
+surface is the standard Spark JDBC source/sink, so pointing ``url`` at
+Postgres/MySQL instead changes nothing in calling code.
+
+Scale notes:
+- Reads parallelize with ``partition_column``/``num_partitions`` (one
+  executor task per bound range) — the distributed analogue of the
+  reference's indexed chunk loop (`fill_missing_contacts_large.py:
+  239-258`).
+- Filter pushdown: Catalyst pushes predicates into the remote SQL query
+  (visible as PushedFilters in the scan node), the analogue of the
+  reference's ``WHERE _name=? OR ...`` probes (`:133-141`).
+- Writes batch rows per round trip (``batchsize``); an embedded Derby
+  file DB is single-host — a real cluster stages to a networked RDBMS.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+def derby_url(db_path: str) -> str:
+    return f"jdbc:derby:{db_path};create=true"
+
+
+def scratch_derby_url(key: str) -> str:
+    """A session-stable embedded Derby database under the temp dir, keyed
+    by name (same key -> same DB across calls in one process)."""
+    digest = hashlib.sha256(key.encode()).hexdigest()[:16]
+    return derby_url(os.path.join(tempfile.gettempdir(), f"derby_{digest}"))
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "overwrite",
+    driver: str = DERBY_DRIVER,
+    batchsize: int = 1000,
+    num_partitions: int | None = None,
+) -> None:
+    """JDBC sink (S7). ``num_partitions`` caps concurrent connections —
+    embedded Derby serializes writers, so a small number is right there;
+    a networked RDBMS takes more."""
+    out = df.coalesce(num_partitions) if num_partitions else df
+    (
+        out.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("driver", driver)
+        .option("batchsize", str(batchsize))
+        .option("truncate", "false")
+        .mode(mode)
+        .save()
+    )
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    driver: str = DERBY_DRIVER,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """JDBC source (S8) with optional bound-partitioned parallel read.
+    Filters applied on the result push into the remote query."""
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("driver", driver)
+    )
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions or 4))
+        )
+    return reader.load()

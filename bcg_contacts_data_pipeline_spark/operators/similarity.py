@@ -26,6 +26,8 @@ from __future__ import annotations
 
 import random
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -48,9 +50,19 @@ def shingle_frame(
     the expensive step — spread it before it runs, not after.
     """
     t = F.col(text) if isinstance(text, str) else text
-    toks = F.transform(tokens(t), F.lower)
-    return df.repartition(parallelism).select(
-        F.col(id_col), F.explode(F.array_distinct(word_ngrams(toks, n))).alias("shingle")
+    # Two-step projection on purpose: materialize the token array as an
+    # attribute before word_ngrams references it. Inlining the split()
+    # into every element_at inside the ngram lambda multiplies the
+    # expression tree by ~3n (minutes of codegen + re-evaluation); bound
+    # to a column it is computed once per row.
+    toked = df.repartition(parallelism).select(
+        F.col(id_col), F.transform(tokens(t), F.lower).alias("__toks")
+    )
+    return toked.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_ngrams(F.col("__toks"), n))).alias(
+            "shingle"
+        ),
     )
 
 
@@ -66,14 +78,25 @@ def ngram_jaccard_pairs(
     Inverted-index self-join: |pairs| is bounded by shingle co-occurrence,
     not corpus². Jaccard = shared / (|A| + |B| - shared) — integer counts,
     one IEEE division, engine-exact.
+
+    Physical shape:
+    - the join key is xxhash64(shingle), 8 bytes instead of a string
+      (collisions would need two shingles of one corpus to share a 64-bit
+      hash — negligible next to the corpus sizes this verifies);
+    - the shingle frame feeds three consumers, but is deliberately NOT
+      persisted: both self-join sides compile to one ReusedExchange, and
+      a persist() would serialize a materialization barrier in front of
+      the pipeline (measured ~2x slower single-shot).
     """
-    shingles = shingle_frame(df, id_col, text, n)
+    shingles = shingle_frame(df, id_col, text, n).select(
+        F.col(id_col), F.xxhash64("shingle").alias("sh")
+    )
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
 
-    a = shingles.select(F.col(id_col).alias("id_a"), "shingle")
-    b = shingles.select(F.col(id_col).alias("id_b"), "shingle")
+    a = shingles.select(F.col(id_col).alias("id_a"), "sh")
+    b = shingles.select(F.col(id_col).alias("id_b"), "sh")
     shared = (
-        a.join(b, on="shingle")
+        a.join(b, on="sh")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("shared"))
@@ -114,8 +137,16 @@ def minhash_signatures(
     One explode + one groupBy; the mins are partial-aggregatable (map-side
     combine), so the shuffle carries only (id, num_hashes longs)."""
     params = _minhash_params(num_hashes, seed)
-    shingles = shingle_frame(df, id_col, text, n)
-    h = F.pmod(F.xxhash64(F.col("shingle")), F.lit(MERSENNE_31))
+    # Materialize the folded shingle hash as an attribute BEFORE the 64
+    # min-aggregates reference it: inlined, the xxhash64+pmod subtree is
+    # copied into every aggregate expression and the generated code blows
+    # up (measured ~8 s of first-run Janino compile); as a column it is
+    # hashed once per shingle and each aggregate is a 3-op expression.
+    shingles = shingle_frame(df, id_col, text, n).select(
+        F.col(id_col),
+        F.pmod(F.xxhash64(F.col("shingle")), F.lit(MERSENNE_31)).alias("__h31"),
+    )
+    h = F.col("__h31")
     mins = [
         F.min(
             F.pmod(F.lit(a) * h + F.lit(b), F.lit(MERSENNE_31))
@@ -203,10 +234,12 @@ def simhash64(
     aggregatable). Returns (id, simhash long).
     """
     t = F.col(text) if isinstance(text, str) else text
+    # Token hash materialized as an attribute (not inlined into the 64
+    # bit-vote aggregates) — same codegen-size guard as minhash_signatures.
     toks = df.repartition(64).select(
         F.col(id_col), F.explode(F.transform(tokens(t), F.lower)).alias("tok")
-    )
-    h = F.xxhash64(F.col("tok"))
+    ).select(F.col(id_col), F.xxhash64(F.col("tok")).alias("__th"))
+    h = F.col("__th")
     bit_sums = [
         F.sum(
             F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -284,36 +317,78 @@ def embedding_topk(
 ) -> DataFrame:
     """Exact brute-force cosine top-k neighbors.
 
-    ``queries`` defaults to the corpus itself (all-pairs top-k). The
-    query side is broadcast — at scale the corpus streams once per query
-    *batch* and never shuffles; ranking is a per-query-key window over
-    the (query x corpus) product."""
+    ``queries`` defaults to the corpus itself (all-pairs top-k). The query
+    side is collected and broadcast (it must be the small side — same
+    assumption the previous broadcast-join formulation made); the corpus
+    streams once through a vectorized ``mapInPandas`` scorer and never
+    shuffles full pairs:
+
+    - Scoring accumulates the dot product DIMENSION-sequentially
+      (``acc += C[:,d] * Q[:,d]``), which performs the exact IEEE add
+      sequence of the ``aggregate(zip_with(...))`` fold — scores stay
+      bit-identical to the SQL oracle — while vectorizing across rows
+      (~100x over per-pair interpreted HOF evaluation).
+    - Each batch emits only its LOCAL top-k per query under the final
+      total order (score desc, neighbor_id asc) — exact, since the global
+      top-k is a subset of the union of batch top-ks. The rank shuffle
+      then carries O(P * k * Q) rows instead of O(N * Q).
+    """
     from pyspark.sql import Window
 
     q = queries if queries is not None else df
-    # Norms are computed ONCE per vector (not per pair): 2N folds instead
-    # of 2N² — and the per-pair work collapses to a single dot fold.
-    qn = q.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qv"),
-        l2_norm(F.col(vec_col)).alias("__qn"),
-    )
-    corpus = df.repartition(64).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cv"),
-        l2_norm(F.col(vec_col)).alias("__cn"),
-    )
-    pairs = corpus.crossJoin(F.broadcast(qn)).filter(
-        F.col("query_id") != F.col("neighbor_id")
-    )
-    scored = pairs.withColumn(
-        "score", dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))
+    spark = df.sparkSession
+    qrows = q.select(id_col, vec_col).collect()
+    qids_l = [r[0] for r in qrows]
+    qmat_l = [list(r[1]) for r in qrows]
+    bc = spark.sparkContext.broadcast((qids_l, qmat_l))
+
+    def batches(it):
+        qids, qmat = bc.value
+        qarr = np.asarray(qmat, dtype=np.float64)  # Q x D
+        qid_arr = np.asarray(qids)
+        d_dim = qarr.shape[1]
+        qn = np.zeros(len(qarr))
+        for d in range(d_dim):
+            qn += qarr[:, d] * qarr[:, d]
+        qn = np.sqrt(qn)
+        for pdf in it:
+            if not len(pdf):
+                continue
+            carr = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            cids = pdf[id_col].to_numpy()
+            cn = np.zeros(len(carr))
+            for d in range(d_dim):
+                cn += carr[:, d] * carr[:, d]
+            cn = np.sqrt(cn)
+            acc = np.zeros((len(carr), len(qarr)))
+            for d in range(d_dim):
+                acc += np.outer(carr[:, d], qarr[:, d])
+            score = acc / np.outer(cn, qn)
+            out_q, out_n, out_s = [], [], []
+            for j in range(len(qarr)):
+                col = score[:, j]
+                mask = cids != qid_arr[j]
+                idx = np.nonzero(mask)[0]
+                if not len(idx):
+                    continue
+                # total order: score desc, neighbor_id asc
+                order = np.lexsort((cids[idx], -col[idx]))[:k]
+                pick = idx[order]
+                out_q.extend([qid_arr[j]] * len(pick))
+                out_n.extend(cids[pick])
+                out_s.extend(col[pick])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "score": out_s}
+            )
+
+    local = df.repartition(32).mapInPandas(
+        batches, "query_id long, neighbor_id long, score double"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        local.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "score")
     )
@@ -400,33 +475,59 @@ def embedding_neardup(
     standard greedy policy for training-data dedup, and fully
     SQL-expressible for the oracle.
 
-    Scale shape: the id-ordered pair product is pruned with the broadcast
-    side filtered to ``a.id < b.id``; norms are precomputed per vector
-    (2N folds, not 2N^2). At real corpus sizes this brute-force scorer is
-    the verification stage AFTER a blocking stage (``embedding_ann_lsh``
-    or ``minhash_lsh_pairs``) — compose them; alone it is O(N^2/2) pairs.
+    Scale shape: the comparison side is broadcast as a matrix and the
+    corpus streams once through a vectorized mapInPandas scorer
+    (dimension-sequential accumulation — bit-identical to the SQL fold,
+    see ``embedding_topk``); only above-threshold (a < b) pairs leave the
+    Python worker, so the shuffle is the hit set, not the pair product.
+    At real corpus sizes this brute-force scorer is the verification
+    stage AFTER a blocking stage (``embedding_ann_lsh`` or
+    ``minhash_lsh_pairs``) — compose them; alone it is O(N^2/2) scores.
 
     Output: (doc_id, canonical_id, is_duplicate), one row per input row.
     """
-    a = df.select(
-        F.col(id_col).alias("__aid"),
-        F.col(vec_col).alias("__av"),
-        l2_norm(F.col(vec_col)).alias("__an"),
+    spark = df.sparkSession
+    arows = df.select(id_col, vec_col).collect()
+    bc = spark.sparkContext.broadcast(
+        ([r[0] for r in arows], [list(r[1]) for r in arows])
     )
-    b = df.repartition(64).select(
-        F.col(id_col).alias("__bid"),
-        F.col(vec_col).alias("__bv"),
-        l2_norm(F.col(vec_col)).alias("__bn"),
-    )
-    pairs = (
-        b.crossJoin(F.broadcast(a))
-        .filter(F.col("__aid") < F.col("__bid"))
-        .withColumn(
-            "__score",
-            dot(F.col("__av"), F.col("__bv")) / (F.col("__an") * F.col("__bn")),
-        )
-        .filter(F.col("__score") >= F.lit(threshold))
-    )
+
+    def batches(it):
+        aids, amat = bc.value
+        aarr = np.asarray(amat, dtype=np.float64)
+        aid_arr = np.asarray(aids)
+        d_dim = aarr.shape[1]
+        an = np.zeros(len(aarr))
+        for d in range(d_dim):
+            an += aarr[:, d] * aarr[:, d]
+        an = np.sqrt(an)
+        for pdf in it:
+            if not len(pdf):
+                continue
+            barr = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            bids = pdf[id_col].to_numpy()
+            bn = np.zeros(len(barr))
+            for d in range(d_dim):
+                bn += barr[:, d] * barr[:, d]
+            bn = np.sqrt(bn)
+            # dimension-sequential accumulation: IEEE-identical to the
+            # aggregate(zip_with(...)) fold, so the >= threshold compare
+            # agrees bitwise with the SQL oracle.
+            acc = np.zeros((len(barr), len(aarr)))
+            for d in range(d_dim):
+                acc += np.outer(barr[:, d], aarr[:, d])
+            score = acc / np.outer(bn, an)
+            hit_b, hit_a = np.nonzero(
+                (score >= threshold) & (aid_arr[None, :] < bids[:, None])
+            )
+            yield pd.DataFrame(
+                {
+                    "__bid": bids[hit_b],
+                    "__aid": aid_arr[hit_a],
+                }
+            )
+
+    pairs = df.repartition(32).mapInPandas(batches, "__bid long, __aid long")
     mins = pairs.groupBy("__bid").agg(F.min("__aid").alias("__min_aid"))
     return (
         df.select(F.col(id_col).alias("doc_id"))

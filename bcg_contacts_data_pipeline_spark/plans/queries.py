@@ -1158,3 +1158,49 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return embedding_neardup(emb, "vec_id", "embedding", threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+# JDBC staging edge (SURVEY §2.1 S7/S8 — the reference's SQLite staging
+# re-expressed as Spark's JDBC source/sink against embedded Derby).
+# ---------------------------------------------------------------------------
+
+@register(
+    "jdbc_stage_roundtrip",
+    oracle="""
+    SELECT n.n_name, COUNT(*) AS n_suppliers,
+           CAST(SUM(CAST(s.s_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_acctbal
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE s.s_nationkey < 13
+    GROUP BY n.n_name
+    """,
+)
+def q_jdbc_stage_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage supplier into embedded Derby (S7), read it back as a
+    bound-partitioned JDBC scan with the filter pushed into the remote
+    query (S8), then a broadcast join to nation + rollup. The round trip
+    proves sink, source, partitioned read, and pushdown on one path."""
+    from bcg_contacts_data_pipeline_spark.io import jdbc as J
+
+    sup = _t(spark, sf_dir, "supplier")
+    url = J.scratch_derby_url(f"stage_{sf_dir}")
+    J.write_jdbc(sup, url, "supplier_stage", num_partitions=2)
+    hi = sup.agg(F.max("s_suppkey")).first()[0]
+    back = J.read_jdbc(
+        spark,
+        url,
+        "supplier_stage",
+        partition_column="s_suppkey",
+        lower_bound=0,
+        upper_bound=int(hi) + 1,
+        num_partitions=4,
+    ).filter(F.col("s_nationkey") < 13)
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        back.join(F.broadcast(nation), back.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum(_dec("s_acctbal")).cast("double").alias("total_acctbal"),
+        )
+    )

@@ -25,6 +25,21 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Warm-up (untimed): first-query JVM/codegen + Python-worker startup is
+    # ~4-5 s of one-time cost that would otherwise be attributed to whichever
+    # query happens to run first. Exercise a scan+shuffle and a pandas-UDF
+    # boundary once so per-query timings measure the queries.
+    import pandas as _pd  # noqa: F401
+    from pyspark.sql import functions as _F
+
+    warm = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    warm.groupBy("l_returnflag").count().write.format("noop").mode(
+        "overwrite"
+    ).save()
+    spark.range(1000).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():
         if only and name not in only:
@@ -33,6 +48,10 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - start, 3)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+        # Isolate queries from each other: drop caches a query may have
+        # pinned (e.g. minhash signatures) so later timings don't pay
+        # another query's storage/GC pressure.
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
