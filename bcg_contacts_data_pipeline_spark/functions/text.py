@@ -105,3 +105,43 @@ def word_ngrams(toks: Column, n: int) -> Column:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+#: Dialect-portable "BPE-ish" token pattern: letter runs, digit runs,
+#: single non-alnum marks. Deliberately identical semantics under Java
+#: regex (Spark) and RE2-ish (DuckDB) so oracles can replicate counts.
+BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]"
+
+
+def bpe_ish_tokens(c: Column | str) -> Column:
+    """Sub-word-style tokenization (the 'BPE-ish regex' counting mode):
+    splits letter runs from digit runs from punctuation marks, e.g.
+    'GPT-4 rocks!' -> [GPT, -, 4, rocks, !]. A real BPE vocab merge is a
+    model artifact; the regex pre-tokenizer is the part that belongs in
+    the engine (and is what token-count heuristics actually use)."""
+    return F.regexp_extract_all(_col(c), F.lit(BPE_ISH_PATTERN), 0)
+
+
+def bpe_ish_token_count(c: Column | str) -> Column:
+    return F.size(bpe_ish_tokens(c)).cast("long")
+
+
+#: 31-bit modulus keeps every step of the polynomial hash inside int64
+#: under ANSI mode: acc < 2^31, acc*31 + codepoint < 2^36.
+ROLLING_MOD = (1 << 31) - 1
+
+
+def rolling_hash(c: Column | str) -> Column:
+    """Polynomial (Rabin-Karp style) rolling hash over the document's
+    characters: h = fold(chars, 0, (acc, ch) -> (acc*31 + code(ch)) % M).
+    Order-sensitive — unlike the sorted-token-set md5 ``fingerprint``,
+    two documents with the same words in different order hash differently.
+    Pure expression (split -> aggregate fold), no Python."""
+    chars = F.split(_col(c), "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: F.pmod(
+            acc * F.lit(31) + F.ascii(ch), F.lit(ROLLING_MOD)
+        ),
+    )

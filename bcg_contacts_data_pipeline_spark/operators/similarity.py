@@ -14,12 +14,20 @@ Every operator here is built for the 100 TB shape of the problem:
   bit-count aggregates; banding on 16-bit quarters for candidate pairs,
   exact hamming verify after.
 - ``embedding_topk``: brute-force cosine top-k (the exact baseline) —
-  block-nested-loop via crossJoin of a broadcast query set.
-- ``embedding_ann_lsh``: random-hyperplane LSH bucketing as the scale
+  the corpus streams once through a vectorized mapInPandas scorer
+  against a broadcast query matrix, emitting only batch-local top-k.
+- ``embedding_ann_lsh``: random-hyperplane LSH bucketing as one scale
   path: cosine is only evaluated within matching sign-buckets.
+- ``embedding_ann_ivf``: IVF coarse quantizer as the other scale path:
+  distributed Lloyd refinement, cell-join candidate generation.
+- ``embedding_neardup``: thresholded cosine dedup (greedy lowest-id).
 
-No Python UDFs anywhere — signatures, hamming, cosine are all Catalyst
-expressions (see functions/vectors.py for the determinism contract).
+Text/signature operators are pure Catalyst expressions (tokenize,
+xxhash64, bit-votes, hamming — whole-stage-codegen'd, no Python). The
+embedding family uses Arrow-batched mapInPandas with DIMENSION-SEQUENTIAL
+accumulation, which reproduces the exact IEEE add order of the
+``aggregate(zip_with(...))`` fold (functions/vectors.py) — scores stay
+bit-identical to the SQL oracle while vectorizing across rows.
 """
 
 from __future__ import annotations
@@ -537,4 +545,164 @@ def embedding_neardup(
             F.coalesce(F.col("__min_aid"), F.col("doc_id")).alias("canonical_id"),
             F.col("__min_aid").isNotNull().alias("is_duplicate"),
         )
+    )
+
+
+def embedding_ann_ivf(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    k: int = 5,
+    lloyd_iters: int = 1,
+) -> DataFrame:
+    """IVF (inverted-file) approximate nearest neighbors — the classic
+    coarse-quantizer index, distributed:
+
+    1. Train a small centroid codebook: deterministic seed (the
+       ``n_centroids`` lowest-id vectors) + ``lloyd_iters`` k-means
+       refinements. The refinement is fully distributed — assignment is a
+       vectorized mapInPandas over the corpus, the new codebook is an
+       elementwise mean via posexplode + groupBy(cell, dim) — only the
+       (n_centroids x dim) codebook ever reaches the driver.
+    2. Assign every vector to its nearest centroid cell (one corpus pass).
+    3. Each query probes its ``n_probe`` nearest cells; candidates are the
+       cell members (an equi-join on cell id — the inverted file), scored
+       exactly and ranked top-k.
+
+    Recall/cost dial: n_probe/n_centroids is the fraction of the corpus
+    scored per query (default 4/16 = 25%). The cell join partitions by
+    cell id, so hot cells are AQE-splittable; at 100 TB the codebook stays
+    a broadcast (KB-scale) and no stage ever holds the full pair product.
+    Rows-only check (seeded iterative training is not SQL-expressible).
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+
+    def _assign_factory(cent_arr):
+        # vec passes through the UDF output so no downstream join is needed
+        # to recover it (each join here would be a full shuffle).
+        def assign(it):
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                varr = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                # squared L2 to each centroid: |v|^2 - 2 v.c + |c|^2
+                d2 = (
+                    (varr * varr).sum(axis=1)[:, None]
+                    - 2.0 * varr @ cent_arr.T
+                    + (cent_arr * cent_arr).sum(axis=1)[None, :]
+                )
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col].to_numpy(),
+                        "cell": d2.argmin(axis=1).astype("int32"),
+                        vec_col: pdf[vec_col],
+                    }
+                )
+
+        return assign
+
+    init = df.orderBy(id_col).limit(n_centroids).select(vec_col).collect()
+    cent = np.asarray([list(r[0]) for r in init], dtype=np.float64)
+
+    assign_schema = f"{id_col} long, cell int, {vec_col} array<float>"
+    for _ in range(lloyd_iters):
+        assigned = df.select(id_col, vec_col).mapInPandas(
+            _assign_factory(cent), assign_schema
+        )
+        means = (
+            assigned.select("cell", F.posexplode(vec_col).alias("dim", "val"))
+            .groupBy("cell", "dim")
+            .agg(F.avg("val").alias("mu"))
+            .collect()
+        )
+        new_cent = cent.copy()
+        for r in means:
+            new_cent[r["cell"], r["dim"]] = r["mu"]
+        cent = new_cent
+
+    members = df.select(id_col, vec_col).mapInPandas(
+        _assign_factory(cent), assign_schema
+    ).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__nv"),
+        "cell",
+    )
+
+    bc_cent = spark.sparkContext.broadcast(cent)
+
+    def probe(it):
+        c_arr = bc_cent.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            varr = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            d2 = (
+                (varr * varr).sum(axis=1)[:, None]
+                - 2.0 * varr @ c_arr.T
+                + (c_arr * c_arr).sum(axis=1)[None, :]
+            )
+            cells = np.argsort(d2, axis=1)[:, :n_probe].astype("int32")
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(pdf[id_col].to_numpy(), n_probe),
+                    "__qv": [
+                        v for v in pdf[vec_col] for _ in range(n_probe)
+                    ],
+                    "cell": cells.ravel(),
+                }
+            )
+
+    probes = df.select(id_col, vec_col).mapInPandas(
+        probe, "query_id long, __qv array<float>, cell int"
+    )
+
+    # Score per cell via COGROUP, not a probe-x-member join: a join would
+    # materialize every candidate pair WITH both vectors attached (at 16
+    # cells / probe 4 that is ~N^2/4 rows x ~0.5 KB — measured ~6 s just
+    # shipping pairs through Arrow at sf0.1). Cogrouping delivers each
+    # cell's query block and member block to Python once; one matrix
+    # product per cell, and only the per-cell top-k rows come back.
+    def cell_score(key, qpdf, mpdf):
+        if not len(qpdf) or not len(mpdf):
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "score": []}
+            ).astype({"query_id": "int64", "neighbor_id": "int64", "score": "float64"})
+        qa = np.stack(qpdf["__qv"].to_numpy()).astype(np.float64)
+        ma = np.stack(mpdf["__nv"].to_numpy()).astype(np.float64)
+        qids = qpdf["query_id"].to_numpy()
+        mids = mpdf["neighbor_id"].to_numpy()
+        scores = (qa @ ma.T) / np.outer(
+            np.sqrt((qa * qa).sum(axis=1)), np.sqrt((ma * ma).sum(axis=1))
+        )
+        out_q, out_n, out_s = [], [], []
+        for i in range(len(qa)):
+            row = scores[i]
+            mask = mids != qids[i]
+            idx = np.nonzero(mask)[0]
+            order = np.lexsort((mids[idx], -row[idx]))[:k]
+            pick = idx[order]
+            out_q.extend([qids[i]] * len(pick))
+            out_n.extend(mids[pick])
+            out_s.extend(row[pick])
+        return pd.DataFrame(
+            {"query_id": out_q, "neighbor_id": out_n, "score": out_s}
+        )
+
+    scored = (
+        probes.groupBy("cell")
+        .cogroup(members.groupBy("cell"))
+        .applyInPandas(cell_score, "query_id long, neighbor_id long, score double")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
     )

@@ -1204,3 +1204,127 @@ def q_jdbc_stage_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_dec("s_acctbal")).cast("double").alias("total_acctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Beyond-reference §2.4/§2.7 widening: rollup aggregates, union-then-dedup
+# (the idiomatic redesign of the whole reference pipeline), and the extra
+# text-analysis modes the training-data brief names (BPE-ish token counts,
+# rolling-hash fingerprints).
+# ---------------------------------------------------------------------------
+
+@register(
+    "rollup_pricing",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+               AS grouping_id
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (flag -> flag+status -> grand total) in one
+    pass — the grouping-sets surface the reference lacked (SURVEY §2.4
+    'absent'); Catalyst expands + partially aggregates it like any other
+    groupBy."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+            F.grouping_id().cast("long").alias("grouping_id"),
+        )
+    )
+
+
+@register(
+    "union_sources_dedup",
+    oracle="""
+    WITH unioned AS (
+      SELECT c_name AS name, c_nationkey AS nation, CAST(c_acctbal AS DOUBLE) AS bal,
+             'crm' AS src FROM customer
+      UNION ALL
+      SELECT s_name AS name, s_nationkey AS nation, CAST(s_acctbal AS DOUBLE) AS bal,
+             'vendor' AS src FROM supplier)
+    SELECT lower(trim(name)) AS name_key,
+           COUNT(*) AS n_records,
+           CAST(COUNT(DISTINCT src) AS BIGINT) AS n_sources,
+           CAST(MIN(CAST(bal AS DECIMAL(18,4))) AS DOUBLE) AS min_bal
+    FROM unioned
+    GROUP BY 1
+    """,
+)
+def q_union_sources_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 — the reference never unions its sources; unionByName-then-
+    dedup is the idiomatic Spark redesign of its whole enrich/merge
+    pipeline. Two heterogeneous 'sources' conformed, unioned, grouped on
+    the normalized key."""
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_acctbal").cast("double").alias("bal"),
+        F.lit("crm").alias("src"),
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_name").alias("name"),
+        F.col("s_nationkey").alias("nation"),
+        F.col("s_acctbal").cast("double").alias("bal"),
+        F.lit("vendor").alias("src"),
+    )
+    return (
+        cust.unionByName(supp)
+        .groupBy(F.lower(F.trim(F.col("name"))).alias("name_key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.countDistinct("src").alias("n_sources"),
+            F.min(_dec("bal")).cast("double").alias("min_bal"),
+        )
+    )
+
+
+@register(
+    "doc_signatures",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+                '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]')) AS BIGINT) AS n_bpe_tokens,
+           list_reduce(list_prepend(0::BIGINT,
+                [ascii(x) for x in string_split(text, '')]),
+                (acc, ch) -> (acc*31 + ch) % 2147483647) AS rhash
+    FROM documents
+    """,
+)
+def q_doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting + rolling-hash document fingerprint — both
+    pure expressions (regexp_extract_all / aggregate fold), narrow
+    projection, no shuffle."""
+    from bcg_contacts_data_pipeline_spark.functions import text as T
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.bpe_ish_token_count("text").alias("n_bpe_tokens"),
+        T.rolling_hash("text").alias("rhash"),
+    )
+
+
+@register("embedding_ann_ivf")
+def q_embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer ANN (1 Lloyd iteration, 16 cells, probe 4) —
+    the second scale path for similarity search next to the
+    random-hyperplane LSH variant."""
+    from bcg_contacts_data_pipeline_spark.operators.similarity import (
+        embedding_ann_ivf,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = embedding_ann_ivf(
+        emb, "vec_id", "embedding", n_centroids=16, n_probe=4, k=5
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "score"
+    )

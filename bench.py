@@ -40,18 +40,28 @@ def main() -> None:
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
 
+    # Each query runs twice and reports the MIN: single-shot numbers on this
+    # class of host mix one-time Janino codegen compile (seconds for the
+    # wide signature plans) and co-tenant noise into the measurement; the
+    # min approximates steady-state per-query latency, which is the number
+    # that scales with data volume.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():
         if only and name not in only:
             continue
-        start = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 3)
+        best = None
+        for _ in range(runs):
+            start = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            elapsed = time.perf_counter() - start
+            best = elapsed if best is None or elapsed < best else best
+            # Isolate queries from each other: drop caches a query may
+            # have pinned (e.g. minhash signatures) so later timings don't
+            # pay another query's storage/GC pressure.
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
-        # Isolate queries from each other: drop caches a query may have
-        # pinned (e.g. minhash signatures) so later timings don't pay
-        # another query's storage/GC pressure.
-        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

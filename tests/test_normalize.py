@@ -100,3 +100,37 @@ def test_longest_valid_aggregate(spark):
     )
     assert out[0]["best"] == "abcd"
     assert out[1]["best"] is None
+
+
+def test_bpe_ish_tokens(spark):
+    import pyspark.sql.functions as F
+
+    from bcg_contacts_data_pipeline_spark.functions.text import (
+        bpe_ish_token_count,
+        bpe_ish_tokens,
+    )
+
+    df = spark.createDataFrame([("GPT-4 rocks!",), ("",)], ["t"])
+    rows = df.select(
+        bpe_ish_tokens("t").alias("toks"),
+        bpe_ish_token_count("t").alias("n"),
+    ).collect()
+    assert rows[0].toks == ["GPT", "-", "4", "rocks", "!"]
+    assert rows[0].n == 5
+    assert rows[1].n == 0
+
+
+def test_rolling_hash_order_sensitive(spark):
+    from bcg_contacts_data_pipeline_spark.functions.text import rolling_hash
+
+    df = spark.createDataFrame(
+        [("a b c",), ("c b a",), ("a b c",)], ["t"]
+    )
+    h = [r[0] for r in df.select(rolling_hash("t")).collect()]
+    assert h[0] == h[2]
+    assert h[0] != h[1]
+    # manual fold check
+    want = 0
+    for ch in "a b c":
+        want = (want * 31 + ord(ch)) % ((1 << 31) - 1)
+    assert h[0] == want

@@ -86,3 +86,27 @@ def test_embedding_ann_lsh_same_bucket_for_identical(spark):
     got = {(r["query_id"], r["neighbor_id"]) for r in out.collect()}
     # identical vectors always share a bucket -> found as top neighbors
     assert (0, 3) in got or (0, 6) in got
+
+
+def test_embedding_ann_ivf_recall(spark):
+    from bcg_contacts_data_pipeline_spark.operators.similarity import (
+        embedding_ann_ivf,
+        embedding_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in embedding_topk(emb, "vec_id", "embedding", k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in embedding_ann_ivf(
+            emb, "vec_id", "embedding", n_centroids=8, n_probe=4, k=5
+        ).collect()
+    }
+    # probing half the cells must recover a solid fraction of true top-5
+    recall = len(exact & approx) / len(exact)
+    assert recall > 0.5, recall
+    # every query got answers
+    assert len({q for q, _ in approx}) == emb.count()
