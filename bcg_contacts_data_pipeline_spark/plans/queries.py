@@ -1328,3 +1328,46 @@ def q_embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "score"
     )
+
+
+@register(
+    "error_histogram",
+    oracle="""
+    WITH synth AS (
+      SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+             CASE WHEN c_custkey % 13 = 0 THEN 'not-an-email'
+                  ELSE lower(c_name) || '@corp.example' END AS email,
+             CASE WHEN c_custkey % 17 = 0 THEN '12'
+                  ELSE '+61-' || CAST(c_custkey * 7919 + 10000000 AS VARCHAR) END AS phone
+      FROM customer),
+    errors AS (
+      SELECT 'Invalid email format in email' AS error FROM synth
+      WHERE email IS NOT NULL AND length(trim(email)) > 0
+        AND NOT regexp_matches(lower(trim(email)), '^[^@]+@[^@]+\\.[^@]+')
+      UNION ALL
+      SELECT 'Invalid phone format in phone' FROM synth
+      WHERE phone IS NOT NULL AND length(trim(phone)) > 0
+        AND (length(regexp_replace(phone, '[^0-9]', '', 'g')) < 7
+             OR length(regexp_replace(phone, '[^0-9]', '', 'g')) > 15)
+      UNION ALL
+      SELECT 'c_acctbal out of range' FROM synth
+      WHERE c_acctbal IS NOT NULL AND (c_acctbal < -500 OR c_acctbal > 8000)
+      UNION ALL
+      SELECT 'Unexpected value in c_mktsegment' FROM synth
+      WHERE c_mktsegment IS NOT NULL
+        AND c_mktsegment NOT IN ('BUILDING','MACHINERY','AUTOMOBILE','FURNITURE'))
+    SELECT error, COUNT(*) AS n FROM errors GROUP BY error
+    ORDER BY n DESC, error LIMIT 5
+    """,
+)
+def q_error_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7/O4 — the error-type histogram run.py:136-146 prints after each
+    pipeline: top-5 error kinds by count. Total order (count desc, error
+    asc) so the limit is deterministic."""
+    errors = QUERIES["validate_rules"](spark, sf_dir)
+    return (
+        errors.groupBy("error")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("error").asc())
+        .limit(5)
+    )

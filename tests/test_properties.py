@@ -1,0 +1,135 @@
+"""Property-based tests (hypothesis) for the semantics SURVEY §7.4 flags
+as the hard parts: sentinel-null handling, merge tie-breaking, phone
+last-10 truncation, empty-dedup-key passthrough.
+
+Strategy: generate small row sets, run the Spark operator, and compare
+against a direct Python model of the reference semantics
+(clean_contacts.py / fill_missing_contacts.py).
+"""
+
+import re
+
+import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from bcg_contacts_data_pipeline_spark.functions import normalize as N
+from bcg_contacts_data_pipeline_spark.operators.dedup import (
+    dedup_key,
+    most_complete_merge,
+)
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+texts = st.one_of(
+    st.none(),
+    st.sampled_from(["", " ", "nan", "None", "NaN", "x", "  y  "]),
+    st.text(
+        alphabet="abAB @.-+0123456789",
+        min_size=0,
+        max_size=12,
+    ),
+)
+
+
+def _model_sentinel(v):
+    """clean_contacts.py:206 — '', 'nan', 'None', 'NaN' (after strip) and
+    real nulls are all null."""
+    if v is None:
+        return None
+    if v.strip() in ("", "nan", "None", "NaN"):
+        return None
+    return v
+
+
+@given(st.lists(texts, min_size=1, max_size=8))
+@settings(**SETTINGS)
+def test_nullify_sentinels_matches_model(spark, vals):
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    got = [r[0] for r in df.select(N.nullify_sentinels(F.col("v"))).collect()]
+    assert got == [_model_sentinel(v) for v in vals]
+
+
+def _model_phone_key(v):
+    """fill_missing_contacts.py:14-21 — digits only; last 10 iff >= 10."""
+    if v is None:
+        return None
+    d = re.sub(r"\D", "", v)
+    if not d:
+        return None
+    return d[-10:] if len(d) >= 10 else d
+
+
+@given(st.lists(texts, min_size=1, max_size=8))
+@settings(**SETTINGS)
+def test_norm_phone_matches_model(spark, vals):
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    got = [r[0] for r in df.select(N.norm_phone(F.col("v"))).collect()]
+    assert got == [_model_phone_key(v) for v in vals]
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["k1", "k2"]),  # group key
+            st.one_of(st.none(), st.sampled_from(["", "nan", "a", "bb", "ccc", "dd"])),
+            st.integers(min_value=0, max_value=50),  # recency
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(**SETTINGS)
+def test_most_complete_merge_matches_model(spark, rows):
+    """Per group: longest valid value wins; ties -> most recent (higher
+    order_by); row identity breaks exact ties deterministically."""
+    data = [(k, v, r, i) for i, (k, v, r) in enumerate(rows)]
+    df = spark.createDataFrame(data, "k string, v string, rec long, rid long")
+    out = most_complete_merge(
+        df,
+        F.col("k"),
+        value_cols=["v"],
+        order_by=F.col("rec") * 1000 + F.col("rid"),
+    )
+    got = {r["dedup_key"]: (r["v"], r["group_size"]) for r in out.collect()}
+
+    groups = {}
+    for k, v, rec, rid in data:
+        groups.setdefault(k, []).append((v, rec, rid))
+    for k, members in groups.items():
+        valid = [
+            (v, rec, rid)
+            for v, rec, rid in members
+            if v is not None and v.strip() not in ("", "nan", "None", "NaN")
+        ]
+        if valid:
+            best = max(valid, key=lambda t: (len(t[0]), t[1] * 1000 + t[2]))[0]
+        else:
+            best = None
+        assert got[k][0] == best, (k, members, got[k])
+        assert got[k][1] == len(members)
+
+
+def test_empty_key_passthrough(spark):
+    """Keyless rows (null email AND null fullname/mobile fallback) pass
+    through unmerged — the reference's Frankenstein-merge of all keyless
+    rows into one record is deliberately NOT replicated by default."""
+    rows = [
+        ("a@x.co", "A A", "111", "r1"),
+        (None, None, None, "r2"),
+        (None, None, None, "r3"),
+    ]
+    df = spark.createDataFrame(rows, ["email", "fullname", "mobile", "tag"])
+    out = most_complete_merge(
+        df,
+        dedup_key("email", "fullname", "mobile"),
+        value_cols=["tag"],
+        order_by=F.lit(0),
+    )
+    assert out.count() == 3  # two keyless rows NOT merged together
+    tags = sorted(r["tag"] for r in out.collect())
+    assert tags == ["r1", "r2", "r3"]
