@@ -1371,3 +1371,79 @@ def q_error_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("error").asc())
         .limit(5)
     )
+
+
+@register(
+    "skew_salted_agg",
+    oracle="""
+    WITH skewed AS (
+      SELECT CASE WHEN l_orderkey % 3 = 0 THEN 'HOT' 
+                  ELSE CAST(l_suppkey AS VARCHAR) END AS k,
+             l_quantity AS v
+      FROM lineitem)
+    SELECT k, COUNT(*) AS n,
+           CAST(SUM(CAST(v AS DECIMAL(18,4))) AS DOUBLE) AS total,
+           CAST(MAX(CAST(v AS DOUBLE)) AS DOUBLE) AS mx
+    FROM skewed GROUP BY k
+    """,
+)
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation over a deliberately skewed key (a
+    third of lineitem collapses onto one 'HOT' key — the engineered twin
+    of the reference's empty-dedup-key pile-up). Identical semantics to
+    the plain GROUP BY oracle; the salt only reshapes the shuffle."""
+    from bcg_contacts_data_pipeline_spark.operators.skew import salted_agg
+
+    l = _t(spark, sf_dir, "lineitem")
+    skewed = l.select(
+        F.when(F.col("l_orderkey") % 3 == 0, F.lit("HOT"))
+        .otherwise(F.col("l_suppkey").cast("string"))
+        .alias("k"),
+        F.col("l_quantity").alias("v"),
+    )
+    return salted_agg(
+        skewed,
+        ["k"],
+        {
+            "n": (F.count, F.sum, F.lit(1)),
+            "total": (
+                lambda c: F.sum(c.cast("decimal(18,4)")),
+                F.sum,
+                F.col("v"),
+            ),
+            "mx": (
+                lambda c: F.max(c.cast("double")),
+                F.max,
+                F.col("v"),
+            ),
+        },
+        salt_buckets=16,
+    ).select("k", "n", F.col("total").cast("double").alias("total"), "mx")
+
+
+@register(
+    "profile_columns",
+    oracle="""
+    SELECT 'c_acctbal' AS col, COUNT(*) AS n_rows,
+           COUNT(c_acctbal) AS n_nonnull,
+           CAST(COUNT(DISTINCT c_acctbal) AS BIGINT) AS n_distinct,
+           CAST(MIN(CAST(c_acctbal AS DOUBLE)) AS DOUBLE) AS min_v,
+           CAST(MAX(CAST(c_acctbal AS DOUBLE)) AS DOUBLE) AS max_v
+    FROM customer
+    UNION ALL
+    SELECT 'c_nationkey', COUNT(*), COUNT(c_nationkey),
+           CAST(COUNT(DISTINCT c_nationkey) AS BIGINT),
+           CAST(MIN(CAST(c_nationkey AS DOUBLE)) AS DOUBLE),
+           CAST(MAX(CAST(c_nationkey AS DOUBLE)) AS DOUBLE)
+    FROM customer
+    """,
+)
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling rollup (the stat-logging the reference sprinkles
+    through clean_contacts.py:105-147, as one single-pass multi-aggregate
+    per column). Exact count-distinct here for the oracle; the operator
+    takes approx=True at real scale (HLL sketch, no extra shuffle)."""
+    from bcg_contacts_data_pipeline_spark.operators.profile import profile_columns
+
+    cust = _t(spark, sf_dir, "customer")
+    return profile_columns(cust, ["c_acctbal", "c_nationkey"], approx=False)
