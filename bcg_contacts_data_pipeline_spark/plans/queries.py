@@ -1447,3 +1447,61 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cust = _t(spark, sf_dir, "customer")
     return profile_columns(cust, ["c_acctbal", "c_nationkey"], approx=False)
+
+
+@register(
+    "dedup_components",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([lower(t[i]) || ' ' || lower(t[i+1]) || ' ' || lower(t[i+2])
+                    for i in range(1, greatest(len(t)-1, 1))])) AS s
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents WHERE length(trim(text)) > 0)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    edges AS (
+      SELECT id_a, id_b FROM shared
+      JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.2),
+    sym AS (SELECT id_a AS u, id_b AS v FROM edges
+            UNION SELECT id_b, id_a FROM edges),
+    reach AS (
+      WITH RECURSIVE r(node, lab) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT s.v, r.lab FROM r JOIN sym s ON s.u = r.node)
+      SELECT node, MIN(lab) AS comp FROM r GROUP BY node)
+    SELECT CAST(node AS BIGINT) AS doc_id, CAST(comp AS BIGINT) AS component,
+           CAST(COUNT(*) OVER (PARTITION BY comp) AS BIGINT) AS component_size
+    FROM reach
+    """,
+)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: ngram-Jaccard pairs (>= 0.2) closed
+    under connectivity via iterated min-label propagation. The oracle
+    recomputes the same closure with a recursive CTE — every doc gets its
+    component (min doc_id) and the component size."""
+    from pyspark.sql import Window
+
+    from bcg_contacts_data_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+    from bcg_contacts_data_pipeline_spark.operators.similarity import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
+    comp = connected_components(
+        pairs, "id_a", "id_b", nodes=docs, node_col="doc_id"
+    )
+    w = Window.partitionBy("comp")
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        F.col("comp").alias("component"),
+        F.count(F.lit(1)).over(w).alias("component_size"),
+    )

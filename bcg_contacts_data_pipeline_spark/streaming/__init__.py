@@ -4,7 +4,10 @@ from bcg_contacts_data_pipeline_spark.streaming.ops import (
     session_agg,
     windowed_agg,
 )
-from bcg_contacts_data_pipeline_spark.streaming.runner import run_available_now
+from bcg_contacts_data_pipeline_spark.streaming.runner import (
+    run_available_now,
+    run_to_files,
+)
 from bcg_contacts_data_pipeline_spark.streaming.sources import (
     events_stream,
     file_stream,
@@ -16,6 +19,7 @@ __all__ = [
     "events_stream",
     "file_stream",
     "run_available_now",
+    "run_to_files",
     "running_user_stats",
     "session_agg",
     "stage_as_dir",

@@ -41,3 +41,29 @@ def run_available_now(
     finally:
         q.stop()
     return stream_df.sparkSession.table(name)
+
+
+def run_to_files(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    fmt: str = "parquet",
+    output_mode: str = "append",
+    timeout_s: int = 300,
+) -> None:
+    """Durable file sink under AvailableNow: the production shape —
+    exactly-once via the checkpoint's offset/commit log; re-running after
+    a crash resumes from the last committed batch instead of
+    reprocessing. (Memory sink above is for tests/oracles only.)"""
+    q = (
+        stream_df.writeStream.format(fmt)
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_s)
+    finally:
+        q.stop()

@@ -1,0 +1,26 @@
+"""Connected components (min-label propagation)."""
+
+from bcg_contacts_data_pipeline_spark.operators.graph import connected_components
+
+
+def test_components_basic(spark):
+    # {1-2-3} chain (1~2, 2~3 but never 1~3), {10-11}, isolated 99
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame([(1,), (2,), (3,), (10,), (11,), (99,)], "n long")
+    got = {
+        r.node: r.comp
+        for r in connected_components(edges, nodes=nodes, node_col="n").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_components_long_chain_converges(spark):
+    # a 12-node path needs several rounds; must still converge to min=0
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "id_a long, id_b long"
+    )
+    got = {r.node: r.comp for r in connected_components(edges).collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == 12

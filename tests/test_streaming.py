@@ -100,3 +100,20 @@ def test_stage_as_dir_idempotent(tmp_path):
     import os
 
     assert os.path.islink(os.path.join(d1, "x.parquet"))
+
+
+def test_file_sink_exactly_once(spark, tmp_path, events):
+    """Durable parquet sink + checkpoint: a second AvailableNow run over
+    the same source must be a no-op (offsets committed), not a double
+    write."""
+    st = S.events_stream(spark, SF)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    dd = S.dedup_within_watermark(
+        st, ["user_id", "event_type"], "ts", "2 hours"
+    ).select("user_id", "event_type")
+    S.run_to_files(dd, out, ckpt)
+    n1 = spark.read.parquet(out).count()
+    S.run_to_files(dd, out, ckpt)  # same checkpoint -> nothing new
+    n2 = spark.read.parquet(out).count()
+    assert n1 == n2 == events.select("user_id", "event_type").distinct().count()
