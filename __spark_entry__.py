@@ -19,8 +19,10 @@ from bcg_contacts_data_pipeline_spark.plans.queries import ORACLE, QUERIES  # no
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: the dedup-merge (most-complete-record) query at sf0.001."""
-    return QUERIES["dedup_merge"](spark, "/root/testdata/sf0.001")
+    """Flagship: the complete contact-unification pipeline (k-of-n
+    enrichment fill -> field cleaning -> most-complete-record dedup ->
+    validation) end-to-end as one Spark plan at sf0.001."""
+    return QUERIES["contacts_pipeline_e2e"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -158,6 +158,12 @@ def renumber(
     to a partition-local row_number. No stage ever sees more than one
     partition's rows — this is the distributed replacement for the
     reference's in-memory ``SEQNO = 1..N`` (clean_contacts.py:57-86).
+
+    Cost note: the offset collect makes this operator EAGER, and the
+    persist materializes ``df`` at full width (a pruning barrier). Use it
+    where the output contract genuinely demands contiguous numbering; for
+    mere row identity use a lazy hash/rank id instead (see
+    plans.contacts._with_row_id).
     """
     cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
     if not scalable:

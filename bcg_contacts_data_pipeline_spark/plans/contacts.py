@@ -83,12 +83,27 @@ INT_FIELDS = ["seqno", "salesno", "company_accno"]
 def _with_row_id(df: DataFrame) -> DataFrame:
     """Stable row identity (O3). NOT monotonically_increasing_id: that is
     partition-layout-dependent and a plan that branches (join back after
-    enrichment) could recompute different ids. A renumber over the full
-    column order is deterministic under any partitioning."""
+    enrichment) could recompute different ids.
+
+    Identity here is the struct (xxhash64 of the whole row, rank within
+    equal-hash rows ordered by the full row): deterministic under any
+    partitioning, collision-proof (the rank disambiguates, and identical
+    rows are interchangeable), and FULLY LAZY — unlike a global
+    contiguous renumber it needs no eager partition-count collect and no
+    persist, just one hash-partitioned window. Contiguous numbering is
+    only needed where the OUTPUT contract demands it (SEQNO — see
+    dedup_contacts), not for join-back identity."""
     if "__row_id" in df.columns:
         return df
-    order = [F.col(c).asc_nulls_last() for c in df.columns]
-    return renumber(df, order, seq_name="__row_id")
+    from pyspark.sql import Window
+
+    h = F.xxhash64(F.struct(*[F.col(c) for c in df.columns]))
+    w = Window.partitionBy(h).orderBy(
+        *[F.col(c).asc_nulls_last() for c in df.columns]
+    )
+    return df.withColumn(
+        "__row_id", F.struct(h.alias("h"), F.row_number().over(w).alias("tb"))
+    )
 
 
 def conform_to_master(df: DataFrame) -> DataFrame:

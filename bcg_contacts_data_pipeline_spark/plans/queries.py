@@ -1505,3 +1505,63 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("comp").alias("component"),
         F.count(F.lit(1)).over(w).alias("component_size"),
     )
+
+
+# ---------------------------------------------------------------------------
+# The complete contacts pipeline, end-to-end (plans/contacts.py) — the
+# reference's entire run.py workflow as ONE lazy Spark plan over
+# synthesized contact data. Rows-only check: the 4-stage composition
+# (enrich -> fill -> clean -> dedup -> validate) is the flagship of
+# reference parity; each constituent operator is separately oracle-exact
+# above (enrich_2of3, dedup_merge, norm_scalars, validate_rules).
+# ---------------------------------------------------------------------------
+
+@register("contacts_pipeline_e2e")
+def q_contacts_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesizes a dirty master table from `customer` (sentinel nulls,
+    invalid emails, missing names), an enrichment source from the same
+    rows (so k-of-n matches exist), runs the full pipeline, and returns
+    the cleaned output joined with its per-row error count."""
+    from bcg_contacts_data_pipeline_spark.plans import contacts as C
+
+    cust = _t(spark, sf_dir, "customer")
+    master = cust.select(
+        F.col("c_custkey").cast("string").alias("seqno"),
+        F.when(F.col("c_custkey") % 7 == 0, F.lit("nan"))
+        .otherwise(F.split(F.col("c_name"), "#").getItem(0))
+        .alias("firstname"),
+        F.when(F.col("c_custkey") % 5 == 0, F.lit(None))
+        .otherwise(F.split(F.col("c_name"), "#").getItem(1))
+        .alias("lastname"),
+        F.when(F.col("c_custkey") % 13 == 0, F.lit("not-an-email"))
+        .otherwise(F.concat(F.lower("c_name"), F.lit("@corp.example")))
+        .alias("email"),
+        F.when(F.col("c_custkey") % 3 == 0, F.lit(None))
+        .otherwise((F.col("c_custkey") * 7919 + 10000000).cast("string"))
+        .alias("mobile"),
+        F.col("c_name").alias("fullname"),
+        F.col("c_mktsegment").alias("title"),
+        F.lit("2020-01-02 03:04:05").alias("last_updated"),
+        F.when(F.col("c_custkey") % 2 == 0, F.lit("y")).otherwise(F.lit("No"))
+        .alias("isactive"),
+    )
+    source = cust.select(
+        F.col("c_custkey").alias("sid"),
+        F.split(F.col("c_name"), "#").getItem(0).alias("s_firstname"),
+        F.split(F.col("c_name"), "#").getItem(1).alias("s_lastname"),
+        F.col("c_name").alias("s_fullname"),
+        F.concat(F.lower("c_name"), F.lit("@corp.example")).alias("s_email"),
+        (F.col("c_custkey") * 7919 + 10000000).cast("string").alias("s_mobile"),
+    )
+    result = C.run_pipeline(master, sources=source)
+    err_counts = result.errors.groupBy("seqno").agg(
+        F.count(F.lit(1)).alias("n_errors")
+    )
+    return (
+        result.cleaned.join(err_counts, "seqno", "left")
+        .select(
+            "seqno", "firstname", "lastname", "email", "mobile",
+            "isactive", "group_size",
+            F.coalesce(F.col("n_errors"), F.lit(0)).alias("n_errors"),
+        )
+    )
