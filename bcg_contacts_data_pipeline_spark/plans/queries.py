@@ -1565,3 +1565,34 @@ def q_contacts_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_errors"), F.lit(0)).alias("n_errors"),
         )
     )
+
+
+@register(
+    "semi_anti_orders",
+    oracle="""
+    SELECT 'with_orders' AS cohort, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+    FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    UNION ALL
+    SELECT 'without_orders', COUNT(*),
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+    FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_semi_anti_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi + left-anti joins (SURVEY §2.3 'absent join types' — free
+    in Spark, exposed here): customer cohorts by order existence. The
+    orders side is reduced to its join key before the semi/anti probe."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    on = cust.c_custkey == orders.o_custkey
+    parts = []
+    for cohort, how in (("with_orders", "left_semi"), ("without_orders", "left_anti")):
+        parts.append(
+            cust.join(orders, on, how).agg(
+                F.lit(cohort).alias("cohort"),
+                F.count(F.lit(1)).alias("n_customers"),
+                F.sum(_dec("c_acctbal")).cast("double").alias("total_bal"),
+            ).select("cohort", "n_customers", "total_bal")
+        )
+    return parts[0].unionByName(parts[1])
