@@ -40,7 +40,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from bcg_contacts_data_pipeline_spark.functions.text import tokens, word_ngrams
-from bcg_contacts_data_pipeline_spark.functions.vectors import cosine, dot, l2_norm
+from bcg_contacts_data_pipeline_spark.functions.vectors import dot, l2_norm
 
 #: 31-bit Mersenne prime for the minhash permutation family: with a, b, h
 #: all < 2^31, ``a*h + b`` stays under 2^62 — no int64 overflow under ANSI

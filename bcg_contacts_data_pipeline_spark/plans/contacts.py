@@ -26,7 +26,7 @@ reference's Frankenstein-record behavior); title-casing follows pandas
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
