@@ -1596,3 +1596,39 @@ def q_semi_anti_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).select("cohort", "n_customers", "total_bal")
         )
     return parts[0].unionByName(parts[1])
+
+
+@register(
+    "stream_static_enrich",
+    oracle="""
+    WITH profile AS (
+      SELECT user_id, COUNT(*) AS hist_events,
+             CAST(MAX(CAST(value AS DOUBLE)) AS DOUBLE) AS hist_max
+      FROM events GROUP BY user_id)
+    SELECT e.event_id, e.user_id, e.event_type,
+           p.hist_events, p.hist_max
+    FROM events e JOIN profile p ON e.user_id = p.user_id
+    """,
+)
+def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: each streaming event enriched with a broadcast
+    per-user profile computed batch-side — stateless append mode, every
+    event emitted exactly once."""
+    from bcg_contacts_data_pipeline_spark import streaming as S
+
+    profile = (
+        _events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("hist_events"),
+            F.max(F.col("value").cast("double")).alias("hist_max"),
+        )
+    )
+    st = S.events_stream(spark, sf_dir)
+    joined = S.stream_static_enrich(
+        st.select("event_id", "user_id", "event_type"), profile, ["user_id"]
+    )
+    return S.run_available_now(
+        joined.select("event_id", "user_id", "event_type", "hist_events", "hist_max"),
+        "append",
+    )

@@ -1,5 +1,6 @@
 from bcg_contacts_data_pipeline_spark.streaming.ops import (
     dedup_within_watermark,
+    stream_static_enrich,
     running_user_stats,
     session_agg,
     windowed_agg,
@@ -23,5 +24,6 @@ __all__ = [
     "running_user_stats",
     "session_agg",
     "stage_as_dir",
+    "stream_static_enrich",
     "windowed_agg",
 ]

@@ -126,3 +126,16 @@ def running_user_stats(stream: DataFrame) -> DataFrame:
         outputMode="Update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_static_enrich(
+    stream: DataFrame, static: DataFrame, on: list[str]
+) -> DataFrame:
+    """Stream-static join: enrich each arriving event with a (broadcast)
+    static dimension — stateless, append-mode, no watermark needed. The
+    static side is re-read per micro-batch by Spark, so a slowly-updated
+    profile table is picked up without restarting the stream; broadcast
+    keeps the stream side shuffle-free."""
+    from pyspark.sql import functions as F
+
+    return stream.join(F.broadcast(static), on, "left")
