@@ -148,6 +148,18 @@ def clean_fields(df: DataFrame) -> DataFrame:
             updates[c] = N.yn_flag(N.nullify_sentinels(F.col(c)))
     if "last_updated" in df.columns:
         updates["parsed_last_updated"] = N.parse_ts(F.col("last_updated"))
+    # F11 integer preservation (clean_contacts.py:26-54): pandas float
+    # inference turns int ids into "123.0"; the reference detects
+    # whole-number columns and casts back to Int64. Here ingestion is
+    # all-string so the corruption cannot arise from US — but inputs
+    # produced by OTHER tools may already carry the ".0", so strip it
+    # from the known id columns when the value is a whole number.
+    for c in INT_FIELDS:
+        if c in df.columns:
+            v = N.nullify_sentinels(F.col(c))
+            updates[c] = F.when(
+                v.rlike(r"^-?\d+\.0+$"), F.regexp_replace(v, r"\.0+$", "")
+            ).otherwise(v)
     return df.withColumns(updates)
 
 

@@ -133,3 +133,72 @@ def test_empty_key_passthrough(spark):
     assert out.count() == 3  # two keyless rows NOT merged together
     tags = sorted(r["tag"] for r in out.collect())
     assert tags == ["r1", "r2", "r3"]
+
+
+# ---------------------------------------------------------------------------
+# k-of-n enrichment (J2) vs a direct Python model of
+# fill_missing_contacts.py:47-138
+# ---------------------------------------------------------------------------
+
+keyvals = st.one_of(st.none(), st.sampled_from(["a", "b", "c", "d"]))
+fillvals = st.one_of(st.none(), st.sampled_from(["X", "Y"]))
+
+
+@given(
+    st.lists(  # targets: (k1, k2, k3, f1)
+        st.tuples(keyvals, keyvals, keyvals, fillvals),
+        min_size=1, max_size=6,
+    ),
+    st.lists(  # sources: (k1, k2, k3, f1)
+        st.tuples(keyvals, keyvals, keyvals, fillvals),
+        min_size=1, max_size=6,
+    ),
+)
+@settings(**SETTINGS)
+def test_kofn_enrich_matches_model(spark, tgt, src):
+    import pyspark.sql.functions as F
+
+    from bcg_contacts_data_pipeline_spark.operators.enrich import (
+        MatchKey,
+        kofn_enrich,
+    )
+
+    tdata = [(i, *row) for i, row in enumerate(tgt)]
+    sdata = [(i, *row) for i, row in enumerate(src)]
+    tdf = spark.createDataFrame(
+        tdata, "tid long, k1 string, k2 string, k3 string, f1 string"
+    )
+    sdf = spark.createDataFrame(
+        sdata, "sid long, sk1 string, sk2 string, sk3 string, sf1 string"
+    )
+    keys = [
+        MatchKey("k1", F.col("k1"), F.col("sk1")),
+        MatchKey("k2", F.col("k2"), F.col("sk2")),
+        MatchKey("k3", F.col("k3"), F.col("sk3")),
+    ]
+    enriched, log = kofn_enrich(
+        tdf, sdf, keys, fill={"f1": "sf1"}, target_id="tid",
+        source_order="sid", min_matches=2,
+    )
+    got = {r.tid: (r.f1, r.matched_source_id) for r in enriched.collect()}
+
+    # model: first (lowest sid) source agreeing on >=2 non-null keys;
+    # only rows with f1 missing probe; fill only if currently null
+    for i, (k1, k2, k3, f1) in enumerate(tgt):
+        if f1 is not None:
+            assert got[i] == (f1, None), (i, got[i])
+            continue
+        best = None
+        for (sid, s1, s2, s3, sf1) in sdata:
+            agree = sum(
+                1
+                for a, b in [(k1, s1), (k2, s2), (k3, s3)]
+                if a is not None and b is not None and a == b
+            )
+            if agree >= 2:
+                best = (sid, sf1)
+                break  # sdata is sid-ordered: first match wins
+        if best is None:
+            assert got[i] == (None, None), (i, got[i])
+        else:
+            assert got[i] == (best[1], best[0]), (i, got[i], best)
