@@ -136,6 +136,22 @@ def validate_documents(
     return out.filter(F.size("errors") > 0)
 
 
+def error_count(rules: list[Rule], skip: Column | None = None) -> Column:
+    """Violated-rule count as a plain Column — the zero-shuffle form for
+    attaching per-row error counts to a frame without re-deriving it
+    through validate_* + aggregate + join (which would compute the
+    upstream plan twice). Skipped rows count 0, matching the junk-row
+    pre-filter in validate_documents."""
+    n = F.size(
+        F.array_compact(
+            F.array(*[F.when(r.failed, F.lit(r.message)) for r in rules])
+        )
+    )
+    if skip is not None:
+        n = F.when(skip, F.lit(0)).otherwise(n)
+    return n
+
+
 def severity_summary(error_docs: DataFrame) -> DataFrame:
     """validate_fields.py:143-162 exit-code classification + run.py:136-146
     top-error histogram, as one aggregate."""

@@ -321,16 +321,27 @@ def contact_rules() -> list[V.Rule]:
     ]
 
 
-def validate_contacts(df: DataFrame) -> DataFrame:
-    """Error documents for failing rows; junk rows (all-missing name and
-    email) skipped, mirroring validate_fields.py:77-85."""
-    skip = (
+def _junk_row() -> Column:
+    """validate_fields.py:77-85 junk-row predicate (all-missing name+email)."""
+    return (
         F.col("firstname").isNull()
         & F.col("lastname").isNull()
         & F.col("email").isNull()
     )
+
+
+def contact_error_count() -> Column:
+    """Per-row violated-rule count as a Column over the cleaned frame —
+    zero-shuffle alternative to validate_contacts + groupBy + join when
+    only the count is needed."""
+    return V.error_count(contact_rules(), skip=_junk_row()).cast("long")
+
+
+def validate_contacts(df: DataFrame) -> DataFrame:
+    """Error documents for failing rows; junk rows (all-missing name and
+    email) skipped, mirroring validate_fields.py:77-85."""
     return V.validate_documents(
-        df, contact_rules(), ["seqno"], name_col="fullname", skip=skip
+        df, contact_rules(), ["seqno"], name_col="fullname", skip=_junk_row()
     )
 
 

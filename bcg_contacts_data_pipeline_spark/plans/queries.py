@@ -1554,16 +1554,14 @@ def q_contacts_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c_custkey") * 7919 + 10000000).cast("string").alias("s_mobile"),
     )
     result = C.run_pipeline(master, sources=source)
-    err_counts = result.errors.groupBy("seqno").agg(
-        F.count(F.lit(1)).alias("n_errors")
-    )
-    return (
-        result.cleaned.join(err_counts, "seqno", "left")
-        .select(
-            "seqno", "firstname", "lastname", "email", "mobile",
-            "isactive", "group_size",
-            F.coalesce(F.col("n_errors"), F.lit(0)).alias("n_errors"),
-        )
+    # n_errors is derivable from the row alone (validation is a pure
+    # projection), so attach it as a column instead of aggregating
+    # result.errors and joining back — the join form computes the whole
+    # dedup pipeline twice and adds two shuffles for zero information.
+    return result.cleaned.select(
+        "seqno", "firstname", "lastname", "email", "mobile",
+        "isactive", "group_size",
+        C.contact_error_count().alias("n_errors"),
     )
 
 
