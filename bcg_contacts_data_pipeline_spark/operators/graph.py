@@ -56,29 +56,34 @@ def connected_components(
         ).distinct()
         verts = verts.unionByName(extra).distinct()
 
+    comp_type = verts.schema["node"].dataType
     labels = verts.select("node", F.col("node").alias("comp"))
     for _ in range(max_iter):
-        # each node: min(own label, labels of neighbors)
+        # each node: min(own label, labels of neighbors). The self row
+        # carries the previous label in ``old`` (neighbor rows carry
+        # NULL, which min() ignores), so the convergence check below is
+        # a filter over the aggregate's own output — no extra
+        # labels-vs-new-labels join per round.
         nbr = (
             sym.join(labels.withColumnRenamed("node", "v"), "v")
-            .select(F.col("u").alias("node"), "comp")
+            .select(
+                F.col("u").alias("node"),
+                "comp",
+                F.lit(None).cast(comp_type).alias("old"),
+            )
         )
         new_labels = (
-            labels.unionByName(nbr)
+            labels.select("node", "comp", F.col("comp").alias("old"))
+            .unionByName(nbr)
             .groupBy("node")
-            .agg(F.min("comp").alias("comp"))
+            .agg(F.min("comp").alias("comp"), F.min("old").alias("old"))
         )
-        # convergence check: one tiny aggregate per round. localCheckpoint
-        # truncates the growing lineage (iterative plans re-expand
-        # otherwise and planning cost compounds per round).
+        # localCheckpoint truncates the growing lineage (iterative plans
+        # re-expand otherwise and planning cost compounds per round) and
+        # lets the changed-count action reuse the materialized result.
         new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            labels.withColumnRenamed("comp", "old")
-            .join(new_labels, "node")
-            .filter(F.col("old") != F.col("comp"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("comp") != F.col("old")).count()
+        labels = new_labels.select("node", "comp")
         if changed == 0:
             break
-    return labels.select("node", "comp")
+    return labels
