@@ -280,7 +280,9 @@ def simhash_pairs(
     with max_hamming <= 15 a shared quarter is guaranteed by pigeonhole
     only for <= 3 differing quarters; standard LSH recall tradeoff),
     verify exact hamming."""
-    sims = simhash64(df, id_col, text)
+    # cache: both sides of the candidate self-join scan the signatures;
+    # without it the token-hash/bit-aggregation pipeline runs twice.
+    sims = simhash64(df, id_col, text).cache()
     quarters = sims.select(
         F.col(id_col),
         F.col("simhash"),
