@@ -61,3 +61,22 @@ def test_skip_predicate(spark):
     out = V.validate_exploded(df, rules(), ["id"], skip=skip)
     ids = {r["id"] for r in out.collect()}
     assert ids == {2, 3, 4}  # nothing skipped here has all-null name+email
+
+
+def test_error_count_column_matches_exploded(spark):
+    """error_count() (the zero-shuffle Column form) agrees with the
+    exploded relation per row; skipped rows count 0."""
+    df = fixture(spark)
+    skip = F.col("id") == 3
+    got = {
+        r["id"]: r["n"]
+        for r in df.select(
+            "id", V.error_count(rules(), skip=skip).alias("n")
+        ).collect()
+    }
+    exploded = V.validate_exploded(df, rules(), ["id"], skip=skip)
+    want = {1: 0, 2: 0, 3: 0, 4: 0}
+    for r in exploded.collect():
+        want[r["id"]] += 1
+    want[3] = 0  # skipped
+    assert got == want
