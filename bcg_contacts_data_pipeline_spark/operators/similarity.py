@@ -14,8 +14,8 @@ Every operator here is built for the 100 TB shape of the problem:
   bit-count aggregates; banding on 16-bit quarters for candidate pairs,
   exact hamming verify after.
 - ``embedding_topk``: brute-force cosine top-k (the exact baseline) —
-  the corpus streams once through a vectorized mapInPandas scorer
-  against a broadcast query matrix, emitting only batch-local top-k.
+  all-pairs mode scores hash-block grid cells via cogrouped
+  applyInPandas (no driver collect); bounded query batches broadcast.
 - ``embedding_ann_lsh``: random-hyperplane LSH bucketing as one scale
   path: cosine is only evaluated within matching sign-buckets.
 - ``embedding_ann_ivf``: IVF coarse quantizer as the other scale path:
@@ -318,82 +318,138 @@ def simhash_pairs(
     )
 
 
+def _seq_norms(arr: np.ndarray) -> np.ndarray:
+    """L2 norms via dimension-sequential accumulation — the exact IEEE add
+    order of the ``aggregate(zip_with(...))`` SQL fold (functions/vectors.py),
+    so downstream scores stay bit-identical to the DuckDB oracle."""
+    n = np.zeros(len(arr))
+    for d in range(arr.shape[1]):
+        n += arr[:, d] * arr[:, d]
+    return np.sqrt(n)
+
+
+def _seq_scores(left: np.ndarray, right: np.ndarray) -> np.ndarray:
+    """Cosine score matrix (len(left) x len(right)) with dimension-sequential
+    accumulation. Per pair this is sum_d l[d]*r[d] / (|l|*|r|) with the same
+    IEEE op sequence as the SQL fold; multiplication is commutative in IEEE
+    754, so either matrix orientation yields bit-identical per-pair scores."""
+    acc = np.zeros((len(left), len(right)))
+    for d in range(left.shape[1]):
+        acc += np.outer(left[:, d], right[:, d])
+    return acc / np.outer(_seq_norms(left), _seq_norms(right))
+
+
+def _local_topk(
+    score_col: np.ndarray, cids: np.ndarray, self_id, k: int
+) -> np.ndarray:
+    """Indices of the top-k candidates for one query under the final total
+    order (score desc, neighbor_id asc), excluding the query itself."""
+    idx = np.nonzero(cids != self_id)[0]
+    if not len(idx):
+        return idx
+    order = np.lexsort((cids[idx], -score_col[idx]))[:k]
+    return idx[order]
+
+
 def embedding_topk(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     k: int = 5,
     queries: DataFrame | None = None,
+    corpus_blocks: int = 8,
 ) -> DataFrame:
-    """Exact brute-force cosine top-k neighbors.
+    """Exact brute-force cosine top-k neighbors. Two physical paths, both
+    exact and both emitting only LOCAL top-k per query before the final
+    rank (exact: the global top-k is a subset of the union of local
+    top-ks, so the rank shuffle carries O(blocks * k) rows per query):
 
-    ``queries`` defaults to the corpus itself (all-pairs top-k). The query
-    side is collected and broadcast (it must be the small side — same
-    assumption the previous broadcast-join formulation made); the corpus
-    streams once through a vectorized ``mapInPandas`` scorer and never
-    shuffles full pairs:
+    - ``queries`` given (a BOUNDED frame — a user query batch, never the
+      corpus): the query side is collected and broadcast; the corpus
+      streams once through a vectorized ``mapInPandas`` scorer. The
+      caller asserts boundedness by passing the frame.
+    - ``queries=None`` (all-pairs over the corpus): NO driver collect.
+      The corpus is hash-split into ``corpus_blocks`` blocks on the id;
+      every (query-block, corpus-block) grid cell is scored as one numpy
+      matrix op inside a cogrouped ``applyInPandas``. Group memory is
+      O((N/B)*D) per side, the replication shuffle is 2*N*B rows, and
+      the driver never materializes a vector — pick B so a block fits an
+      executor and the same plan runs at 100 TB. (All-pairs exact top-k
+      is inherently O(N^2) compute on any engine; the blocking bounds
+      *memory*, and the ANN operators below are the sub-quadratic path.)
 
-    - Scoring accumulates the dot product DIMENSION-sequentially
-      (``acc += C[:,d] * Q[:,d]``), which performs the exact IEEE add
-      sequence of the ``aggregate(zip_with(...))`` fold — scores stay
-      bit-identical to the SQL oracle — while vectorizing across rows
-      (~100x over per-pair interpreted HOF evaluation).
-    - Each batch emits only its LOCAL top-k per query under the final
-      total order (score desc, neighbor_id asc) — exact, since the global
-      top-k is a subset of the union of batch top-ks. The rank shuffle
-      then carries O(P * k * Q) rows instead of O(N * Q).
+    Scoring accumulates dimension-sequentially (see ``_seq_scores``) so
+    scores are bit-identical to the SQL oracle while vectorizing across
+    rows (~100x over per-pair interpreted HOF evaluation).
     """
     from pyspark.sql import Window
 
-    q = queries if queries is not None else df
-    spark = df.sparkSession
-    qrows = q.select(id_col, vec_col).collect()
-    qids_l = [r[0] for r in qrows]
-    qmat_l = [list(r[1]) for r in qrows]
-    bc = spark.sparkContext.broadcast((qids_l, qmat_l))
+    out_schema = "query_id long, neighbor_id long, score double"
 
-    def batches(it):
-        qids, qmat = bc.value
-        qarr = np.asarray(qmat, dtype=np.float64)  # Q x D
-        qid_arr = np.asarray(qids)
-        d_dim = qarr.shape[1]
-        qn = np.zeros(len(qarr))
-        for d in range(d_dim):
-            qn += qarr[:, d] * qarr[:, d]
-        qn = np.sqrt(qn)
-        for pdf in it:
-            if not len(pdf):
-                continue
-            carr = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            cids = pdf[id_col].to_numpy()
-            cn = np.zeros(len(carr))
-            for d in range(d_dim):
-                cn += carr[:, d] * carr[:, d]
-            cn = np.sqrt(cn)
-            acc = np.zeros((len(carr), len(qarr)))
-            for d in range(d_dim):
-                acc += np.outer(carr[:, d], qarr[:, d])
-            score = acc / np.outer(cn, qn)
+    if queries is not None:
+        spark = df.sparkSession
+        qrows = queries.select(id_col, vec_col).collect()
+        bc = spark.sparkContext.broadcast(
+            ([r[0] for r in qrows], [list(r[1]) for r in qrows])
+        )
+
+        def batches(it):
+            qids, qmat = bc.value
+            qarr = np.asarray(qmat, dtype=np.float64)  # Q x D
+            qid_arr = np.asarray(qids)
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                carr = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                cids = pdf[id_col].to_numpy()
+                score = _seq_scores(carr, qarr)  # C x Q
+                out_q, out_n, out_s = [], [], []
+                for j in range(len(qarr)):
+                    pick = _local_topk(score[:, j], cids, qid_arr[j], k)
+                    out_q.extend([qid_arr[j]] * len(pick))
+                    out_n.extend(cids[pick])
+                    out_s.extend(score[pick, j])
+                yield pd.DataFrame(
+                    {"query_id": out_q, "neighbor_id": out_n, "score": out_s}
+                )
+
+        local = df.repartition(32).mapInPandas(batches, out_schema)
+    else:
+        B = corpus_blocks
+        base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+        own = F.pmod(F.xxhash64(F.col("__id")), F.lit(B)).cast("int")
+        grid = F.explode(F.array(*[F.lit(i) for i in range(B)]))
+        qside = base.select("__id", "__v", own.alias("qb"), grid.alias("cb"))
+        cside = base.select("__id", "__v", own.alias("cb"), grid.alias("qb"))
+
+        def cell_topk(key, qpdf, cpdf):
+            if not len(qpdf) or not len(cpdf):
+                return pd.DataFrame(
+                    {"query_id": [], "neighbor_id": [], "score": []}
+                ).astype(
+                    {"query_id": "int64", "neighbor_id": "int64", "score": "float64"}
+                )
+            qarr = np.stack(qpdf["__v"].to_numpy()).astype(np.float64)
+            carr = np.stack(cpdf["__v"].to_numpy()).astype(np.float64)
+            qids = qpdf["__id"].to_numpy()
+            cids = cpdf["__id"].to_numpy()
+            score = _seq_scores(carr, qarr)  # C x Q
             out_q, out_n, out_s = [], [], []
             for j in range(len(qarr)):
-                col = score[:, j]
-                mask = cids != qid_arr[j]
-                idx = np.nonzero(mask)[0]
-                if not len(idx):
-                    continue
-                # total order: score desc, neighbor_id asc
-                order = np.lexsort((cids[idx], -col[idx]))[:k]
-                pick = idx[order]
-                out_q.extend([qid_arr[j]] * len(pick))
+                pick = _local_topk(score[:, j], cids, qids[j], k)
+                out_q.extend([qids[j]] * len(pick))
                 out_n.extend(cids[pick])
-                out_s.extend(col[pick])
-            yield pd.DataFrame(
+                out_s.extend(score[pick, j])
+            return pd.DataFrame(
                 {"query_id": out_q, "neighbor_id": out_n, "score": out_s}
             )
 
-    local = df.repartition(32).mapInPandas(
-        batches, "query_id long, neighbor_id long, score double"
-    )
+        local = (
+            qside.groupBy("qb", "cb")
+            .cogroup(cside.groupBy("qb", "cb"))
+            .applyInPandas(cell_topk, out_schema)
+        )
+
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
     )
@@ -476,6 +532,7 @@ def embedding_neardup(
     id_col: str,
     vec_col: str,
     threshold: float,
+    corpus_blocks: int = 8,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate detection (greedy lowest-id-wins).
 
@@ -485,59 +542,69 @@ def embedding_neardup(
     standard greedy policy for training-data dedup, and fully
     SQL-expressible for the oracle.
 
-    Scale shape: the comparison side is broadcast as a matrix and the
-    corpus streams once through a vectorized mapInPandas scorer
-    (dimension-sequential accumulation — bit-identical to the SQL fold,
-    see ``embedding_topk``); only above-threshold (a < b) pairs leave the
-    Python worker, so the shuffle is the hit set, not the pair product.
-    At real corpus sizes this brute-force scorer is the verification
-    stage AFTER a blocking stage (``embedding_ann_lsh`` or
-    ``minhash_lsh_pairs``) — compose them; alone it is O(N^2/2) scores.
+    Scale shape: NO driver collect. The corpus is hash-split into
+    ``corpus_blocks`` blocks on the id and only the upper-triangle block
+    pairs (bi <= bj) are scored — each as one numpy matrix op inside a
+    cogrouped ``applyInPandas`` (dimension-sequential accumulation, see
+    ``_seq_scores`` — the threshold compare agrees bitwise with the SQL
+    oracle). Group memory is O((N/B)*D) per side, the replication shuffle
+    is ~N*B rows per side, and only above-threshold (a < b) hits leave
+    the Python worker — the shuffle after scoring is the hit set, not the
+    pair product. Exact all-pairs is inherently O(N^2/2) *compute*; the
+    blocking bounds memory, and at real corpus sizes the sub-quadratic
+    route is a blocking stage (``embedding_ann_lsh`` / ``minhash_lsh_pairs``)
+    followed by exact verification of the candidate set.
 
     Output: (doc_id, canonical_id, is_duplicate), one row per input row.
     """
-    spark = df.sparkSession
-    arows = df.select(id_col, vec_col).collect()
-    bc = spark.sparkContext.broadcast(
-        ([r[0] for r in arows], [list(r[1]) for r in arows])
+    B = corpus_blocks
+    base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    own = F.pmod(F.xxhash64(F.col("__id")), F.lit(B)).cast("int")
+    tagged = base.select("__id", "__v", own.alias("__b"))
+    # lower side owns block bi, visits cells (bi, bj) for bj >= bi;
+    # upper side owns block bj, visits cells (bi, bj) for bi <= bj.
+    lo = tagged.select(
+        "__id",
+        "__v",
+        F.col("__b").alias("bi"),
+        F.explode(F.sequence(F.col("__b"), F.lit(B - 1))).alias("bj"),
+    )
+    hi = tagged.select(
+        "__id",
+        "__v",
+        F.explode(F.sequence(F.lit(0), F.col("__b"))).alias("bi"),
+        F.col("__b").alias("bj"),
     )
 
-    def batches(it):
-        aids, amat = bc.value
-        aarr = np.asarray(amat, dtype=np.float64)
-        aid_arr = np.asarray(aids)
-        d_dim = aarr.shape[1]
-        an = np.zeros(len(aarr))
-        for d in range(d_dim):
-            an += aarr[:, d] * aarr[:, d]
-        an = np.sqrt(an)
-        for pdf in it:
-            if not len(pdf):
-                continue
-            barr = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            bids = pdf[id_col].to_numpy()
-            bn = np.zeros(len(barr))
-            for d in range(d_dim):
-                bn += barr[:, d] * barr[:, d]
-            bn = np.sqrt(bn)
-            # dimension-sequential accumulation: IEEE-identical to the
-            # aggregate(zip_with(...)) fold, so the >= threshold compare
-            # agrees bitwise with the SQL oracle.
-            acc = np.zeros((len(barr), len(aarr)))
-            for d in range(d_dim):
-                acc += np.outer(barr[:, d], aarr[:, d])
-            score = acc / np.outer(bn, an)
-            hit_b, hit_a = np.nonzero(
-                (score >= threshold) & (aid_arr[None, :] < bids[:, None])
-            )
-            yield pd.DataFrame(
-                {
-                    "__bid": bids[hit_b],
-                    "__aid": aid_arr[hit_a],
-                }
-            )
+    def cell_hits(key, lpdf, rpdf):
+        empty = pd.DataFrame({"__bid": [], "__aid": []}).astype(
+            {"__bid": "int64", "__aid": "int64"}
+        )
+        if not len(lpdf) or not len(rpdf):
+            return empty
+        xarr = np.stack(lpdf["__v"].to_numpy()).astype(np.float64)
+        yarr = np.stack(rpdf["__v"].to_numpy()).astype(np.float64)
+        xids = lpdf["__id"].to_numpy()
+        yids = rpdf["__id"].to_numpy()
+        score = _seq_scores(xarr, yarr)  # X x Y
+        hit = score >= threshold
+        # orient every hit as (smaller id = canonical a, larger id = dup b);
+        # diagonal cells (bi == bj) see each unordered pair twice — the
+        # min-agg downstream dedups, and self-pairs fail both strict <>.
+        lt_i, lt_j = np.nonzero(hit & (xids[:, None] < yids[None, :]))
+        gt_i, gt_j = np.nonzero(hit & (xids[:, None] > yids[None, :]))
+        return pd.DataFrame(
+            {
+                "__bid": np.concatenate([yids[lt_j], xids[gt_i]]),
+                "__aid": np.concatenate([xids[lt_i], yids[gt_j]]),
+            }
+        )
 
-    pairs = df.repartition(32).mapInPandas(batches, "__bid long, __aid long")
+    pairs = (
+        lo.groupBy("bi", "bj")
+        .cogroup(hi.groupBy("bi", "bj"))
+        .applyInPandas(cell_hits, "__bid long, __aid long")
+    )
     mins = pairs.groupBy("__bid").agg(F.min("__aid").alias("__min_aid"))
     return (
         df.select(F.col(id_col).alias("doc_id"))

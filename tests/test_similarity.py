@@ -110,3 +110,36 @@ def test_embedding_ann_ivf_recall(spark):
     assert recall > 0.5, recall
     # every query got answers
     assert len({q for q, _ in approx}) == emb.count()
+
+
+def test_embedding_neardup_blocked_exact(spark):
+    df = vec_corpus(spark)
+    out = {
+        r["doc_id"]: (r["canonical_id"], r["is_duplicate"])
+        for r in S.embedding_neardup(df, "vec_id", "embedding", threshold=0.95).collect()
+    }
+    # 2 and 5 are near 1 (cos > 0.95); 1, 3, 4 are their own canonicals
+    assert out[1] == (1, False)
+    assert out[2] == (1, True)
+    assert out[5] == (1, True)
+    assert out[3] == (3, False)
+    assert out[4] == (4, False)
+
+
+def test_corpus_embedding_ops_never_collect_on_driver(spark, monkeypatch):
+    """VERDICT r01 #1: the all-pairs paths of embedding_topk /
+    embedding_neardup must not materialize the corpus on the driver.
+    Patch DataFrame.collect to explode; build AND execute both ops."""
+    from pyspark.sql import DataFrame
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def boom(self, *a, **kw):
+        raise AssertionError("driver-side collect() on an all-pairs corpus path")
+
+    monkeypatch.setattr(DataFrame, "collect", boom)
+    assert S.embedding_topk(emb, "vec_id", "embedding", k=3).count() > 0
+    assert (
+        S.embedding_neardup(emb, "vec_id", "embedding", threshold=0.8).count()
+        == emb.count()
+    )
