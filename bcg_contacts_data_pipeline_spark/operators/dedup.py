@@ -72,7 +72,11 @@ def most_complete_merge(
         else F.lit(0)
     )
 
-    work = df.withColumn(key_name, key_col).withColumn("__ord", order_col)
+    # One select, not two chained withColumns: every DataFrame op
+    # re-analyzes the whole upstream tree, which is seconds of driver
+    # time when the input is a deep wide pipeline plan (see
+    # plans/contacts.py dedup_contacts).
+    work = df.select("*", key_col.alias(key_name), order_col.alias("__ord"))
 
     keyed = work if merge_empty_keys else work.filter(
         F.col(key_name).isNotNull() & (F.length(F.trim(F.col(key_name))) > 0)
@@ -177,7 +181,7 @@ def renumber(
     # the assignment (and the offset collect pays for the materialization).
     parted = (
         df.repartitionByRange(*cols)
-        .withColumn("__pid", F.spark_partition_id())
+        .select("*", F.spark_partition_id().alias("__pid"))
         .persist()
     )
     # Small driver-side collect: one row per partition (#partitions rows).
@@ -193,8 +197,9 @@ def renumber(
         *[F.lit(x) for kv in offsets.items() for x in kv]
     )
     w = Window.partitionBy("__pid").orderBy(*cols)
-    return (
-        parted.withColumn("__local", F.row_number().over(w))
-        .withColumn(seq_name, (offset_expr[F.col("__pid")] + F.col("__local")).cast("long"))
-        .drop("__pid", "__local")
+    # Single select (not withColumn+withColumn+drop): each op re-analyzes
+    # the full upstream tree — significant driver time on deep plans.
+    return parted.select(
+        *[c for c in df.columns],
+        (offset_expr[F.col("__pid")] + F.row_number().over(w)).cast("long").alias(seq_name),
     )

@@ -85,25 +85,22 @@ def _with_row_id(df: DataFrame) -> DataFrame:
     partition-layout-dependent and a plan that branches (join back after
     enrichment) could recompute different ids.
 
-    Identity here is the struct (xxhash64 of the whole row, rank within
-    equal-hash rows ordered by the full row): deterministic under any
-    partitioning, collision-proof (the rank disambiguates, and identical
-    rows are interchangeable), and FULLY LAZY — unlike a global
-    contiguous renumber it needs no eager partition-count collect and no
-    persist, just one hash-partitioned window. Contiguous numbering is
-    only needed where the OUTPUT contract demands it (SEQNO — see
-    dedup_contacts), not for join-back identity."""
+    Identity is CONTENT identity: ``xxhash64`` of the whole row — a pure
+    projection, deterministic under any partitioning, fully lazy (no
+    window, no shuffle, no eager collect). Byte-identical rows share an
+    id on purpose: every stage keyed on the id (k-of-n match, fill,
+    change log) is a pure function of row content, so interchangeable
+    rows produce interchangeable results and the splice joins dedup the
+    narrow fill side by id without losing information (the master keeps
+    its duplicate rows; each receives the shared fill). Cross-row 64-bit
+    collisions (~2^-64 per pair) are accepted — the same identity basis
+    as content-hash exact dedup. Contiguous numbering is only needed
+    where the OUTPUT contract demands it (SEQNO — see dedup_contacts),
+    not for join-back identity."""
     if "__row_id" in df.columns:
         return df
-    from pyspark.sql import Window
-
     h = F.xxhash64(F.struct(*[F.col(c) for c in df.columns]))
-    w = Window.partitionBy(h).orderBy(
-        *[F.col(c).asc_nulls_last() for c in df.columns]
-    )
-    return df.withColumn(
-        "__row_id", F.struct(h.alias("h"), F.row_number().over(w).alias("tb"))
-    )
+    return df.withColumn("__row_id", h)
 
 
 def conform_to_master(df: DataFrame) -> DataFrame:
@@ -209,10 +206,18 @@ def fill_missing(
         min_matches=2,
         broadcast_source=True,
     )
-    # splice filled values back into the full-width master
+    # Splice filled values back into the full-width master. The fill side
+    # is NARROW (id + fill columns) and deduped by content id — identical
+    # master rows share an id and an identical fill, so one row per id
+    # suffices and the join stays 1:1 per master row. The join key is a
+    # single long; AQE broadcast-converts the fill side when small.
     out = (
         master_with_id.drop(*fill_fields.keys())
-        .join(enriched.select("__row_id", *fill_fields.keys()), "__row_id")
+        .join(
+            enriched.select("__row_id", *fill_fields.keys())
+            .dropDuplicates(["__row_id"]),
+            "__row_id",
+        )
         .select(*[c for c in master_with_id.columns if c != "__row_id"])
     )
     return out, log
@@ -247,7 +252,10 @@ def mailchimp_enrich(
     )
     m2 = (
         m1.drop("email")
-        .join(email_fill.select("__row_id", "email"), "__row_id")
+        .join(
+            email_fill.select("__row_id", "email").dropDuplicates(["__row_id"]),
+            "__row_id",
+        )
     )
     mobile_fill, log2 = two_key_enrich(
         m2,
@@ -262,7 +270,10 @@ def mailchimp_enrich(
     )
     out = (
         m2.drop("mobile")
-        .join(mobile_fill.select("__row_id", "mobile"), "__row_id")
+        .join(
+            mobile_fill.select("__row_id", "mobile").dropDuplicates(["__row_id"]),
+            "__row_id",
+        )
         .select(*[c for c in m1.columns if c != "__row_id"])
     )
     return out, log1.unionByName(log2)
@@ -274,34 +285,35 @@ def dedup_contacts(
     """clean_contacts.py:158-236: derive the dedup key (email else
     lower(fullname)-mobile), merge duplicate groups most-complete-wins
     with recency bias (last_updated desc), reset SEQNO 1..N."""
-    recency = N.parse_ts(F.col("last_updated"))
-    work = df.withColumn("__recency", F.coalesce(F.unix_micros(recency), F.lit(0)))
-    value_cols = [c for c in df.columns]
+    recency = F.coalesce(
+        F.unix_micros(N.parse_ts(F.col("last_updated"))), F.lit(0)
+    )
     merged = most_complete_merge(
-        work,
+        df,
         dedup_key("email", "fullname", "mobile"),
-        value_cols=value_cols,
-        order_by="__recency",
+        value_cols=[c for c in df.columns],
+        order_by=recency,
         merge_empty_keys=merge_empty_keys,
     )
-    # Contiguous SEQNO over a deterministic TOTAL order: dedup_key first
-    # (stable business order), remaining columns as tiebreak — keyless
-    # passthrough rows all share a NULL key, so without the tiebreak
-    # their relative numbering would be partition-order-dependent.
+    # Contiguous SEQNO over a deterministic order: dedup_key first (stable
+    # business order), xxhash64 of the remaining columns as tiebreak —
+    # keyless passthrough rows all share a NULL key, so without the
+    # tiebreak their relative numbering would be partition-order-dependent.
     # (A narrow renumber + join-back was tried and measured ~40% slower
     # end-to-end: it prunes the 88 merge aggregates from the eager offset
     # pass but recomputes the whole upstream enrich/clean pipeline twice.)
-    # A row-hash right after the key short-circuits the 88-column
-    # comparisons: the range partitioner and sorter resolve almost every
-    # comparison at field 2; the full column list is only consulted for
-    # hash ties (identical-hash rows), keeping the order total.
+    # The hash REPLACES a full 88-column tiebreak list rather than
+    # prefixing it: rows equal on (key, hash) are byte-identical up to a
+    # ~2^-64 collision, and byte-identical rows are interchangeable — any
+    # row_number assignment among them yields the same output multiset.
+    # The shorter sort key list matters twice: the range partitioner and
+    # sorter compare 2 fields instead of 89, and the analyzer/optimizer
+    # passes over the renumber's repartition+window stop carrying an
+    # 89-expression ordering (measured seconds of driver time on the e2e
+    # plan at any data size).
     tiebreak_cols = [c for c in MASTER_COLUMNS if c != "seqno"]
     row_hash = F.xxhash64(F.struct(*[F.col(c) for c in tiebreak_cols]))
-    order = [
-        F.col("dedup_key").asc_nulls_last(),
-        row_hash.asc(),
-        *[F.col(c).asc_nulls_last() for c in tiebreak_cols],
-    ]
+    order = [F.col("dedup_key").asc_nulls_last(), row_hash.asc()]
     renumbered = renumber(
         merged.drop("seqno"),
         order,

@@ -1516,7 +1516,142 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 # above (enrich_2of3, dedup_merge, norm_scalars, validate_rules).
 # ---------------------------------------------------------------------------
 
-@register("contacts_pipeline_e2e")
+#: The whole pipeline (fill-missing -> clean -> dedup -> renumber ->
+#: error count) as one DuckDB query. Simplifications valid FOR THIS
+#: SYNTHESIZED INPUT (and stated so the equivalence is auditable):
+#: - title_case reduces to upper(first)+lower(rest): every value is a
+#:   single leading letter-run ('Customer#000000001', mktsegments);
+#:   DuckDB's RE2 regex lacks the lookarounds of the general form.
+#: - c_name/email/fullname are unique per row, so every dedup group is a
+#:   singleton (GROUP BY with MAX is the identity merge; the general
+#:   most-complete merge is oracle-checked by dedup_merge) and the
+#:   renumber's within-key tiebreak never fires: seqno is the rank of
+#:   dedup_key alone (binary string order in both engines).
+_E2E_ORACLE = """
+WITH master AS (
+  SELECT CAST(c_custkey AS VARCHAR) AS mid,
+         CASE WHEN c_custkey % 7 = 0 THEN 'nan'
+              ELSE str_split(c_name, '#')[1] END AS firstname,
+         CASE WHEN c_custkey % 5 = 0 THEN NULL
+              ELSE str_split(c_name, '#')[2] END AS lastname,
+         CASE WHEN c_custkey % 13 = 0 THEN 'not-an-email'
+              ELSE lower(c_name) || '@corp.example' END AS email,
+         CASE WHEN c_custkey % 3 = 0 THEN NULL
+              ELSE CAST(c_custkey * 7919 + 10000000 AS VARCHAR) END AS mobile,
+         c_name AS fullname,
+         CASE WHEN c_custkey % 2 = 0 THEN 'y' ELSE 'No' END AS isactive
+  FROM customer),
+source AS (
+  SELECT c_custkey AS sid,
+         str_split(c_name, '#')[1] AS s_firstname,
+         str_split(c_name, '#')[2] AS s_lastname,
+         c_name AS s_fullname,
+         lower(c_name) || '@corp.example' AS s_email,
+         CAST(c_custkey * 7919 + 10000000 AS VARCHAR) AS s_mobile
+  FROM customer),
+-- J2 match keys (name = ws-collapsed lower full name; email = anchored
+-- regex validated; phone = digits last-10)
+tkeys AS (
+  SELECT m.*,
+         lower(trim(regexp_replace(
+           CASE WHEN length(trim(concat_ws(' ', firstname, lastname))) > 0
+                THEN trim(concat_ws(' ', firstname, lastname))
+                WHEN length(trim(fullname)) > 0 THEN trim(fullname) END,
+           '\\s+', ' ', 'g'))) AS k_name,
+         CASE WHEN regexp_matches(lower(trim(email)), '^[^@]+@[^@]+\\.[^@]+')
+              THEN lower(trim(email)) END AS k_email,
+         CASE WHEN length(regexp_replace(mobile, '[^0-9]', '', 'g')) >= 10
+              THEN right(regexp_replace(mobile, '[^0-9]', '', 'g'), 10)
+              WHEN length(regexp_replace(mobile, '[^0-9]', '', 'g')) > 0
+              THEN regexp_replace(mobile, '[^0-9]', '', 'g') END AS k_phone
+  FROM master m),
+skeys AS (
+  SELECT s.*,
+         lower(trim(regexp_replace(
+           CASE WHEN length(trim(concat_ws(' ', s_firstname, s_lastname))) > 0
+                THEN trim(concat_ws(' ', s_firstname, s_lastname))
+                WHEN length(trim(s_fullname)) > 0 THEN trim(s_fullname) END,
+           '\\s+', ' ', 'g'))) AS k_name,
+         CASE WHEN regexp_matches(lower(trim(s_email)), '^[^@]+@[^@]+\\.[^@]+')
+              THEN lower(trim(s_email)) END AS k_email,
+         CASE WHEN length(regexp_replace(s_mobile, '[^0-9]', '', 'g')) >= 10
+              THEN right(regexp_replace(s_mobile, '[^0-9]', '', 'g'), 10)
+              WHEN length(regexp_replace(s_mobile, '[^0-9]', '', 'g')) > 0
+              THEN regexp_replace(s_mobile, '[^0-9]', '', 'g') END AS k_phone
+  FROM source s),
+needy AS (
+  SELECT * FROM tkeys
+  WHERE firstname IS NULL OR lastname IS NULL OR fullname IS NULL OR mobile IS NULL),
+cand AS (
+  SELECT n.mid, s.sid FROM needy n JOIN skeys s
+    ON n.k_name = s.k_name AND n.k_email = s.k_email
+  UNION
+  SELECT n.mid, s.sid FROM needy n JOIN skeys s
+    ON n.k_name = s.k_name AND n.k_phone = s.k_phone
+  UNION
+  SELECT n.mid, s.sid FROM needy n JOIN skeys s
+    ON n.k_email = s.k_email AND n.k_phone = s.k_phone),
+best AS (SELECT mid, MIN(sid) AS sid FROM cand GROUP BY mid),
+filled AS (
+  SELECT t.mid,
+         coalesce(t.firstname, s.s_firstname) AS firstname,
+         coalesce(t.lastname, s.s_lastname) AS lastname,
+         coalesce(t.fullname, s.s_fullname) AS fullname,
+         coalesce(t.mobile, s.s_mobile) AS mobile,
+         t.email, t.isactive
+  FROM tkeys t
+  LEFT JOIN best b ON t.mid = b.mid
+  LEFT JOIN skeys s ON b.sid = s.sid),
+-- clean: sentinel-null, normalize email, digits-only mobile, title-case
+-- names, Y/N flags
+cleaned AS (
+  SELECT mid,
+         upper(substr(nullif(trim(firstname), 'nan'), 1, 1))
+           || lower(substr(nullif(trim(firstname), 'nan'), 2)) AS firstname,
+         upper(substr(lastname, 1, 1)) || lower(substr(lastname, 2)) AS lastname,
+         CASE WHEN regexp_matches(lower(trim(email)), '^[^@]+@[^@]+\\.[^@]+')
+              THEN lower(trim(email)) END AS email,
+         CASE WHEN length(regexp_replace(mobile, '[^0-9]', '', 'g')) > 0
+              THEN regexp_replace(mobile, '[^0-9]', '', 'g') END AS mobile,
+         upper(substr(fullname, 1, 1)) || lower(substr(fullname, 2)) AS fullname,
+         CASE WHEN upper(trim(isactive)) IN ('Y', 'N')
+              THEN upper(trim(isactive)) END AS isactive
+  FROM filled),
+-- dedup key (email else lower(fullname)-mobile); singleton groups here
+keyed AS (
+  SELECT c.*,
+         coalesce(email,
+                  CASE WHEN length(trim(lower(trim(fullname)))) > 0
+                       THEN concat_ws('-', lower(trim(fullname)), trim(mobile)) END
+         ) AS dedup_key
+  FROM cleaned c),
+merged AS (
+  SELECT dedup_key,
+         MAX(firstname) AS firstname, MAX(lastname) AS lastname,
+         MAX(email) AS email, MAX(mobile) AS mobile,
+         MAX(isactive) AS isactive,
+         COUNT(*) AS group_size
+  FROM keyed GROUP BY dedup_key)
+SELECT CAST(row_number() OVER (ORDER BY dedup_key ASC NULLS LAST) AS BIGINT) AS seqno,
+       firstname, lastname, email, mobile, isactive, group_size,
+       CAST(CASE WHEN firstname IS NULL AND lastname IS NULL AND email IS NULL THEN 0
+            ELSE (CASE WHEN firstname IS NULL OR length(trim(firstname)) = 0 THEN 1 ELSE 0 END)
+               + (CASE WHEN lastname IS NULL OR length(trim(lastname)) = 0 THEN 1 ELSE 0 END)
+               + (CASE WHEN email IS NULL OR length(trim(email)) = 0 THEN 1 ELSE 0 END)
+               + (CASE WHEN email IS NOT NULL AND length(trim(email)) > 0
+                       AND NOT regexp_matches(lower(trim(email)), '^[^@]+@[^@]+\\.[^@]+')
+                  THEN 1 ELSE 0 END)
+               + (CASE WHEN mobile IS NOT NULL AND length(trim(mobile)) > 0
+                       AND (length(regexp_replace(mobile, '[^0-9]', '', 'g')) < 7
+                            OR length(regexp_replace(mobile, '[^0-9]', '', 'g')) > 15)
+                  THEN 1 ELSE 0 END)
+               + (CASE WHEN mobile IS NULL OR length(trim(mobile)) = 0 THEN 1 ELSE 0 END)
+       END AS BIGINT) AS n_errors
+FROM merged
+"""
+
+
+@register("contacts_pipeline_e2e", oracle=_E2E_ORACLE)
 def q_contacts_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesizes a dirty master table from `customer` (sentinel nulls,
     invalid emails, missing names), an enrichment source from the same
