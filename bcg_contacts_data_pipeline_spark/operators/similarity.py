@@ -11,8 +11,8 @@ Every operator here is built for the 100 TB shape of the problem:
   self-join is linear in bucket occupancy instead of quadratic in corpus
   size. Signatures use xxhash64 (JVM, vectorized).
 - ``simhash64`` / ``simhash_pairs``: 64-bit SimHash via explode + 64
-  bit-count aggregates; banding on 16-bit quarters for candidate pairs,
-  exact hamming verify after.
+  bit-count aggregates; 8-bit banding (complete for hamming <= 7 by
+  pigeonhole) for candidate pairs, exact hamming verify after.
 - ``embedding_topk``: brute-force cosine top-k (the exact baseline) —
   all-pairs mode scores hash-block grid cells via cogrouped
   applyInPandas (no driver collect); bounded query batches broadcast.
@@ -273,17 +273,26 @@ def simhash_pairs(
     df: DataFrame,
     id_col: str,
     text: Column | str,
-    max_hamming: int = 8,
+    max_hamming: int = 7,
+    bands: int = 8,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: band on the 4 16-bit quarters (any
-    candidate pair within hamming distance <= 16*3 shares a quarter —
-    with max_hamming <= 15 a shared quarter is guaranteed by pigeonhole
-    only for <= 3 differing quarters; standard LSH recall tradeoff),
-    verify exact hamming."""
+    """Near-dup pairs by SimHash: band the 64-bit signature into ``bands``
+    equal slices, self-join on (band, band_bits), verify exact hamming.
+
+    Recall guarantee (pigeonhole): a pair within hamming distance
+    ``bands - 1`` MUST share an untouched band, so candidate generation
+    is COMPLETE for ``max_hamming <= bands - 1`` and the output is then
+    exactly the set of pairs with hamming <= max_hamming. The defaults
+    (8 bands, max_hamming 7) keep that guarantee; asking for a larger
+    max_hamming than ``bands - 1`` is allowed but recall above the
+    guarantee line degrades (standard LSH tradeoff)."""
+    assert 64 % bands == 0, "bands must divide 64"
+    width = 64 // bands
+    mask = (1 << width) - 1
     # cache: both sides of the candidate self-join scan the signatures;
     # without it the token-hash/bit-aggregation pipeline runs twice.
     sims = simhash64(df, id_col, text).cache()
-    quarters = sims.select(
+    slices = sims.select(
         F.col(id_col),
         F.col("simhash"),
         F.explode(
@@ -291,20 +300,20 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(q).alias("q"),
-                        F.shiftright(F.col("simhash"), q * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright(F.col("simhash"), q * width)
+                        .bitwiseAND(F.lit(mask))
                         .alias("qh"),
                     )
-                    for q in range(4)
+                    for q in range(bands)
                 ]
             )
         ).alias("qq"),
     ).select(id_col, "simhash", F.col("qq.q").alias("q"), F.col("qq.qh").alias("qh"))
 
-    l = quarters.select(
+    l = slices.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"), "q", "qh"
     )
-    r = quarters.select(
+    r = slices.select(
         F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"), "q", "qh"
     )
     return (

@@ -890,33 +890,152 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# LSH family — genuinely non-SQL-expressible (seeded hash families);
-# registered without oracles -> driver records rows-only checks.
+# LSH family. The seeded hash FAMILIES (xxhash64 minhash permutations,
+# simhash bit votes) are not SQL-expressible, but each operator still gets
+# a hash-checked oracle through a provable property:
+#
+# - minhash/simhash: recall over CONSTRUCTED exact-duplicate pairs. The
+#   corpus is the documents table unioned with an id-offset copy of
+#   itself; a doc and its copy have identical shingle sets / token
+#   streams, hence identical signatures, hence land in identical buckets
+#   — so the operator MUST find every constructed pair (deterministic,
+#   not probabilistic) and the recall aggregate is exactly 1.0, which
+#   DuckDB can state independently. A bucketing/join/dedup bug on either
+#   operator breaks the equality. (Near-dup recall below jaccard 1.0 has
+#   no guarantee and is exercised by unit tests instead.)
+# - embedding_ann_lsh: FULLY SQL-expressible — the seeded hyperplanes are
+#   fixed doubles embedded in the oracle as literals; bucket signs and
+#   cosine scores reproduce bit-identically via the sequential fold.
 # ---------------------------------------------------------------------------
 
-@register("minhash_lsh")
-def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(64) + 16-band LSH candidate pairs with estimated Jaccard."""
+#: Offset added to copied doc ids in the recall corpora; far above any
+#: real doc_id at any plausible scale factor.
+_COPY_OFFSET = 1 << 40
+
+_RECALL_ORACLE_TMPL = """
+    WITH eligible AS (
+      SELECT doc_id FROM documents
+      WHERE length(trim(text)) > 0 AND len({toks}) >= {min_tokens})
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_true,
+           CAST(COUNT(*) AS BIGINT) AS n_found,
+           CAST(COUNT(*) AS DOUBLE) / COUNT(*) AS recall
+    FROM eligible
+"""
+
+
+def _recall_frame(found_pairs: DataFrame, truth: DataFrame) -> DataFrame:
+    """(n_true, n_found, recall) for constructed true pairs vs the
+    candidate pair set (inner-join containment check)."""
+    hits = truth.join(found_pairs, ["id_a", "id_b"], "left_semi")
+    return truth.agg(F.count(F.lit(1)).alias("n_true")).crossJoin(
+        hits.agg(F.count(F.lit(1)).alias("n_found"))
+    ).select(
+        "n_true",
+        "n_found",
+        (F.col("n_found").cast("double") / F.col("n_true")).alias("recall"),
+    )
+
+
+def _docs_with_copy(docs: DataFrame) -> DataFrame:
+    base = docs.select("doc_id", "text")
+    copy = base.select(
+        (F.col("doc_id") + F.lit(_COPY_OFFSET)).alias("doc_id"), "text"
+    )
+    return base.unionByName(copy)
+
+
+@register(
+    "minhash_recall",
+    oracle=_RECALL_ORACLE_TMPL.format(toks=_TOKS_SQL, min_tokens=3),
+)
+def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) + 16-band LSH over documents + an exact copy of each:
+    identical shingle sets => identical signatures => every constructed
+    pair is a guaranteed candidate (est_jaccard 1.0 passes the verify
+    threshold), so recall over the constructed truth is exactly 1.0.
+    Docs with < 3 tokens yield no shingles (no signature) and are
+    excluded from the truth on both sides."""
+    from bcg_contacts_data_pipeline_spark.functions.text import tokens
     from bcg_contacts_data_pipeline_spark.operators.similarity import (
         minhash_lsh_pairs,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(
-        docs, "doc_id", "text", n=3, num_hashes=64, bands=16, verify_threshold=None
+    pairs = minhash_lsh_pairs(
+        _docs_with_copy(docs),
+        "doc_id",
+        "text",
+        n=3,
+        num_hashes=64,
+        bands=16,
+        verify_threshold=0.5,
     )
+    truth = docs.filter(
+        (F.length(F.trim("text")) > 0) & (F.size(tokens(F.col("text"))) >= 3)
+    ).select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + F.lit(_COPY_OFFSET)).alias("id_b"),
+    )
+    return _recall_frame(pairs, truth)
 
 
-@register("simhash_pairs")
-def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash64 near-dup pairs (quarter-banding + exact hamming verify)."""
+@register(
+    "simhash_recall",
+    oracle=_RECALL_ORACLE_TMPL.format(toks=_TOKS_SQL, min_tokens=1),
+)
+def q_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash64 + 8-bit banding (candidate generation COMPLETE for
+    hamming <= 7 by pigeonhole) over documents + an exact copy: identical
+    token streams => identical signatures => hamming 0 => guaranteed
+    found; recall over the constructed truth is exactly 1.0. Docs with no
+    tokens produce no signature and are excluded from the truth."""
+    from bcg_contacts_data_pipeline_spark.functions.text import tokens
     from bcg_contacts_data_pipeline_spark.operators.similarity import simhash_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    return simhash_pairs(docs, "doc_id", "text", max_hamming=16)
+    pairs = simhash_pairs(_docs_with_copy(docs), "doc_id", "text", max_hamming=7)
+    truth = docs.filter(
+        (F.length(F.trim("text")) > 0) & (F.size(tokens(F.col("text"))) >= 1)
+    ).select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + F.lit(_COPY_OFFSET)).alias("id_b"),
+    )
+    return _recall_frame(pairs, truth)
 
 
-@register("embedding_ann_lsh")
+def _ann_lsh_oracle(dim: int = 64, num_planes: int = 6, k: int = 5, seed: int = 42) -> str:
+    """Full DuckDB twin of embedding_ann_lsh: the seeded hyperplanes are
+    deterministic Python floats, embedded as SQL literals (repr round-trips
+    exactly), so bucket signs and scores match bit-for-bit."""
+    from bcg_contacts_data_pipeline_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, num_planes, seed)
+    bucket_terms = []
+    for i, plane in enumerate(planes):
+        lits = ", ".join(repr(x) for x in plane)
+        d = _DOT_SQL.format(a="embedding", b=f"[{lits}]")
+        bucket_terms.append(f"(CASE WHEN {d} >= 0 THEN {1 << i} ELSE 0 END)")
+    bucket = " + ".join(bucket_terms)
+    return f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             {bucket} AS bucket,
+             sqrt({_DOT_SQL.format(a='embedding', b='embedding')}) AS nrm
+      FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_DOT_SQL.format(a='q.embedding', b='c.embedding')} / (q.nrm * c.nrm) AS score
+      FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, score
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+@register("embedding_ann_lsh", oracle=_ann_lsh_oracle())
 def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH approximate top-5 (the scale path for ANN)."""
     from bcg_contacts_data_pipeline_spark.operators.similarity import (
