@@ -49,7 +49,7 @@ def read_tsv(
     if schema is not None:
         reader = reader.schema(schema)
     elif all_strings:
-        header_cols = _peek_header(path)
+        header_cols = _peek_header(spark, path)
         reader = reader.schema(string_schema(header_cols))
     else:
         reader = reader.option("inferSchema", True)
@@ -68,10 +68,17 @@ def read_tsv(
     return df
 
 
-def _peek_header(path: str) -> list[str]:
-    first = sorted(globmod.glob(path))[0] if any(ch in path for ch in "*?[") else path
-    with open(first, encoding="utf-8", errors="replace") as fh:
-        return [c.strip() for c in fh.readline().rstrip("\n").split("\t")]
+def _peek_header(spark: SparkSession, path: str) -> list[str]:
+    """First line of the input, split on tabs — read through Spark's text
+    source (not a driver-side ``open()``), so the same code path works on
+    object stores (s3a://, abfss://) and HDFS. For a glob the line comes
+    from one of the matched files (Spark packs splits by size, so not
+    necessarily the lexicographically first); a multi-file scan already
+    contracts that every file shares the header, so any file's header
+    serves."""
+    first = spark.read.text(path).limit(1).take(1)
+    line = first[0][0] if first else ""
+    return [c.strip() for c in line.split("\t")]
 
 
 def read_headerless_tsv(

@@ -85,3 +85,119 @@ def test_json_log_sink(spark, tmp_path):
 
     rec = json.loads(open(out).readline())
     assert rec["field"] == "f" and rec["new_value"] == "new"
+
+
+def _mailchimp_fixture(tmp_path):
+    """Reference-shaped mailchimp export (FIXTURES.md §2 / data_files/1.tsv
+    header family, trimmed to the columns the pipeline consumes)."""
+    p = tmp_path / "1.tsv"
+    p.write_text(
+        "Email Address\tFirst Name\tLast Name\tPhone Number\tMobile Number\tMEMBER_RATING\n"
+        "ann.lee@corp.example\tAnn\tLee\t\t0405 652 525\t4\n"
+        "hassan@corp.example\tHassan Derani Lawson\t\t(07) 4742 1303\t\t2\n"
+    )
+    return str(p)
+
+
+def _crm_fixture(tmp_path):
+    """CRM export (FIXTURES.md §3 / data_files/4.tsv header)."""
+    p = tmp_path / "4.tsv"
+    p.write_text(
+        "First Name\tLast Name\tJob Title\tPhone\tEmail\tMobile\tFull Name\tCompany Name\n"
+        "Bob\tRoy\tCEO\t\tbob.roy@corp.example\t0413111222\tRichard \tAcme\n"
+    )
+    return str(p)
+
+
+def test_canned_registry_reads_reference_shaped_files(spark, tmp_path):
+    from bcg_contacts_data_pipeline_spark.io import registries as REG
+
+    df = R.read_sources(
+        spark,
+        [_mailchimp_fixture(tmp_path), _crm_fixture(tmp_path)],
+        REG.CONTACT_SOURCE_REGISTRY,
+    )
+    rows = {r["s_email"]: r for r in df.collect()}
+    assert rows["ann.lee@corp.example"]["s_mobile"] == "0405 652 525"
+    # 'First Name' holding a full name with empty last (FIXTURES.md §2)
+    assert rows["hassan@corp.example"]["s_firstname"] == "Hassan Derani Lawson"
+    assert rows["hassan@corp.example"]["s_lastname"] is None
+    assert rows["bob.roy@corp.example"]["s_mobile"] == "0413111222"
+    # 'Full Name' synonym resolved from the crm header
+    assert rows["bob.roy@corp.example"]["s_fullname"] == "Richard "
+
+
+def test_usable_source_reproduces_reference_skip(tmp_path):
+    from bcg_contacts_data_pipeline_spark.io import registries as REG
+
+    # mailchimp/crm headers: usable
+    assert REG.usable_source(
+        ["Email Address", "First Name", "Last Name", "Mobile Number"]
+    )
+    assert REG.usable_source(["Full Name", "Phone"])
+    # data_files/5.tsv first data row misread as header -> no recognizable
+    # name/contact columns -> the reference skips it
+    assert not REG.usable_source(["Scott", "QRS", "scott@qldretailsupplies.com.au", "", ""])
+    # name but no contact key
+    assert not REG.usable_source(["First Name", "Last Name", "Job Title"])
+
+
+def test_headerless_adhoc_lists_ingest_via_positional_registry(spark, tmp_path):
+    from bcg_contacts_data_pipeline_spark.io import registries as REG
+
+    p5 = tmp_path / "5.tsv"
+    p5.write_text("Scott\tQRS\tscott@qldretailsupplies.com.au\t\t\n")
+    p6 = tmp_path / "6.tsv"
+    p6.write_text("Sharman Stores\tPeter & Jodi Sharman\tpeter@sharman.example\n")
+
+    df5 = REG.ADHOC_5_REGISTRY.apply(
+        R.read_headerless_tsv(spark, str(p5), REG.ADHOC_5_COLUMNS)
+    )
+    r5 = df5.collect()[0]
+    assert r5["s_fullname"] == "Scott"
+    assert r5["s_email"] == "scott@qldretailsupplies.com.au"
+    assert r5["s_mobile"] is None
+
+    df6 = REG.ADHOC_6_REGISTRY.apply(
+        R.read_headerless_tsv(spark, str(p6), REG.ADHOC_6_COLUMNS)
+    )
+    r6 = df6.collect()[0]
+    assert r6["s_fullname"] == "Peter & Jodi Sharman"
+    assert r6["s_email"] == "peter@sharman.example"
+
+
+def test_pipeline_runs_off_reference_shaped_tsvs(spark, tmp_path):
+    """TSV-edge e2e: master + enrichment sources from reference-shaped
+    files through read_sources + canned registry + run_pipeline; a master
+    row missing its lastname/mobile is filled from the 2-of-3 match."""
+    from bcg_contacts_data_pipeline_spark.io import registries as REG
+    from bcg_contacts_data_pipeline_spark.plans import contacts as C
+
+    master_p = tmp_path / "MergedDatabase.tsv"
+    master_p.write_text(
+        "seqno\tfirstname\tlastname\temail\tmobile\tfullname\tisactive\tlast_updated\n"
+        "1\tAnn\t\tann.lee@corp.example\t0405652525\tAnn Lee\tY\t2020-01-02 03:04:05\n"
+        "2\tBob\tRoy\tbob.roy@corp.example\t\tBob Roy\tN\t2020-01-02 03:04:05\n"
+        "3\tnan\tnan\tnot-an-email\t\t\tjunk\t\n"
+    )
+    master = R.read_tsv(spark, str(master_p), all_strings=True)
+
+    src = R.read_sources(
+        spark,
+        [_mailchimp_fixture(tmp_path), _crm_fixture(tmp_path)],
+        REG.CONTACT_SOURCE_REGISTRY,
+    )
+    src = REG.with_source_order(src.drop("source_file"))
+
+    result = C.run_pipeline(master, sources=src)
+    rows = {r["email"]: r for r in result.cleaned.collect()}
+    # row 2 matched bob.roy on (name, email) -> mobile filled from crm file
+    assert rows["bob.roy@corp.example"]["mobile"] == "0413111222"
+    # row 1 was complete except lastname ('' -> NULL at ingest) and matched
+    # ann.lee on (email, phone) -> lastname filled
+    assert rows["ann.lee@corp.example"]["lastname"] == "Lee"
+    # contiguous SEQNO over the cleaned output
+    assert sorted(r["seqno"] for r in result.cleaned.collect()) == [1, 2, 3]
+    # the junk row (no name, no valid email) is skipped by validation
+    errs = result.errors.collect()
+    assert all(e["seqno"] is not None for e in errs)
