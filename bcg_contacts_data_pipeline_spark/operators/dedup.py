@@ -33,15 +33,25 @@ def dedup_key(
     fullname: Column | str,
     mobile: Column | str,
 ) -> Column:
-    """A1 — normalized email if present, else ``lower(fullname)-mobile``;
-    NULL when neither side yields a usable key (clean_contacts.py:164-177)."""
+    """A1 — normalized email if present, else the reference's pandas
+    string concat ``lower(fullname) + '-' + mobile`` with NULL -> ''
+    (clean_contacts.py:167-177): the dash is ALWAYS present, so a
+    blank-name row with a mobile keys as ``-<mobile>`` and merges on
+    mobile alone, and ``name`` / ``name-`` style collisions cannot occur
+    — exactly the reference's grouping. NULL only when both sides are
+    blank (the keyless passthrough case). Values are trimmed first (the
+    pipeline feeds already-trimmed cleaned fields; raw callers get the
+    sane reading of the same key)."""
     email_c = F.col(email) if isinstance(email, str) else email
     fullname_c = F.col(fullname) if isinstance(fullname, str) else fullname
     mobile_c = F.col(mobile) if isinstance(mobile, str) else mobile
-    fallback = F.concat_ws(
-        "-", F.lower(F.trim(fullname_c)), F.trim(mobile_c.cast("string"))
+    fallback = F.concat(
+        F.coalesce(F.lower(F.trim(fullname_c)), F.lit("")),
+        F.lit("-"),
+        F.coalesce(F.trim(mobile_c.cast("string")), F.lit("")),
     )
-    fallback = F.when(F.length(F.trim(F.lower(F.trim(fullname_c)))) > 0, fallback)
+    # a lone dash means both sides were blank -> keyless
+    fallback = F.when(F.length(fallback) > 1, fallback)
     return F.coalesce(norm_email(email_c), fallback)
 
 

@@ -58,10 +58,14 @@ def kofn_enrich(
     """J2 — fill missing target fields from the first source row agreeing on
     >= ``min_matches`` of ``len(keys)`` normalized keys.
 
-    Returns ``(enriched, change_log)``. ``enriched`` keeps the target's
-    original columns (fill columns coalesced); ``change_log`` has one row
-    per actually-filled cell: (target_id, field, old_value, new_value,
-    source_id, matched_on).
+    Returns ``(enriched, change_log)``. ``enriched`` is NARROW — one row
+    per target row with (target_id, the fill columns coalesced
+    target-first, matched_source_id, matched_on); non-fill target columns
+    are NOT carried, so callers splice the fills back into the full-width
+    target by ``target_id`` (see plans.contacts.fill_missing — the narrow
+    shape is what keeps the splice join's build side small).
+    ``change_log`` has one row per actually-filled cell: (target_id,
+    field, old_value, new_value, source_id, matched_on).
     """
     t_keyed = target.select(
         F.col(target_id).alias("__tid"),

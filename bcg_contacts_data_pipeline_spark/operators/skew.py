@@ -35,9 +35,7 @@ def salted_agg(
     shape — exactly the ones whose partials Spark already pushes map-side
     for NON-skewed keys; salting extends that to the reduce side.
     """
-    salted = df.withColumn(
-        "__salt", (F.rand(seed=7) * salt_buckets).cast("int")
-    )
+    salted = df.withColumn("__salt", _content_salt(df, salt_buckets))
     partial = salted.groupBy(*keys, "__salt").agg(
         *[
             pfn(inp).alias(f"__p_{out}")
@@ -64,8 +62,24 @@ def salted_join(
     ``salt_buckets``-fold — use only when the dim is small enough for
     that (it usually is: skew problems are fact-side) and the dim is too
     large or the join type unsuited for a plain broadcast."""
-    f = fact.withColumn("__salt", (F.rand(seed=7) * salt_buckets).cast("int"))
+    f = fact.withColumn("__salt", _content_salt(fact, salt_buckets))
     d = dim.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
     )
     return f.join(d, [on, "__salt"], how).drop("__salt")
+
+
+def _content_salt(df: DataFrame, salt_buckets: int) -> Column:
+    """Deterministic salt from row content — NOT ``F.rand``: a
+    non-deterministic expression evaluated before a shuffle re-salts rows
+    differently when a task retries or a partition recomputes, the
+    classic Spark hazard that can drop or double-count rows mid-stage.
+    A full-row hash spreads a hot key just as uniformly for distinct rows
+    and stays stable under recomputation. Limitation: bit-identical
+    duplicate rows share a bucket; if a hot key is millions of IDENTICAL
+    rows, pre-aggregate them (a map-side combine already does) or add a
+    distinguishing column before salting."""
+    return F.pmod(
+        F.xxhash64(F.struct(*[F.col(c) for c in df.columns])),
+        F.lit(salt_buckets),
+    ).cast("int")

@@ -106,8 +106,20 @@ def range_join_bucketed(
     predicate. Bucket width == window width, so the candidate set per row
     is bounded by the traffic of 2 buckets — not the whole key history.
     """
-    bucket_l = (F.unix_micros(F.col(left_ts)) / F.lit(window_us)).cast("long")
-    bucket_r = (F.unix_micros(F.col(right_ts)) / F.lit(window_us)).cast("long")
+    # Exact integer FLOOR division — not double `/` + cast (float
+    # boundary rounding) and not plain SQL `div` (both truncate toward
+    # zero, mis-bucketing pre-1970 timestamps across the -1/0 boundary).
+    # pmod's non-negative remainder makes the numerator an exact multiple,
+    # where truncation and floor agree.
+    w = int(window_us)
+
+    def _floor_bucket(ts_col: str) -> Column:
+        return F.expr(
+            f"(unix_micros(`{ts_col}`) - pmod(unix_micros(`{ts_col}`), {w})) div {w}"
+        )
+
+    bucket_l = _floor_bucket(left_ts)
+    bucket_r = _floor_bucket(right_ts)
 
     l_b = left.withColumn(
         "__bucket", F.explode(F.array(bucket_l, bucket_l + 1))

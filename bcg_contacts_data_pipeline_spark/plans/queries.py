@@ -1736,12 +1736,15 @@ cleaned AS (
          CASE WHEN upper(trim(isactive)) IN ('Y', 'N')
               THEN upper(trim(isactive)) END AS isactive
   FROM filled),
--- dedup key (email else lower(fullname)-mobile); singleton groups here
+-- dedup key (email else lower(fullname)||'-'||mobile, dash always kept,
+-- NULL -> ''; a lone dash is keyless); singleton groups here
 keyed AS (
   SELECT c.*,
          coalesce(email,
-                  CASE WHEN length(trim(lower(trim(fullname)))) > 0
-                       THEN concat_ws('-', lower(trim(fullname)), trim(mobile)) END
+                  CASE WHEN length(coalesce(lower(trim(fullname)), '') || '-'
+                              || coalesce(trim(mobile), '')) > 1
+                       THEN coalesce(lower(trim(fullname)), '') || '-'
+                            || coalesce(trim(mobile), '') END
          ) AS dedup_key
   FROM cleaned c),
 merged AS (

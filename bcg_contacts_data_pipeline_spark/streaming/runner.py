@@ -37,7 +37,13 @@ def run_available_now(
         .start()
     )
     try:
-        q.awaitTermination(timeout_s)
+        # awaitTermination returns False on timeout — a partially-filled
+        # sink table must surface as an error, never as a silently
+        # truncated result.
+        if not q.awaitTermination(timeout_s):
+            raise TimeoutError(
+                f"streaming query {name!r} did not drain within {timeout_s}s"
+            )
     finally:
         q.stop()
     return stream_df.sparkSession.table(name)
@@ -64,6 +70,9 @@ def run_to_files(
         .start()
     )
     try:
-        q.awaitTermination(timeout_s)
+        if not q.awaitTermination(timeout_s):
+            raise TimeoutError(
+                f"streaming file sink at {path!r} did not drain within {timeout_s}s"
+            )
     finally:
         q.stop()

@@ -96,3 +96,30 @@ def test_first_row_per_group(spark):
     out = D.first_row_per_group(df, ["k"], [F.col("ord").asc()])
     got = {r["k"]: r["v"] for r in out.collect()}
     assert got == {1: "b", 2: "z"}
+
+
+def test_dedup_key_reference_concat_semantics(spark):
+    """ADVICE r01: the fallback key mirrors pandas string concat exactly —
+    dash always present, NULL -> '', so mobile-only rows key as
+    '-<mobile>' (merge on mobile alone) and 'name' vs 'name-' collisions
+    cannot occur."""
+    rows = [
+        (None, "Ann Lee", None, "name only"),
+        (None, None, "333", "mobile only"),
+        (None, "", "333", "blank name with mobile"),
+        (None, "A-7", None, "dashed name no mobile"),
+        (None, "A", "7", "name and mobile"),
+    ]
+    df = spark.createDataFrame(rows, "email string, fullname string, mobile string, tag string")
+    got = {
+        r["tag"]: r["k"]
+        for r in df.select(
+            D.dedup_key("email", "fullname", "mobile").alias("k"), "tag"
+        ).collect()
+    }
+    assert got["name only"] == "ann lee-"
+    assert got["mobile only"] == "-333"
+    assert got["blank name with mobile"] == "-333"  # merges on mobile alone
+    # trailing dash keeps these two distinct (would collide without it)
+    assert got["dashed name no mobile"] == "a-7-"
+    assert got["name and mobile"] == "a-7"

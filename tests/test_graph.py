@@ -24,3 +24,37 @@ def test_components_long_chain_converges(spark):
     got = {r.node: r.comp for r in connected_components(edges).collect()}
     assert set(got.values()) == {0}
     assert len(got) == 12
+
+
+def test_components_reliable_checkpoint(spark, tmp_path):
+    import pytest
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    # without a checkpoint dir the reliable path must fail loudly
+    sc = spark.sparkContext
+    if sc.getCheckpointDir() is None:
+        with pytest.raises(ValueError, match="setCheckpointDir"):
+            connected_components(edges, checkpoint="reliable").collect()
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    got = {
+        r.node: r.comp
+        for r in connected_components(edges, checkpoint="reliable").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    with pytest.raises(ValueError, match="checkpoint must be"):
+        connected_components(edges, checkpoint="bogus")
+
+
+def test_components_max_iter_bound(spark):
+    # a capped run returns (possibly unconverged) labels instead of looping
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "id_a long, id_b long"
+    )
+    got = {r.node: r.comp for r in connected_components(edges, max_iter=1).collect()}
+    assert len(got) == 12
+    assert got[0] == 0
+    # one round cannot have propagated 0 to the chain's far end
+    assert got[11] != 0

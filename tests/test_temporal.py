@@ -93,3 +93,26 @@ def test_sessionize_gap(spark):
     out = sessionize(df, "user_id", "ts", 30 * 60 * 1_000_000, "event_id")
     got = {r["event_id"]: r["session_id"] for r in out.collect()}
     assert got[1] == 1 and got[2] == 1 and got[3] == 2 and got[4] == 1
+
+
+def test_range_join_buckets_floor_pre_1970(spark):
+    """Bucketing uses exact integer floor division: pre-1970 timestamps
+    must not collapse into bucket 0 (double division + cast truncated
+    toward zero)."""
+    from bcg_contacts_data_pipeline_spark.operators.temporal import (
+        range_join_bucketed,
+    )
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame(
+        [(1, "1969-12-31 23:59:30")], "k int, ts_s string"
+    ).select("k", F.to_timestamp("ts_s").alias("lts"))
+    right = spark.createDataFrame(
+        [(1, "1969-12-31 23:59:50"), (1, "1970-01-01 00:00:20")],
+        "k int, ts_s string",
+    ).select("k", F.to_timestamp("ts_s").alias("rts"))
+    out = range_join_bucketed(
+        left, right, on=["k"], left_ts="lts", right_ts="rts", window_us=60_000_000
+    )
+    # both right rows are within (lts, lts + 60s] and straddle the epoch
+    assert out.count() == 2
