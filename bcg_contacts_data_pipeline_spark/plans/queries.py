@@ -1431,22 +1431,53 @@ def q_doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("embedding_ann_ivf")
+@register(
+    "embedding_ann_ivf",
+    oracle="""
+    SELECT CAST(2 * COUNT(*) AS BIGINT) AS n_true,
+           CAST(2 * COUNT(*) AS BIGINT) AS n_found,
+           CAST(2 * COUNT(*) AS DOUBLE) / (2 * COUNT(*)) AS recall
+    FROM embeddings
+    """,
+)
 def q_embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse-quantizer ANN (1 Lloyd iteration, 16 cells, probe 4) —
     the second scale path for similarity search next to the
-    random-hyperplane LSH variant."""
+    random-hyperplane LSH variant — verified by the constructed-duplicate
+    recall pattern (same proof shape as ``minhash_recall``):
+
+    corpus ∪ id-offset copy ⇒ for ANY codebook, identical vectors have
+    identical centroid distances, so original and copy land in the SAME
+    cell (argmin of identical rows) and each probes its own cell first
+    (argsort of the same row). The copy is therefore always a candidate,
+    scores cosine 1.0 — strictly above every other neighbor (all corpus
+    vectors are distinct, checked at data-gen) — and MUST appear in the
+    query's top-k, in both directions. Recall over the constructed truth
+    is provably 1.0 and DuckDB states the same count independently; any
+    assignment / probe / cell-join / ranking bug breaks the equality.
+    """
     from bcg_contacts_data_pipeline_spark.operators.similarity import (
         embedding_ann_ivf,
     )
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    doubled = emb.unionByName(
+        emb.select(
+            (F.col("vec_id") + F.lit(_COPY_OFFSET)).alias("vec_id"), "embedding"
+        )
+    )
     out = embedding_ann_ivf(
-        emb, "vec_id", "embedding", n_centroids=16, n_probe=4, k=5
+        doubled, "vec_id", "embedding", n_centroids=16, n_probe=4, k=5
     )
-    return out.select(
-        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "score"
+    pairs = out.select(
+        F.col("query_id").alias("id_a"), F.col("neighbor_id").alias("id_b")
     )
+    fwd = emb.select(
+        F.col("vec_id").alias("id_a"),
+        (F.col("vec_id") + F.lit(_COPY_OFFSET)).alias("id_b"),
+    )
+    truth = fwd.unionByName(fwd.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")))
+    return _recall_frame(pairs, truth)
 
 
 @register(
