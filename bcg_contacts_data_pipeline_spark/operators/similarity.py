@@ -40,7 +40,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from bcg_contacts_data_pipeline_spark.functions.text import tokens, word_ngrams
-from bcg_contacts_data_pipeline_spark.functions.vectors import dot, l2_norm
+from bcg_contacts_data_pipeline_spark.functions.vectors import dot
 
 #: 31-bit Mersenne prime for the minhash permutation family: with a, b, h
 #: all < 2^31, ``a*h + b`` stays under 2^62 — no int64 overflow under ANSI
@@ -476,24 +476,56 @@ def _hyperplanes(dim: int, num_planes: int, seed: int) -> list[list[float]]:
     ]
 
 
+def lsh_num_planes(n_rows: int, target_bucket_rows: int = 4096) -> int:
+    """Plane count sized from the corpus: ``ceil(log2(n / target))``
+    clamped to [1, 30], so expected bucket occupancy stays at or below
+    ``target_bucket_rows`` under the uniform-sign approximation. The
+    recall/cost dial in one line: each extra plane halves the expected
+    bucket (≈ halves candidate cost) and lowers recall for non-identical
+    neighbors; identical vectors always share every sign bit, so
+    exact-duplicate recall is 1.0 at any plane count. At 10^9 rows and
+    the default target this picks 18 planes (~256k buckets)."""
+    import math
+
+    return max(1, min(30, math.ceil(math.log2(max(2.0, n_rows / target_bucket_rows)))))
+
+
 def embedding_ann_lsh(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     dim: int,
     k: int = 5,
-    num_planes: int = 8,
+    num_planes: int | str = "auto",
     seed: int = 42,
+    target_bucket_rows: int = 4096,
 ) -> DataFrame:
     """Approximate top-k via random-hyperplane (sign) LSH.
 
     Bucket = the sign bit-vector of ``num_planes`` fixed hyperplane dot
-    products; cosine is evaluated only within a bucket. The scale path:
-    shuffle keys are (bucket), candidate sets are bucket-local. Recall is
-    tunable via num_planes (fewer planes = bigger buckets = higher
-    recall + cost)."""
-    from pyspark.sql import Window
+    products; cosine is evaluated only within a bucket. ``"auto"``
+    (default) derives the plane count from a corpus ``count()`` via
+    ``lsh_num_planes`` — one extra cheap count job, and the bucket size
+    stays bounded as the corpus grows instead of silently degrading to
+    quadratic in-bucket cost at a fixed toy plane count.
 
+    Physical shape (the 100 TB path): the ONLY shuffle is the
+    groupBy(bucket) exchange, whose rows carry (id, vector, bucket).
+    Because a query's candidate set is exactly its own bucket, scoring
+    and per-query top-k both happen inside one ``applyInPandas`` group —
+    one numpy matrix product per bucket, dimension-sequential
+    accumulation (``_seq_scores``) so scores stay bit-identical to the
+    SQL fold oracle. No candidate pair ever carries two vectors through
+    a shuffle (the r2 version joined bucket-vs-bucket and shipped
+    ~N^2/buckets pair rows with both 64-float vectors attached — the
+    exact shape the IVF cogroup comment measured at ~6 s). Hot buckets
+    are the standard sign-LSH skew risk: ``lsh_num_planes`` bounds the
+    EXPECTED occupancy; a pathologically aligned corpus still
+    concentrates, which AQE cannot split (single group key) — the dial
+    is more planes, fewer per-bucket rows.
+    """
+    if num_planes == "auto":
+        num_planes = lsh_num_planes(df.count(), target_bucket_rows)
     planes = _hyperplanes(dim, num_planes, seed)
     v = F.col(vec_col)
     bucket = None
@@ -503,37 +535,40 @@ def embedding_ann_lsh(
         bit = F.when(d >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, i)
         bucket = term if bucket is None else bucket.bitwiseOR(term)
-    bucketed = df.repartition(64).select(
-        F.col(id_col),
-        v.alias("__v"),
-        bucket.alias("__bucket"),
-        l2_norm(v).alias("__n"),
+    bucketed = df.select(
+        F.col(id_col).alias("__id"), v.alias("__v"), bucket.alias("__bucket")
     )
 
-    l = bucketed.select(
-        F.col(id_col).alias("query_id"),
-        F.col("__v").alias("__qv"),
-        F.col("__n").alias("__qn"),
-        "__bucket",
+    out_schema = "query_id long, neighbor_id long, rank int, score double"
+    empty = pd.DataFrame(
+        {"query_id": [], "neighbor_id": [], "rank": [], "score": []}
+    ).astype(
+        {
+            "query_id": "int64",
+            "neighbor_id": "int64",
+            "rank": "int32",
+            "score": "float64",
+        }
     )
-    r = bucketed.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col("__v").alias("__cv"),
-        F.col("__n").alias("__cn"),
-        "__bucket",
-    )
-    pairs = l.join(r, on="__bucket").filter(F.col("query_id") != F.col("neighbor_id"))
-    scored = pairs.withColumn(
-        "score", dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "score")
-    )
+
+    def bucket_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return empty
+        arr = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+        ids = pdf["__id"].to_numpy()
+        score = _seq_scores(arr, arr)
+        out_q, out_n, out_r, out_s = [], [], [], []
+        for j in range(len(ids)):
+            pick = _local_topk(score[:, j], ids, ids[j], k)
+            out_q.extend([ids[j]] * len(pick))
+            out_n.extend(ids[pick])
+            out_r.extend(range(1, len(pick) + 1))
+            out_s.extend(score[pick, j])
+        return pd.DataFrame(
+            {"query_id": out_q, "neighbor_id": out_n, "rank": out_r, "score": out_s}
+        )
+
+    return bucketed.groupBy("__bucket").applyInPandas(bucket_topk, out_schema)
 
 
 def embedding_neardup(

@@ -88,6 +88,46 @@ def test_embedding_ann_lsh_same_bucket_for_identical(spark):
     assert (0, 3) in got or (0, 6) in got
 
 
+def test_embedding_ann_lsh_plan_has_no_pair_join(spark):
+    """VERDICT r02 #2: in-bucket scoring must be a per-bucket cogrouped
+    matmul, not a bucket self-join that ships every candidate pair with
+    both vectors attached. The physical plan must contain no join at all
+    — the only shuffle is the groupBy(bucket) exchange feeding
+    FlatMapGroupsInPandas."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = S.embedding_ann_lsh(emb, "vec_id", "embedding", dim=64, k=5, num_planes=6)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert "FlatMapGroupsInPandas" in plan, plan
+    # exactly one exchange: the bucket groupBy (plus nothing downstream —
+    # rank is computed inside the group, so no window shuffle either)
+    assert plan.count("Exchange") == 1, plan
+    assert "Window" not in plan, plan
+
+
+def test_lsh_num_planes_formula():
+    # toy corpora never drop below one plane
+    assert S.lsh_num_planes(10) == 1
+    # a corpus of 2^20 rows at the 4096 default -> 256 buckets
+    assert S.lsh_num_planes(1 << 20) == 8
+    # 10^9 rows -> 18 planes (~262k buckets, ~4k expected occupancy)
+    assert S.lsh_num_planes(1_000_000_000) == 18
+    # clamped: plane count never exceeds 30 (bucket key stays a long)
+    assert S.lsh_num_planes(1 << 62) == 30
+
+
+def test_embedding_ann_lsh_auto_planes(spark):
+    """num_planes='auto' (the default) derives the plane count from a
+    corpus count and still returns ranked neighbors for every query."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = S.embedding_ann_lsh(emb, "vec_id", "embedding", dim=64, k=3)
+    rows = out.collect()
+    assert rows, "auto-planes output empty"
+    # 500 rows / 4096 target -> 1 plane -> 2 buckets -> everyone has neighbors
+    assert len({r["query_id"] for r in rows}) == emb.count()
+    assert all(1 <= r["rank"] <= 3 for r in rows)
+
+
 def test_embedding_ann_ivf_recall(spark):
     from bcg_contacts_data_pipeline_spark.operators.similarity import (
         embedding_ann_ivf,
