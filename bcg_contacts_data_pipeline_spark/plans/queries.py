@@ -1672,24 +1672,48 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: - title_case reduces to upper(first)+lower(rest): every value is a
 #:   single leading letter-run ('Customer#000000001', mktsegments);
 #:   DuckDB's RE2 regex lacks the lookarounds of the general form.
-#: - c_name/email/fullname are unique per row, so every dedup group is a
-#:   singleton (GROUP BY with MAX is the identity merge; the general
-#:   most-complete merge is oracle-checked by dedup_merge) and the
-#:   renumber's within-key tiebreak never fires: seqno is the rank of
-#:   dedup_key alone (binary string order in both engines).
+#: - Real multi-row merge groups exist: the %4==1 collision cohort shares
+#:   a mobile per c_custkey % 97, so its dedup key is the reference's
+#:   `-<mobile>` fallback and the most-complete merge (longest valid
+#:   value, recency tiebreak) genuinely fires; `last_updated` is unique
+#:   within every group (members congruent mod 388 = 4*97), making the
+#:   length-then-recency winner deterministic in both engines, expressed
+#:   here as first(... ORDER BY length DESC, ts DESC) FILTER (valid).
+#: - %19 keyless rows pass through unmerged with a NULL key. Their
+#:   relative SEQNO order in Spark is an xxhash64 tiebreak (not
+#:   SQL-expressible), but they are pairwise identical on every selected
+#:   column, so ANY contiguous numbering of the keyless block yields the
+#:   same output multiset and the order-insensitive hash agrees.
+#: - Keyed rows have pairwise-distinct dedup keys (emails unique;
+#:   fallback keys embed the unique c_name or the group-merged mobile),
+#:   so their seqno is the rank of dedup_key alone.
 _E2E_ORACLE = """
 WITH master AS (
   SELECT CAST(c_custkey AS VARCHAR) AS mid,
-         CASE WHEN c_custkey % 7 = 0 THEN 'nan'
+         (c_custkey % 4 = 1 AND c_custkey % 13 <> 0 AND c_custkey % 19 <> 0)
+           AS cohort,
+         CASE WHEN c_custkey % 19 = 0 THEN 'nan'
+              WHEN c_custkey % 7 = 0 THEN 'nan'
               ELSE str_split(c_name, '#')[1] END AS firstname,
-         CASE WHEN c_custkey % 5 = 0 THEN NULL
+         CASE WHEN c_custkey % 19 = 0 OR c_custkey % 5 = 0 THEN NULL
               ELSE str_split(c_name, '#')[2] END AS lastname,
-         CASE WHEN c_custkey % 13 = 0 THEN 'not-an-email'
+         CASE WHEN c_custkey % 19 = 0 THEN NULL
+              WHEN c_custkey % 13 = 0 THEN 'not-an-email'
+              WHEN cohort THEN NULL
               ELSE lower(c_name) || '@corp.example' END AS email,
-         CASE WHEN c_custkey % 3 = 0 THEN NULL
+         CASE WHEN c_custkey % 19 = 0 THEN NULL
+              WHEN cohort THEN CAST(10000000 + c_custkey % 97 AS VARCHAR)
+              WHEN c_custkey % 3 = 0 THEN NULL
               ELSE CAST(c_custkey * 7919 + 10000000 AS VARCHAR) END AS mobile,
-         c_name AS fullname,
-         CASE WHEN c_custkey % 2 = 0 THEN 'y' ELSE 'No' END AS isactive
+         CASE WHEN c_custkey % 19 = 0 THEN 'nan'
+              WHEN cohort THEN NULL
+              ELSE c_name END AS fullname,
+         '2020-01-02 '
+           || lpad(CAST(((c_custkey // 388) // 60) % 24 AS VARCHAR), 2, '0')
+           || ':' || lpad(CAST((c_custkey // 388) % 60 AS VARCHAR), 2, '0')
+           || ':05' AS last_updated,
+         CASE WHEN c_custkey % 19 = 0 THEN 'No'
+              WHEN c_custkey % 2 = 0 THEN 'y' ELSE 'No' END AS isactive
   FROM customer),
 source AS (
   SELECT c_custkey AS sid,
@@ -1748,12 +1772,12 @@ filled AS (
          coalesce(t.lastname, s.s_lastname) AS lastname,
          coalesce(t.fullname, s.s_fullname) AS fullname,
          coalesce(t.mobile, s.s_mobile) AS mobile,
-         t.email, t.isactive
+         t.email, t.isactive, t.last_updated
   FROM tkeys t
   LEFT JOIN best b ON t.mid = b.mid
   LEFT JOIN skeys s ON b.sid = s.sid),
 -- clean: sentinel-null, normalize email, digits-only mobile, title-case
--- names, Y/N flags
+-- names, Y/N flags; ts = parsed last_updated (the merge's recency order)
 cleaned AS (
   SELECT mid,
          upper(substr(nullif(trim(firstname), 'nan'), 1, 1))
@@ -1763,12 +1787,14 @@ cleaned AS (
               THEN lower(trim(email)) END AS email,
          CASE WHEN length(regexp_replace(mobile, '[^0-9]', '', 'g')) > 0
               THEN regexp_replace(mobile, '[^0-9]', '', 'g') END AS mobile,
-         upper(substr(fullname, 1, 1)) || lower(substr(fullname, 2)) AS fullname,
+         upper(substr(nullif(trim(fullname), 'nan'), 1, 1))
+           || lower(substr(nullif(trim(fullname), 'nan'), 2)) AS fullname,
          CASE WHEN upper(trim(isactive)) IN ('Y', 'N')
-              THEN upper(trim(isactive)) END AS isactive
+              THEN upper(trim(isactive)) END AS isactive,
+         CAST(last_updated AS TIMESTAMP) AS ts
   FROM filled),
 -- dedup key (email else lower(fullname)||'-'||mobile, dash always kept,
--- NULL -> ''; a lone dash is keyless); singleton groups here
+-- NULL -> ''; a lone dash is keyless)
 keyed AS (
   SELECT c.*,
          coalesce(email,
@@ -1778,13 +1804,30 @@ keyed AS (
                             || coalesce(trim(mobile), '') END
          ) AS dedup_key
   FROM cleaned c),
+-- most-complete merge: per column the longest valid value wins, ties
+-- toward most-recent last_updated (unique within each group, so total);
+-- keyless rows (NULL key) pass through unmerged, group_size 1
 merged AS (
   SELECT dedup_key,
-         MAX(firstname) AS firstname, MAX(lastname) AS lastname,
-         MAX(email) AS email, MAX(mobile) AS mobile,
-         MAX(isactive) AS isactive,
+         first(firstname ORDER BY length(firstname) DESC, ts DESC)
+           FILTER (WHERE firstname IS NOT NULL) AS firstname,
+         first(lastname ORDER BY length(lastname) DESC, ts DESC)
+           FILTER (WHERE lastname IS NOT NULL) AS lastname,
+         first(email ORDER BY length(email) DESC, ts DESC)
+           FILTER (WHERE email IS NOT NULL) AS email,
+         first(mobile ORDER BY length(mobile) DESC, ts DESC)
+           FILTER (WHERE mobile IS NOT NULL) AS mobile,
+         first(isactive ORDER BY length(isactive) DESC, ts DESC)
+           FILTER (WHERE isactive IS NOT NULL) AS isactive,
          COUNT(*) AS group_size
-  FROM keyed GROUP BY dedup_key)
+  FROM keyed
+  WHERE dedup_key IS NOT NULL AND length(trim(dedup_key)) > 0
+  GROUP BY dedup_key
+  UNION ALL
+  SELECT dedup_key, firstname, lastname, email, mobile, isactive,
+         CAST(1 AS BIGINT) AS group_size
+  FROM keyed
+  WHERE dedup_key IS NULL OR length(trim(dedup_key)) = 0)
 SELECT CAST(row_number() OVER (ORDER BY dedup_key ASC NULLS LAST) AS BIGINT) AS seqno,
        firstname, lastname, email, mobile, isactive, group_size,
        CAST(CASE WHEN firstname IS NULL AND lastname IS NULL AND email IS NULL THEN 0
@@ -1813,24 +1856,57 @@ def q_contacts_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bcg_contacts_data_pipeline_spark.plans import contacts as C
 
     cust = _t(spark, sf_dir, "customer")
+    ck = F.col("c_custkey")
+    # Collision cohort (%4==1, excluding the %13/%19 cohorts): null email +
+    # null fullname + a GROUP-SHARED mobile => dedup key is the reference's
+    # `-<mobile>` fallback, shared by every cohort row with the same
+    # c_custkey % 97 — real multi-row merge groups. Keyless cohort (%19):
+    # all three key inputs blank => NULL key => passthrough. last_updated
+    # is UNIQUE within every merge group (members of a group are congruent
+    # mod 388 = 4*97, so c_custkey // 388 is distinct within a group),
+    # making the length-then-recency merge deterministic in both engines.
+    cohort = (ck % 4 == 1) & (ck % 13 != 0) & (ck % 19 != 0)
+    j = F.floor(ck / F.lit(388)).cast("long")
+    last_updated = F.concat(
+        F.lit("2020-01-02 "),
+        F.lpad(((j / 60).cast("long") % 24).cast("string"), 2, "0"),
+        F.lit(":"),
+        F.lpad((j % 60).cast("string"), 2, "0"),
+        F.lit(":05"),
+    )
     master = cust.select(
-        F.col("c_custkey").cast("string").alias("seqno"),
-        F.when(F.col("c_custkey") % 7 == 0, F.lit("nan"))
+        ck.cast("string").alias("seqno"),
+        # %19 keyless rows blank EVERY output-visible field: their relative
+        # SEQNO order is decided by the renumber's xxhash64 tiebreak (not
+        # SQL-expressible), which is only oracle-safe when keyless rows are
+        # pairwise identical on the selected columns — then any numbering
+        # permutation yields the same output multiset.
+        F.when(ck % 19 == 0, F.lit("nan"))
+        .when(ck % 7 == 0, F.lit("nan"))
         .otherwise(F.split(F.col("c_name"), "#").getItem(0))
         .alias("firstname"),
-        F.when(F.col("c_custkey") % 5 == 0, F.lit(None))
+        F.when((ck % 19 == 0) | (ck % 5 == 0), F.lit(None))
         .otherwise(F.split(F.col("c_name"), "#").getItem(1))
         .alias("lastname"),
-        F.when(F.col("c_custkey") % 13 == 0, F.lit("not-an-email"))
+        F.when(ck % 19 == 0, F.lit(None))
+        .when(ck % 13 == 0, F.lit("not-an-email"))
+        .when(cohort, F.lit(None))
         .otherwise(F.concat(F.lower("c_name"), F.lit("@corp.example")))
         .alias("email"),
-        F.when(F.col("c_custkey") % 3 == 0, F.lit(None))
-        .otherwise((F.col("c_custkey") * 7919 + 10000000).cast("string"))
+        F.when(ck % 19 == 0, F.lit(None))
+        .when(cohort, (F.lit(10000000) + ck % 97).cast("string"))
+        .when(ck % 3 == 0, F.lit(None))
+        .otherwise((ck * 7919 + 10000000).cast("string"))
         .alias("mobile"),
-        F.col("c_name").alias("fullname"),
+        F.when(ck % 19 == 0, F.lit("nan"))
+        .when(cohort, F.lit(None))
+        .otherwise(F.col("c_name"))
+        .alias("fullname"),
         F.col("c_mktsegment").alias("title"),
-        F.lit("2020-01-02 03:04:05").alias("last_updated"),
-        F.when(F.col("c_custkey") % 2 == 0, F.lit("y")).otherwise(F.lit("No"))
+        last_updated.alias("last_updated"),
+        F.when(ck % 19 == 0, F.lit("No"))
+        .when(ck % 2 == 0, F.lit("y"))
+        .otherwise(F.lit("No"))
         .alias("isactive"),
     )
     source = cust.select(
