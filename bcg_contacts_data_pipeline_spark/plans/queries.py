@@ -1037,7 +1037,15 @@ def _ann_lsh_oracle(dim: int = 64, num_planes: int = 6, k: int = 5, seed: int = 
 
 @register("embedding_ann_lsh", oracle=_ann_lsh_oracle())
 def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH approximate top-5 (the scale path for ANN)."""
+    """Random-hyperplane LSH approximate top-5 (the scale path for ANN).
+
+    ``num_planes`` is pinned at 6 here ONLY because the DuckDB twin
+    embeds the seeded hyperplanes as literals, so both engines must
+    agree on the count up front. Production callers should leave the
+    operator's default ``num_planes="auto"``, which sizes the plane
+    count from a corpus count via ``lsh_num_planes`` (expected bucket
+    occupancy <= ~4k rows; see its docstring for the recall/cost dial).
+    """
     from bcg_contacts_data_pipeline_spark.operators.similarity import (
         embedding_ann_lsh,
     )

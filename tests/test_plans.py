@@ -80,3 +80,44 @@ def test_no_rowwise_python_udf_on_reference_surface(plans):
     the Arrow-batched similarity/multimodal/streaming operators."""
     for name, p in plans.items():
         assert "BatchEvalPython" not in p, name
+
+
+def test_ann_lsh_plan_ships_no_vector_pairs(spark):
+    """The ANN-LSH physical plan must score inside a per-bucket cogroup
+    (FlatMapGroupsInPandas), never via a candidate-pair join that ships
+    both 64-float vectors per pair through a shuffle — the O(N^2/buckets)
+    pair-materialization shape is the known 100 TB anti-pattern here.
+    Asserted structurally: the plan contains no join node at all, and no
+    plan node's output schema carries two vector-typed columns."""
+    from bcg_contacts_data_pipeline_spark.operators.similarity import (
+        embedding_ann_lsh,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = embedding_ann_lsh(
+        emb, "vec_id", "embedding", dim=64, k=5, num_planes=6
+    )
+    p = _plan(out)
+    assert "Join" not in p, f"ANN-LSH plan contains a join:\n{p}"
+    assert "FlatMapGroupsInPandas" in p
+    # belt and braces: no operator line exposes two array<...> outputs
+    for line in p.splitlines():
+        assert line.count("array<") < 2, f"two vector columns in one node:\n{line}"
+
+
+def test_lsh_num_planes_formula():
+    """The documented recall/cost dial: planes = ceil(log2(n/target)),
+    clamped to [1, 30] — expected bucket occupancy stays <= target, so
+    in-bucket cost is bounded as the corpus grows."""
+    from bcg_contacts_data_pipeline_spark.operators.similarity import (
+        lsh_num_planes,
+    )
+
+    assert lsh_num_planes(100) == 1  # tiny corpus -> 2 buckets minimum
+    assert lsh_num_planes(4096 * 8) == 3  # 8 buckets of ~4096
+    assert lsh_num_planes(10**9) == 18  # the docstring's headline case
+    assert lsh_num_planes(10**12) <= 30  # clamp
+    # monotone non-decreasing in corpus size
+    sizes = [10**i for i in range(2, 13)]
+    planes = [lsh_num_planes(n) for n in sizes]
+    assert planes == sorted(planes)
