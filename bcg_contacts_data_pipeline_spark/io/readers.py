@@ -96,8 +96,15 @@ class SourceRegistry:
 
     ``canonical`` maps each target column to its accepted source spellings
     (compared case-insensitively after strip). ``apply`` projects a raw
-    source frame onto the canonical columns, first-synonym-wins, missing
-    columns become NULL."""
+    source frame onto the canonical columns by coalescing the first
+    NON-BLANK value along the synonym chain (synonym-priority order);
+    targets with no matching column become NULL.
+
+    The coalesce is a documented divergence from the reference, which
+    keys and fills from only the FIRST phone-family column in file order
+    (fill_missing_contacts.py:192,201 ``src_phones[0]``) and so drops
+    the contact key of any row whose first phone cell is empty; here
+    such a row falls back to its next non-blank synonym column."""
 
     def __init__(self, canonical: dict[str, list[str]]):
         self.canonical = canonical
@@ -108,16 +115,22 @@ class SourceRegistry:
             lookup.setdefault(col.strip().lower(), col)
         out = []
         for target, synonyms in self.canonical.items():
-            source = None
+            hits = []
             for syn in [target, *synonyms]:
                 hit = lookup.get(syn.strip().lower())
-                if hit is not None:
-                    source = hit
-                    break
-            if source is None:
+                if hit is not None and hit not in hits:
+                    hits.append(hit)
+            if not hits:
                 out.append(F.lit(None).cast("string").alias(target))
             else:
-                out.append(F.col(f"`{source}`").cast("string").alias(target))
+                candidates = [
+                    F.when(
+                        F.length(F.trim(F.col(f"`{h}`").cast("string"))) > 0,
+                        F.col(f"`{h}`").cast("string"),
+                    )
+                    for h in hits
+                ]
+                out.append(F.coalesce(*candidates).alias(target))
         if keep_provenance:
             out.append(F.input_file_name().alias("source_file"))
         return df.select(*out)

@@ -38,9 +38,26 @@ EMAIL_SYNONYMS = ["Email Address", "Email", "email"]
 #: The reference matches phone columns by SUBSTRING (any column whose name
 #: contains one of these); the concrete spellings below cover every
 #: reference input file (mailchimp 1-3.tsv, crm 4.tsv, kindaworks).
+#: Ordered "Phone Number" first: the reference keys and fills from
+#: src_phones[0] — the first phone-family column in FILE order — and in
+#: every reference input layout that is the Phone Number column.
+#: ``SourceRegistry.apply`` coalesces the whole chain (first NON-BLANK
+#: value wins), which is a documented, strictly-more-complete divergence:
+#: a row whose Phone Number cell is empty falls back to its Mobile
+#: Number instead of losing the contact key as the reference does.
 PHONE_SYNONYMS = [
-    "Mobile Number", "Phone Number", "Mobile", "Phone", "mobile", "phone",
+    "Phone Number", "Mobile Number", "Phone", "Mobile", "mobile", "phone",
     "number",
+]
+
+#: fill_missing_contacts.py:192 VERBATIM — the case-sensitive substring
+#: list the reference's skip decision uses. Separate from PHONE_SYNONYMS
+#: (which adds spellings like 'number' for ingestion coverage) so
+#: ``usable_source`` reproduces the reference's accept/skip choice
+#: exactly: e.g. a file whose only contact-ish column is 'Account
+#: Number' or an all-caps 'PHONE' is skipped by both.
+REFERENCE_PHONE_SUBSTRINGS = [
+    "Phone Number", "Mobile Number", "Phone", "Mobile", "mobile", "phone",
 ]
 
 #: Mailchimp audience exports (data_files/1-3.tsv, mailchimpclean.tsv) and
@@ -83,20 +100,24 @@ ADHOC_6_REGISTRY = SourceRegistry(
 
 
 def usable_source(columns: list[str]) -> bool:
-    """The reference's skip decision (fill_missing_contacts.py:194-196):
-    a source file is usable iff it has a name (first+last, or a full-name
-    column) AND a contact key (email, or any phone-family column, matched
-    by substring exactly as the reference does)."""
-    lookup = {c.strip().lower() for c in columns}
+    """The reference's skip decision, reproduced EXACTLY
+    (fill_missing_contacts.py:189-196): a source file is usable iff it
+    has a name (first+last, or a full-name column, matched
+    case-sensitively against the exact synonym spellings) AND a contact
+    key (email, or any column containing one of the case-sensitive
+    REFERENCE_PHONE_SUBSTRINGS). Deliberately stricter than what the
+    ingestion registries accept — this predicate answers "would the
+    reference have processed this file", not "can this engine read it"."""
+    cols = set(columns)
 
     def has(synonyms: list[str]) -> bool:
-        return any(s.strip().lower() in lookup for s in synonyms)
+        return any(s in cols for s in synonyms)
 
     has_name = (has(FIRSTNAME_SYNONYMS) and has(LASTNAME_SYNONYMS)) or has(
         FULLNAME_SYNONYMS
     )
     has_phone = any(
-        p.strip().lower() in c for c in lookup for p in PHONE_SYNONYMS
+        p in c for c in columns for p in REFERENCE_PHONE_SUBSTRINGS
     )
     return has_name and (has(EMAIL_SYNONYMS) or has_phone)
 

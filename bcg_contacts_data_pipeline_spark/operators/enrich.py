@@ -77,6 +77,14 @@ def kofn_enrich(
         *[k.source_expr.alias(f"__sk_{k.name}") for k in keys],
         *[F.col(c).alias(f"__sf_{c}") for c in set(fill.values())],
     )
+    # With content-hash source ordering (io.registries.with_source_order),
+    # byte-identical duplicate source rows share a __sid — and are
+    # identical in every carried key/fill column, so one representative
+    # suffices. Deduping HERE keeps the left join onto s_keyed 1:1 per
+    # __sid: without it, duplicate source rows fan out both `enriched`
+    # and `change_log` (duplicate fill entries for the same
+    # (target_id, field)). Unique-sid callers pay a no-op aggregate.
+    s_keyed = s_keyed.dropDuplicates(["__sid"])
     if broadcast_source:
         s_keyed = F.broadcast(s_keyed)
 

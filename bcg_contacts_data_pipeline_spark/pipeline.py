@@ -58,11 +58,6 @@ def run_cli(argv: list[str] | None = None, spark: SparkSession | None = None) ->
     )
     args = p.parse_args(argv)
 
-    from bcg_contacts_data_pipeline_spark.io import readers as R
-    from bcg_contacts_data_pipeline_spark.io import registries as REG
-    from bcg_contacts_data_pipeline_spark.io import writers as W
-    from bcg_contacts_data_pipeline_spark.plans import contacts as C
-
     own_spark = spark is None
     if own_spark:
         spark = (
@@ -70,6 +65,24 @@ def run_cli(argv: list[str] | None = None, spark: SparkSession | None = None) ->
             .config("spark.sql.adaptive.enabled", "true")
             .getOrCreate()
         )
+    # Release owned resources even when a stage throws: without the
+    # finally, an embedded caller (spark=None) would leak the
+    # session/JVM and any frame the run body persisted.
+    persisted: list = []
+    try:
+        return _run(args, spark, persisted)
+    finally:
+        for df in persisted:
+            df.unpersist()
+        if own_spark:
+            spark.stop()
+
+
+def _run(args, spark: SparkSession, persisted: list) -> int:
+    from bcg_contacts_data_pipeline_spark.io import readers as R
+    from bcg_contacts_data_pipeline_spark.io import registries as REG
+    from bcg_contacts_data_pipeline_spark.io import writers as W
+    from bcg_contacts_data_pipeline_spark.plans import contacts as C
 
     t0 = time.time()
     _log("=" * 60)
@@ -143,6 +156,7 @@ def run_cli(argv: list[str] | None = None, spark: SparkSession | None = None) ->
     step(i, n_steps, "validate + reports")
     s = time.time()
     errors = result.errors.persist()
+    persisted.append(errors)
     err_path = f"{args.out_dir}/validation_errors.json"
     W.write_json_log(errors, err_path, single=args.single_file)
     if result.fill_log is not None:
@@ -190,10 +204,6 @@ def run_cli(argv: list[str] | None = None, spark: SparkSession | None = None) ->
     _log("=" * 60)
     _log(f"PIPELINE COMPLETED in {time.time() - t0:.1f}s")
     _log("=" * 60)
-
-    errors.unpersist()
-    if own_spark:
-        spark.stop()
 
     # validate_fields.py:143-162: fail only on the critical (email-format)
     # class; plain data-quality gaps exit 0.

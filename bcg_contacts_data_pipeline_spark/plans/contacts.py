@@ -302,18 +302,27 @@ def dedup_contacts(
     # (A narrow renumber + join-back was tried and measured ~40% slower
     # end-to-end: it prunes the 88 merge aggregates from the eager offset
     # pass but recomputes the whole upstream enrich/clean pipeline twice.)
-    # The hash REPLACES a full 88-column tiebreak list rather than
-    # prefixing it: rows equal on (key, hash) are byte-identical up to a
-    # ~2^-64 collision, and byte-identical rows are interchangeable — any
-    # row_number assignment among them yields the same output multiset.
-    # The shorter sort key list matters twice: the range partitioner and
-    # sorter compare 2 fields instead of 89, and the analyzer/optimizer
-    # passes over the renumber's repartition+window stop carrying an
-    # 89-expression ordering (measured seconds of driver time on the e2e
-    # plan at any data size).
+    # The hash pair REPLACES a full 88-column tiebreak list rather than
+    # prefixing it: rows equal on (key, h1, h2) are byte-identical up to
+    # a ~2^-128 collision (two independent 64-bit hashes — h2 feeds the
+    # columns in reverse order with a salt literal, so the pair doesn't
+    # collide together), and byte-identical rows are interchangeable —
+    # any row_number assignment among them yields the same output
+    # multiset. Per-pair 2^-64 odds would stop being negligible in
+    # aggregate around ~10^9 keyless rows (birthday bound); the second
+    # hash pushes that far past any real input while keeping the sort
+    # key 3 fields instead of 89. The short list matters twice: the
+    # range partitioner and sorter compare 3 fields, and the
+    # analyzer/optimizer passes over the renumber's repartition+window
+    # stop carrying an 89-expression ordering (measured seconds of
+    # driver time on the e2e plan at any data size).
     tiebreak_cols = [c for c in MASTER_COLUMNS if c != "seqno"]
     row_hash = F.xxhash64(F.struct(*[F.col(c) for c in tiebreak_cols]))
-    order = [F.col("dedup_key").asc_nulls_last(), row_hash.asc()]
+    row_hash2 = F.xxhash64(
+        F.lit("seqno-tiebreak-2"),
+        F.struct(*[F.col(c) for c in reversed(tiebreak_cols)]),
+    )
+    order = [F.col("dedup_key").asc_nulls_last(), row_hash.asc(), row_hash2.asc()]
     renumbered = renumber(
         merged.drop("seqno"),
         order,
