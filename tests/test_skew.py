@@ -59,11 +59,91 @@ def test_salted_join_equals_plain(spark):
 
 
 def test_salted_agg_spreads_hot_key(spark):
-    """The phase-1 grouping must actually spread the hot key: with 16
-    salts and 5000 HOT rows, phase-1 produces >1 partial for HOT."""
+    """The operator's ACTUAL salt (deterministic content hash, not
+    F.rand) must spread a hot key of distinct rows: 5000 HOT rows over
+    16 salt buckets must hit nearly all buckets, and no bucket may hold
+    a straggler-sized share."""
+    from bcg_contacts_data_pipeline_spark.operators.skew import _content_salt
+
     df = spark.range(0, 5000).select(
         F.lit("HOT").alias("k"), F.col("id").cast("double").alias("v")
     )
-    salted = df.withColumn("__salt", (F.rand(seed=7) * 16).cast("int"))
-    n_partials = salted.groupBy("k", "__salt").count().count()
-    assert n_partials > 8
+    salted = df.withColumn("__salt", _content_salt(df, 16))
+    sizes = {
+        r["__salt"]: r["count"]
+        for r in salted.groupBy("k", "__salt").count().collect()
+    }
+    assert len(sizes) >= 14  # ~uniform over 16 buckets
+    assert max(sizes.values()) < 5000 * 0.2  # no bucket is a straggler
+
+
+def test_salted_agg_reducer_side_spread(spark):
+    """Reducer-partition histogram: after the phase-1 exchange on
+    (k, __salt), the hot key's partials must occupy MULTIPLE shuffle
+    partitions — the whole point of salting. Without the salt the hot
+    key hashes to exactly one reducer."""
+    from bcg_contacts_data_pipeline_spark.operators.skew import _content_salt
+
+    df = spark.range(0, 5000).select(
+        F.lit("HOT").alias("k"), F.col("id").cast("double").alias("v")
+    )
+    salted = df.withColumn("__salt", _content_salt(df, 16))
+    # AQE's partition coalescing would re-merge the toy-sized partials
+    # into one partition and mask the spread we're asserting; at real
+    # scale the partials exceed the coalesce target and stay separate.
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(coalesce_key, "true")
+    spark.conf.set(coalesce_key, "false")
+    try:
+        phase1 = salted.groupBy("k", "__salt").count()
+        hot_partitions = {
+            r["p"]
+            for r in phase1.select(
+                F.spark_partition_id().alias("p")
+            ).collect()
+        }
+        assert len(hot_partitions) > 1, (
+            "hot-key partials landed on a single reducer; salting is not "
+            "spreading the key"
+        )
+        unsalted_partitions = {
+            r["p"]
+            for r in df.groupBy("k")
+            .count()
+            .select(F.spark_partition_id().alias("p"))
+            .collect()
+        }
+        assert len(unsalted_partitions) == 1  # the hazard salting removes
+    finally:
+        spark.conf.set(coalesce_key, prev)
+
+
+def test_merge_empty_keys_hot_group_partial_aggregation(spark):
+    """merge_empty_keys=True funnels every keyless row into ONE group —
+    a hot aggregation key that AQE cannot split (skew-split applies to
+    joins, not aggregates). The scale defense is map-side partial
+    aggregation: each map task pre-combines its keyless rows to one
+    partial, so the single reducer receives O(#map_tasks) rows, not
+    O(N). Pin that the plan keeps partial_max_by UPSTREAM of the
+    exchange (a plan regression to complete-mode aggregation would
+    silently restore the O(N) straggler)."""
+    from bcg_contacts_data_pipeline_spark.operators.dedup import (
+        most_complete_merge,
+    )
+
+    df = spark.range(0, 1000).select(
+        F.when(F.col("id") % 2 == 0, F.lit(""))
+        .otherwise(F.concat(F.lit("k"), F.col("id")))
+        .alias("key"),
+        F.col("id").cast("string").alias("v"),
+    )
+    merged = most_complete_merge(
+        df, "key", ["v"], order_by=F.lit(0), merge_empty_keys=True
+    )
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" in plan
+    # tree printing puts upstream nodes BELOW: the partial aggregate must
+    # appear after the Exchange line (= before it in dataflow order)
+    below_exchange = plan.split("Exchange", 1)[1]
+    assert "partial_max_by" in below_exchange, plan
+    assert "partial_count" in below_exchange, plan
