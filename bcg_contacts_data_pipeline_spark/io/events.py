@@ -1,0 +1,70 @@
+"""The events-table ingest: ONE place that knows how `ts` is encoded.
+
+The driver's ``events.parquet`` has shipped `ts` two different ways across
+rounds:
+
+- TIMESTAMP(NANOS), which Spark's parquet reader only accepts as a raw
+  INT64 under ``spark.sql.legacy.parquet.nanosAsLong`` — the value is
+  epoch nanoseconds and needs an integer ns→µs division (ns exceed 2^53,
+  so float math would lose precision);
+- plain ``timestamp[us]`` (isAdjustedToUTC=false), which Spark reads as
+  TIMESTAMP_NTZ.
+
+Round 3 had the conversion copy-pasted in three places, all assuming the
+first encoding; when the data drifted to the second, nine queries, the
+bench, and the streaming tests went red at once. This module is the fix:
+every consumer (batch ``plans.queries._events``, streaming
+``streaming.sources.events_stream``, test fixtures) normalizes through
+:func:`normalize_event_ts`, which branches on the *read* dtype instead of
+assuming the file encoding.
+
+Both branches land on plain TIMESTAMP (LTZ): the engine pins the session
+timezone to UTC (session.py), so the NTZ→LTZ cast is wall-clock-lossless
+and symmetric on collection, and every downstream temporal op
+(``unix_micros``, watermarks, ``window``) takes LTZ unchanged — the exact
+type the round-2 hash-green runs produced.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def normalize_event_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Normalize the events ``ts`` column to TIMESTAMP (LTZ) regardless of
+    how the parquet file encoded it.
+
+    - ``bigint`` (legacy nanosAsLong read of TIMESTAMP(NANOS)): integer
+      ns→µs division, then ``timestamp_micros``.
+    - ``timestamp_ntz`` (native timestamp[us] read) or ``timestamp``:
+      cast/pass through.
+
+    Any other dtype is a loud error — a schema drift should fail with one
+    clear message, not take a board of queries red (round-3 lesson).
+    """
+    dtype = dict(df.dtypes).get(ts_col)
+    if dtype is None:
+        raise TypeError(f"events table has no '{ts_col}' column: {df.columns}")
+    if dtype == "bigint":
+        return df.withColumn(
+            ts_col, F.timestamp_micros(F.expr(f"`{ts_col}` div 1000"))
+        )
+    if dtype in ("timestamp", "timestamp_ntz"):
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    raise TypeError(
+        f"events.{ts_col} arrived as unsupported dtype '{dtype}'; expected "
+        "bigint (TIMESTAMP(NANOS) via nanosAsLong), timestamp, or "
+        "timestamp_ntz. The testdata encoding drifted again — extend "
+        "normalize_event_ts in ONE place."
+    )
+
+
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch read of ``{sf_dir}/events.parquet`` with ``ts`` normalized.
+
+    Sets ``nanosAsLong`` *before* the read so a TIMESTAMP(NANOS) file loads
+    as bigint instead of failing; the conf is inert for timestamp[us] files.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))

@@ -21,6 +21,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bcg_contacts_data_pipeline_spark.io.events import read_events
 from bcg_contacts_data_pipeline_spark.operators import dedup as dedup_ops
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -42,15 +43,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
-    rejects; read nanos as long (runtime-settable legacy conf) and convert
-    to a micros timestamp with INTEGER division (ns > 2^53, so a double
-    division would lose precision). Matches DuckDB's micro truncation."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    """Events table with `ts` normalized; all encoding knowledge lives in
+    io.events.read_events (shared with the streaming source and tests)."""
+    return read_events(spark, sf_dir)
 
 
 def _dec(c, scale: int = 4):

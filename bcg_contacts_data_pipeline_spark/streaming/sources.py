@@ -22,7 +22,8 @@ import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
+
+from bcg_contacts_data_pipeline_spark.io.events import normalize_event_ts
 
 
 def stage_as_dir(path: str) -> str:
@@ -61,12 +62,12 @@ def file_stream(
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming twin of plans.queries._events: the events table as an
-    unbounded source with `ts` converted from nanos-as-long to a micros
-    timestamp (integer division — ns exceed 2^53 so float math would lose
-    precision)."""
+    """Streaming twin of io.events.read_events: the events table as an
+    unbounded source. The `ts` encoding logic is literally the same
+    function (normalize_event_ts) as the batch path, so batch/stream
+    parity cannot drift."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema
     raw = file_stream(spark, path, schema)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(raw)

@@ -1,0 +1,118 @@
+"""Data-shape canary: fail LOUDLY and FIRST if the driver's testdata drifts.
+
+Round 3 lost 9 queries, the bench, and the streaming suite to a silent
+schema drift (events.ts moved from TIMESTAMP(NANOS) to timestamp[us]).
+This module asserts, per table, every column shape the engine depends on —
+so the next drift is one obvious red test with a clear message instead of
+a board of AnalysisExceptions.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from bcg_contacts_data_pipeline_spark.io.events import (
+    normalize_event_ts,
+    read_events,
+)
+
+SF = "/root/testdata/sf0.001"
+
+TPCH_TABLES = {
+    "region": {"r_regionkey": "int", "r_name": "string"},
+    "nation": {"n_nationkey": "int", "n_regionkey": "int"},
+    "customer": {"c_custkey": "bigint", "c_acctbal": "double",
+                 "c_nationkey": "int", "c_mktsegment": "string"},
+    "supplier": {"s_suppkey": "bigint", "s_nationkey": "int"},
+    "part": {"p_partkey": "bigint", "p_brand": "string"},
+    "orders": {"o_orderkey": "bigint", "o_custkey": "bigint",
+               "o_orderdate": "timestamp_ntz", "o_totalprice": "double"},
+    "lineitem": {"l_orderkey": "bigint", "l_quantity": "double",
+                 "l_extendedprice": "double", "l_discount": "double",
+                 "l_tax": "double", "l_returnflag": "string",
+                 "l_linestatus": "string", "l_shipdate": "timestamp_ntz"},
+}
+
+
+@pytest.mark.parametrize("table", sorted(TPCH_TABLES))
+def test_tpch_table_shapes(spark, table):
+    dtypes = dict(spark.read.parquet(f"{SF}/{table}.parquet").dtypes)
+    for col, want in TPCH_TABLES[table].items():
+        got = dtypes.get(col)
+        assert got == want, (
+            f"TESTDATA DRIFT: {table}.{col} is {got!r}, engine expects "
+            f"{want!r} — audit every consumer of this column"
+        )
+
+
+def test_events_ts_normalizes(spark):
+    """The one that would have caught round 3: whatever encoding
+    events.ts ships with, read_events must land it on TIMESTAMP (LTZ)
+    and the values must be sane epoch-era instants."""
+    e = read_events(spark, SF)
+    assert dict(e.dtypes)["ts"] == "timestamp", (
+        f"read_events produced ts dtype {dict(e.dtypes)['ts']!r}; every "
+        "temporal op (unix_micros, watermark, window) needs TIMESTAMP"
+    )
+    row = e.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    assert row.n > 0
+    assert 2000 <= row.lo.year <= 2100, (
+        f"events.ts range [{row.lo}, {row.hi}] looks wrong — a unit "
+        "mix-up (ns vs us vs ms) in normalize_event_ts?"
+    )
+
+
+def test_events_normalize_both_encodings(spark):
+    """normalize_event_ts handles BOTH historical encodings identically."""
+    from datetime import datetime
+
+    us = 1_700_000_000_123_456  # 2023-11-14T22:13:20.123456Z
+    ntz = spark.createDataFrame(
+        [(1, datetime(2023, 11, 14, 22, 13, 20, 123456))], "id long, ts timestamp_ntz"
+    )
+    legacy = spark.createDataFrame([(1, us * 1000)], "id long, ts long")
+    a = normalize_event_ts(ntz).select("ts").collect()[0].ts
+    b = normalize_event_ts(legacy).select("ts").collect()[0].ts
+    assert a == b, f"encoding branches disagree: {a} vs {b}"
+
+    bad = spark.createDataFrame([(1, "oops")], "id long, ts string")
+    with pytest.raises(TypeError, match="drifted"):
+        normalize_event_ts(bad)
+    with pytest.raises(TypeError, match="no 'ts' column"):
+        normalize_event_ts(ntz.drop("ts"))
+
+
+def test_documents_and_embeddings_shapes(spark):
+    docs = dict(spark.read.parquet(f"{SF}/documents.parquet").dtypes)
+    assert docs.get("doc_id") is not None, f"documents columns drifted: {docs}"
+    assert docs.get("text") == "string", (
+        f"TESTDATA DRIFT: documents.text is {docs.get('text')!r}, text "
+        "analysis/dedup operators expect string"
+    )
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    et = dict(emb.dtypes)
+    vec_col = "embedding" if "embedding" in et else "vec"
+    assert et.get(vec_col, "").startswith("array<"), (
+        f"TESTDATA DRIFT: embeddings vector column is {et!r}, similarity "
+        "operators expect array<float|double>"
+    )
+    first = emb.select(F.size(vec_col).alias("d")).limit(1).collect()
+    assert first and first[0].d > 0, "embeddings vector column is empty"
+
+
+def test_events_table_shape(spark):
+    dtypes = dict(spark.read.parquet(f"{SF}/events.parquet").dtypes)
+    for col, want in {
+        "event_id": "bigint", "user_id": "bigint",
+        "event_type": "string", "value": "double",
+    }.items():
+        assert dtypes.get(col) == want, (
+            f"TESTDATA DRIFT: events.{col} is {dtypes.get(col)!r}, "
+            f"expected {want!r}"
+        )
+    assert dtypes.get("ts") in ("bigint", "timestamp", "timestamp_ntz"), (
+        f"TESTDATA DRIFT: events.ts encoding {dtypes.get('ts')!r} is not "
+        "one normalize_event_ts understands — extend io/events.py"
+    )

@@ -9,15 +9,14 @@ import pyspark.sql.functions as F
 import pytest
 
 from bcg_contacts_data_pipeline_spark import streaming as S
+from bcg_contacts_data_pipeline_spark.io.events import read_events
 
 SF = "/root/testdata/sf0.001"
 
 
 @pytest.fixture(scope="module")
 def events(spark):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(f"{SF}/events.parquet")
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return read_events(spark, SF)
 
 
 def test_windowed_agg_equals_batch(spark, events):
