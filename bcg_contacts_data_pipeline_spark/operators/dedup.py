@@ -23,8 +23,11 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from bcg_contacts_data_pipeline_spark.functions.normalize import (
-    is_valid_value,
+    is_valid_value,  # noqa: F401 — re-exported; callers patch via this module
     norm_email,
+)
+from bcg_contacts_data_pipeline_spark.functions.normalize_sql import (
+    longest_valid_agg_sql,
 )
 
 
@@ -95,27 +98,23 @@ def most_complete_merge(
         F.col(key_name).isNull() | (F.length(F.trim(F.col(key_name))) == 0)
     )
 
-    aggs = []
-    for c in value_cols:
-        col = F.col(c)
-        valid = is_valid_value(col)
-        order = F.when(
-            valid,
-            F.struct(
-                F.length(col.cast("string")).alias("l"),
-                F.col("__ord").alias("o"),
-            ),
-        )
-        aggs.append(F.max_by(F.when(valid, col), order).alias(c))
+    # One F.expr per column (alias parsed inside the string) instead of a
+    # ~25-round-trip Column tree: py4j latency dominates 88-wide agg
+    # builds (see functions/normalize_sql.py). Twin-equivalence with the
+    # Column form is pinned by tests/test_normalize_sql.py.
+    aggs = [
+        F.expr(longest_valid_agg_sql(c, "`__ord`")) for c in value_cols
+    ]
     aggs.append(F.count(F.lit(1)).alias("group_size"))
 
     merged = keyed.groupBy(key_name).agg(*aggs)
 
     if keyless is not None:
-        passthrough = keyless.select(
-            F.col(key_name),
-            *[F.col(c) for c in value_cols],
-            F.lit(1).cast("long").alias("group_size"),
+        qn = lambda n: "`" + n.replace("`", "``") + "`"  # noqa: E731
+        passthrough = keyless.selectExpr(
+            qn(key_name),
+            *[qn(c) for c in value_cols],
+            "CAST(1 AS BIGINT) AS group_size",
         )
         merged = merged.unionByName(passthrough)
     return merged

@@ -27,11 +27,13 @@ reference's Frankenstein-record behavior); title-casing follows pandas
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import lru_cache
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from bcg_contacts_data_pipeline_spark.functions import normalize as N
+from bcg_contacts_data_pipeline_spark.functions import normalize_sql as NS
 from bcg_contacts_data_pipeline_spark.operators import validate as V
 from bcg_contacts_data_pipeline_spark.operators.dedup import (
     dedup_key,
@@ -99,19 +101,21 @@ def _with_row_id(df: DataFrame) -> DataFrame:
     not for join-back identity."""
     if "__row_id" in df.columns:
         return df
-    h = F.xxhash64(F.struct(*[F.col(c) for c in df.columns]))
-    return df.withColumn("__row_id", h)
+    # One SQL string, not 2·N Column calls — py4j latency dominates wide
+    # projection builds (see functions/normalize_sql.py).
+    cols = ", ".join(NS.q(c) for c in df.columns)
+    return df.withColumn("__row_id", F.expr(f"xxhash64(struct({cols}))"))
 
 
 def conform_to_master(df: DataFrame) -> DataFrame:
     """Project any frame onto the 88-column master schema (missing columns
     -> NULL string), case-insensitively."""
     lookup = {c.lower(): c for c in df.columns}
-    return df.select(
+    return df.selectExpr(
         *[
-            F.col(lookup[c]).cast("string").alias(c)
+            f"CAST({NS.q(lookup[c])} AS STRING) AS {NS.q(c)}"
             if c in lookup
-            else F.lit(None).cast("string").alias(c)
+            else f"CAST(NULL AS STRING) AS {NS.q(c)}"
             for c in MASTER_COLUMNS
         ]
     )
@@ -122,42 +126,48 @@ def clean_fields(df: DataFrame) -> DataFrame:
     sentinel-null everything, null the unused fields, normalize emails,
     strip phones to digits, title-case names, trim addresses/postcodes,
     Y/N-standardize flags, parse last_updated."""
-    updates: dict[str, Column] = {}
+    # Built as ONE selectExpr of SQL strings, not per-column Column-API
+    # trees: at 88 columns the py4j round-trips of the Column form cost
+    # seconds of driver time per pipeline build (normalize_sql.py
+    # docstring has the numbers). Each *_sql builder is equivalence-
+    # tested against its normalize.py twin in tests/test_normalize_sql.py.
+    # Rule precedence matters and mirrors the reference order; the rule
+    # domains are disjoint, so an if/elif chain encodes it exactly.
+    exprs: list[str] = []
     for c in df.columns:
-        updates[c] = N.nullify_sentinels(F.col(c))
-    for c in UNUSED_FIELDS:
-        if c in df.columns:
-            updates[c] = F.lit(None).cast("string")
-    if "email" in df.columns:
-        updates["email"] = N.norm_email(N.nullify_sentinels(F.col("email")))
-    if "mobile" in df.columns:
-        # stored values keep all digits (no last-10: that is match-key only)
-        d = N.digits_only(N.nullify_sentinels(F.col("mobile")))
-        updates["mobile"] = F.when(F.length(d) > 0, d)
-    for c in NAME_FIELDS:
-        if c in df.columns:
-            updates[c] = N.title_case(F.trim(N.nullify_sentinels(F.col(c))))
-    for c in df.columns:
-        if "address" in c or "post_code" in c or "deladdr" in c:
-            updates[c] = F.trim(N.nullify_sentinels(F.col(c)))
-    for c in YN_FIELDS:
-        if c in df.columns:
-            updates[c] = N.yn_flag(N.nullify_sentinels(F.col(c)))
+        qc = NS.q(c)
+        v = NS.nullify_sentinels_sql(qc)
+        if c in UNUSED_FIELDS:
+            e = "CAST(NULL AS STRING)"
+        elif c == "email":
+            e = NS.norm_email_sql(v)
+        elif c == "mobile":
+            # stored values keep all digits (no last-10: match-key only)
+            d = NS.digits_only_sql(v)
+            e = f"CASE WHEN length({d}) > 0 THEN {d} END"
+        elif c in NAME_FIELDS:
+            e = NS.title_case_sql(f"trim({v})")
+        elif "address" in c or "post_code" in c or "deladdr" in c:
+            e = f"trim({v})"
+        elif c in YN_FIELDS:
+            e = NS.yn_flag_sql(v)
+        elif c in INT_FIELDS:
+            # F11 integer preservation (clean_contacts.py:26-54): pandas
+            # float inference turns int ids into "123.0"; the reference
+            # detects whole-number columns and casts back to Int64. Here
+            # ingestion is all-string so the corruption cannot arise from
+            # US — but inputs produced by OTHER tools may already carry
+            # the ".0", so strip it from the known id columns when the
+            # value is a whole number.
+            e = NS.int_preserve_sql(v)
+        else:
+            e = v
+        exprs.append(f"{e} AS {qc}")
     if "last_updated" in df.columns:
-        updates["parsed_last_updated"] = N.parse_ts(F.col("last_updated"))
-    # F11 integer preservation (clean_contacts.py:26-54): pandas float
-    # inference turns int ids into "123.0"; the reference detects
-    # whole-number columns and casts back to Int64. Here ingestion is
-    # all-string so the corruption cannot arise from US — but inputs
-    # produced by OTHER tools may already carry the ".0", so strip it
-    # from the known id columns when the value is a whole number.
-    for c in INT_FIELDS:
-        if c in df.columns:
-            v = N.nullify_sentinels(F.col(c))
-            updates[c] = F.when(
-                v.rlike(r"^-?\d+\.0+$"), F.regexp_replace(v, r"\.0+$", "")
-            ).otherwise(v)
-    return df.withColumns(updates)
+        exprs.append(
+            f"{NS.parse_ts_sql(NS.q('last_updated'))} AS parsed_last_updated"
+        )
+    return df.selectExpr(*exprs)
 
 
 def contact_match_keys() -> list[MatchKey]:
@@ -317,11 +327,10 @@ def dedup_contacts(
     # stop carrying an 89-expression ordering (measured seconds of
     # driver time on the e2e plan at any data size).
     tiebreak_cols = [c for c in MASTER_COLUMNS if c != "seqno"]
-    row_hash = F.xxhash64(F.struct(*[F.col(c) for c in tiebreak_cols]))
-    row_hash2 = F.xxhash64(
-        F.lit("seqno-tiebreak-2"),
-        F.struct(*[F.col(c) for c in reversed(tiebreak_cols)]),
-    )
+    fwd = ", ".join(NS.q(c) for c in tiebreak_cols)
+    rev = ", ".join(NS.q(c) for c in reversed(tiebreak_cols))
+    row_hash = F.expr(f"xxhash64(struct({fwd}))")
+    row_hash2 = F.expr(f"xxhash64('seqno-tiebreak-2', struct({rev}))")
     order = [F.col("dedup_key").asc_nulls_last(), row_hash.asc(), row_hash2.asc()]
     renumbered = renumber(
         merged.drop("seqno"),
@@ -332,8 +341,20 @@ def dedup_contacts(
     return renumbered.select("seqno", *[c for c in MASTER_COLUMNS if c != "seqno"], "group_size")
 
 
+@lru_cache(maxsize=1)
+def _contact_rules_cached() -> tuple[V.Rule, ...]:
+    return tuple(contact_rules_build())
+
+
 def contact_rules() -> list[V.Rule]:
-    """validate_fields.py rule set (§2.8)."""
+    """validate_fields.py rule set (§2.8). Memoized: rules are unresolved
+    Column expressions, reusable across DataFrames, and building the 13
+    rule trees costs ~0.4 s of py4j round-trips per call — the e2e path
+    needs them twice (validate_contacts + contact_error_count)."""
+    return list(_contact_rules_cached())
+
+
+def contact_rules_build() -> list[V.Rule]:
     return [
         *[V.required(c) for c in REQUIRED_FIELDS],
         V.email_format("email"),
