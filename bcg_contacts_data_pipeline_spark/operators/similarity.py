@@ -350,14 +350,18 @@ def simhash_pairs(
     r = slices.select(
         F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"), "q", "qh"
     )
+    # Hamming-verify BEFORE the distinct: the verify is a pure projection
+    # (bit_count of an xor), so running it on the raw band-join output and
+    # deduping only the survivors shuffles the surviving pairs instead of
+    # every (pair x shared-band) candidate row — the candidate set is the
+    # 10x-larger side whenever bands are narrow.
     return (
         l.join(r, on=["q", "qh"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sim_a", "sim_b")
-        .distinct()
         .withColumn("hamming", hamming64(F.col("sim_a"), F.col("sim_b")))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .distinct()
     )
 
 
