@@ -1434,6 +1434,126 @@ def q_doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+_PII_PHONE = "[0-9][0-9][0-9][-. ][0-9][0-9][0-9][-. ][0-9][0-9][0-9][0-9]"
+_PII_IPV4 = "[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+"
+
+
+@register(
+    "pii_scan",
+    oracle=f"""
+    WITH synth AS (
+      SELECT doc_id,
+             CASE CAST(doc_id % 7 AS INTEGER)
+               WHEN 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@corp.example now'
+               WHEN 1 THEN text || ' call 555-867-530' || CAST(doc_id % 10 AS VARCHAR)
+               WHEN 2 THEN text || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.17'
+               ELSE text END AS t
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(t, '{_PII_IPV4}')) AS BIGINT) AS n_ipv4,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+               '{_PII_EMAIL}', '[PII]', 'g'),
+               '{_PII_PHONE}', '[PII]', 'g'),
+               '{_PII_IPV4}', '[PII]', 'g')) AS redacted_fp
+    FROM synth
+    """,
+)
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + redact over documents (the scrubbing pre-pass of a
+    training-data release). PII is synthesized deterministically into a
+    third of the docs so the detectors are exercised on every run; counts
+    AND an md5 of the redacted text are oracle-checked, pinning both the
+    detector and the redaction rewrite. Pure regexp projections — no
+    shuffle, no Python (functions/text.py pii_counts / redact_pii)."""
+    from bcg_contacts_data_pipeline_spark.functions import text as T
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    synth = docs.select(
+        "doc_id",
+        F.when(d % 7 == 0, F.concat(
+            F.col("text"), F.lit(" contact user"), d.cast("string"),
+            F.lit("@corp.example now"),
+        ))
+        .when(d % 7 == 1, F.concat(
+            F.col("text"), F.lit(" call 555-867-530"), (d % 10).cast("string"),
+        ))
+        .when(d % 7 == 2, F.concat(
+            F.col("text"), F.lit(" from 10.0."), (d % 256).cast("string"),
+            F.lit(".17"),
+        ))
+        .otherwise(F.col("text"))
+        .alias("t"),
+    )
+    counts = T.pii_counts(F.col("t"))
+    return synth.select(
+        "doc_id",
+        counts["email"].alias("n_email"),
+        counts["phone"].alias("n_phone"),
+        counts["ipv4"].alias("n_ipv4"),
+        F.md5(T.redact_pii(F.col("t"))).alias("redacted_fp"),
+    )
+
+
+@register(
+    "repetition_filter",
+    oracle=f"""
+    WITH grams AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) > 0 THEN
+               [lower(t[i]) || ' ' || lower(t[i+1]) || ' ' || lower(t[i+2])
+                for i in range(1, greatest(len(t)-1, 1))]
+             ELSE [] END AS g
+      FROM (SELECT doc_id, text, {_TOKS_SQL} AS t FROM documents))
+    SELECT doc_id,
+           CAST(len(g) AS BIGINT) AS total_ngrams,
+           CAST(len(list_distinct(g)) AS BIGINT) AS distinct_ngrams,
+           CASE WHEN len(g) > 0
+                THEN 1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g)
+                ELSE 0.0 END AS rep_ratio
+    FROM grams
+    """,
+)
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition (boilerplate) scoring: fraction of
+    3-gram occurrences that repeat an earlier 3-gram in the same doc —
+    the standard cheap filter for template/spam/navigation-chrome pages
+    in scraped corpora. Counts and the IEEE ratio are oracle-exact.
+    Expression-only narrow projection; no shuffle."""
+    from bcg_contacts_data_pipeline_spark.functions import text as T
+    from bcg_contacts_data_pipeline_spark.functions.text import (
+        tokens,
+        word_ngrams,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    # Token and gram arrays materialized as ATTRIBUTES between selects:
+    # referencing them as inline expressions re-evaluates the whole
+    # split/ngram pipeline per use (see functions.text.bind docstring).
+    toked = docs.select(
+        "doc_id", F.transform(tokens(F.col("text")), F.lower).alias("__toks")
+    )
+    grammed = toked.select(
+        "doc_id", word_ngrams(F.col("__toks"), 3).alias("__g")
+    )
+    total = F.size("__g").cast("long")
+    distinct = F.size(F.array_distinct("__g")).cast("long")
+    return grammed.select(
+        "doc_id",
+        total.alias("total_ngrams"),
+        distinct.alias("distinct_ngrams"),
+        F.when(
+            total > 0,
+            F.lit(1.0) - distinct.cast("double") / total.cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("rep_ratio"),
+    )
+
+
 @register(
     "embedding_ann_ivf",
     oracle="""

@@ -134,3 +134,57 @@ def test_rolling_hash_order_sensitive(spark):
     for ch in "a b c":
         want = (want * 31 + ord(ch)) % ((1 << 31) - 1)
     assert h[0] == want
+
+def test_pii_counts_and_redact(spark):
+    from bcg_contacts_data_pipeline_spark.functions.text import (
+        pii_counts,
+        redact_pii,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("mail bob@corp.example and eve@x.io, call 555-123-4567",),
+            ("server at 192.168.0.1 and 10.0.0.7",),
+            ("no pii here",),
+            ("",),
+        ],
+        "v string",
+    )
+    rows = df.select(
+        pii_counts("v").alias("p"), redact_pii("v").alias("r")
+    ).collect()
+    assert (rows[0].p.email, rows[0].p.phone, rows[0].p.ipv4) == (2, 1, 0)
+    assert rows[0].r == "mail [PII] and [PII], call [PII]"
+    assert (rows[1].p.email, rows[1].p.phone, rows[1].p.ipv4) == (0, 0, 2)
+    assert rows[1].r == "server at [PII] and [PII]"
+    assert (rows[2].p.email, rows[2].p.phone, rows[2].p.ipv4) == (0, 0, 0)
+    assert rows[2].r == "no pii here"
+    assert (rows[3].p.email, rows[3].p.phone, rows[3].p.ipv4) == (0, 0, 0)
+
+
+def test_repetition_ratio(spark):
+    from bcg_contacts_data_pipeline_spark.functions.text import (
+        repetition_ratio,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("buy now " * 6,),          # one 3-gram window cycle, heavy repeats
+            ("all words here are completely distinct tokens",),
+            ("one two",),               # < n tokens -> 0.0
+            ("",),
+        ],
+        "v string",
+    )
+    out = [r.r for r in df.select(repetition_ratio("v").alias("r")).collect()]
+    # "buy now "*6 -> 12 tokens -> 10 grams, only 2 distinct ("buy now buy",
+    # "now buy now") -> 1 - 2/10 = 0.8
+    assert out[0] == 0.8
+    assert out[1] == 0.0
+    assert out[2] == 0.0
+    assert out[3] == 0.0
+    # case-insensitive: repeated phrase differing only in case still repeats
+    df2 = spark.createDataFrame([("Buy Now buy NOW bUy noW",)], "v string")
+    r = df2.select(repetition_ratio("v").alias("r")).collect()[0].r
+    # 6 tokens -> 4 grams, all "buy now buy"/"now buy now" -> 2 distinct
+    assert r == 0.5
