@@ -1555,6 +1555,74 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH terms AS (
+      SELECT doc_id, lower(unnest(t)) AS term
+      FROM (SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+            WHERE length(trim(text)) > 0)),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+             round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df), 6) AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+    SELECT doc_id, term, tf, df, tfidf, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term ASC) AS rank
+      FROM scored) WHERE rank <= 3
+    """,
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus TF-IDF: top-3 terms per document, idf = ln(N/df). The
+    inverted-index build (explode -> tf -> df) is the same shape as the
+    shingle index; N joins as a broadcast scalar (no driver collect).
+    Scores rounded to 6 decimals BEFORE ranking so a <=1-ulp ln()
+    difference between engines can't flip the order (operators/tfidf.py
+    docstring)."""
+    from bcg_contacts_data_pipeline_spark.operators.tfidf import (
+        tfidf_top_terms,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, "doc_id", "text", k=3)
+
+
+@register(
+    "hash_split",
+    oracle="""
+    WITH assigned AS (
+      SELECT doc_id,
+             CAST(CAST(('0x' || substring(md5('corpus-v1:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 AS BIGINT) AS bucket
+      FROM documents)
+    SELECT doc_id, bucket,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM assigned
+    """,
+)
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by salted md5
+    bucket — stable across runs, engines, and corpus growth (a doc's
+    split never changes when other docs are added). Pure projection; the
+    md5 basis makes the exact same assignment computable in any engine
+    (functions/sampling.py docstring)."""
+    from bcg_contacts_data_pipeline_spark.functions.sampling import (
+        assign_split,
+        hash_bucket,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        hash_bucket("doc_id", 100, "corpus-v1").alias("bucket"),
+        assign_split("doc_id", seed="corpus-v1").alias("split"),
+    )
+
+
+@register(
     "embedding_ann_ivf",
     oracle="""
     SELECT CAST(2 * COUNT(*) AS BIGINT) AS n_true,

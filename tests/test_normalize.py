@@ -188,3 +188,67 @@ def test_repetition_ratio(spark):
     r = df2.select(repetition_ratio("v").alias("r")).collect()[0].r
     # 6 tokens -> 4 grams, all "buy now buy"/"now buy now" -> 2 distinct
     assert r == 0.5
+
+def test_hash_bucket_and_split(spark):
+    from bcg_contacts_data_pipeline_spark.functions.sampling import (
+        assign_split,
+        hash_bucket,
+    )
+    import pytest
+
+    df = spark.range(1000).select(F.col("id"))
+    out = df.select(
+        "id",
+        hash_bucket("id", 100, "s1").alias("b"),
+        assign_split("id", seed="s1").alias("split"),
+    ).collect()
+    # buckets in range, split consistent with bucket
+    for r in out:
+        assert 0 <= r.b < 100
+        want = "train" if r.b < 80 else ("val" if r.b < 90 else "test")
+        assert r.split == want
+    # deterministic: same seed -> same assignment; different seed -> differs
+    again = {r.id: r.b for r in df.select("id", hash_bucket("id", 100, "s1").alias("b")).collect()}
+    other = {r.id: r.b for r in df.select("id", hash_bucket("id", 100, "s2").alias("b")).collect()}
+    assert all(again[r.id] == r.b for r in out)
+    assert any(again[k] != other[k] for k in again)
+    # roughly balanced: each split near its weight on 1000 ids
+    from collections import Counter
+    counts = Counter(r.split for r in out)
+    assert 700 < counts["train"] < 900
+    assert 50 < counts["val"] < 160
+    assert 50 < counts["test"] < 160
+    # stability under growth: assignment of id is independent of the frame
+    sub = {r.id: r.b for r in spark.range(10).select("id", hash_bucket("id", 100, "s1").alias("b")).collect()}
+    assert all(sub[k] == again[k] for k in sub)
+
+    with pytest.raises(ValueError, match="sum to 100"):
+        assign_split("id", {"a": 50, "b": 40})
+
+
+def test_tfidf_top_terms(spark):
+    from bcg_contacts_data_pipeline_spark.operators.tfidf import (
+        tfidf_top_terms,
+    )
+    import math
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),
+            (2, "banana cherry"),
+            (3, "cherry cherry cherry durian"),
+            (4, ""),
+        ],
+        "id long, text string",
+    )
+    rows = tfidf_top_terms(df, "id", "text", k=2).collect()
+    got = {(r.id, r.rank): (r.term, r.tf, r.df, r.tfidf) for r in rows}
+    # N=4. doc1: apple tf2 df1 -> 2*ln(4)=2.772589; banana tf1 df2 -> ln(2)
+    assert got[(1, 1)] == ("apple", 2, 1, round(2 * math.log(4.0), 6))
+    assert got[(1, 2)] == ("banana", 1, 2, round(math.log(2.0), 6))
+    # doc3: cherry tf3 df2 -> 3*ln(2)=2.079442 beats durian ln(4)=1.386294
+    assert got[(3, 1)][0] == "cherry"
+    assert got[(3, 2)][0] == "durian"
+    # blank doc emits nothing; k caps rows per doc
+    assert not any(r.id == 4 for r in rows)
+    assert max(r.rank for r in rows) <= 2

@@ -121,3 +121,23 @@ def test_lsh_num_planes_formula():
     sizes = [10**i for i in range(2, 13)]
     planes = [lsh_num_planes(n) for n in sizes]
     assert planes == sorted(planes)
+
+
+def test_new_projection_ops_shuffle_free(spark):
+    """pii_scan, repetition_filter, hash_split are narrow projections —
+    any Exchange in their plans is a regression (these run over the full
+    100 TB documents table)."""
+    for name in ("pii_scan", "repetition_filter", "hash_split"):
+        p = _plan(QUERIES[name](spark, SF))
+        assert "Exchange" not in p, f"{name} should be shuffle-free:\n{p}"
+        assert "BatchEvalPython" not in p, name
+
+
+def test_tfidf_broadcasts_small_sides(spark):
+    """TF-IDF: the document-frequency table (vocabulary-sized) and the
+    corpus-count scalar broadcast onto the tf side; the (doc, term) tf
+    relation — the corpus-sized side — must never be broadcast."""
+    p = _plan(QUERIES["tfidf_top_terms"](spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert "SortMergeJoin" not in p
