@@ -52,3 +52,18 @@ def write_json_log(df: DataFrame, path: str, single: bool = False) -> None:
 
 def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append") -> None:
     df.write.mode(mode).jdbc(url, table)
+
+
+def write_columnar(
+    df: DataFrame, path: str, fmt: str = "parquet", partition_by: list[str] | None = None
+) -> None:
+    """Columnar lake sink (parquet or orc) with optional hive-style
+    partitioning — the scale path for intermediate/curated datasets.
+    Partition columns become directories, so downstream readers get
+    partition pruning for free on those predicates."""
+    if fmt not in ("parquet", "orc"):
+        raise ValueError(f"columnar formats are parquet|orc, got {fmt!r}")
+    w = df.write.mode("overwrite").format(fmt)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(path)

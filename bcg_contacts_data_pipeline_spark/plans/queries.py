@@ -1434,6 +1434,88 @@ def q_doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_moving_avg",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_window,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+                / COUNT(*) OVER w AS DOUBLE) AS avg_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour moving average per user — a RANGE window frame
+    (value-based, so same-timestamp ties land in the same frame in every
+    engine; no tie-order hazard). The sum goes through DECIMAL(18,6):
+    exact and associative, so sliding-frame add/remove (Spark) and
+    per-frame recompute (DuckDB) cannot diverge; ONE IEEE division at
+    the end. One shuffle on user_id."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    n = F.count(F.lit(1)).over(w)
+    total = F.sum(F.col("value").cast("decimal(18,6)")).over(w)
+    return e.select(
+        "event_id",
+        "user_id",
+        n.cast("long").alias("n_window"),
+        (total.cast("double") / n).alias("avg_value"),
+    )
+
+
+@register(
+    "numeric_profile",
+    oracle="""
+    SELECT 'l_extendedprice' AS col,
+           CAST(COUNT(l_extendedprice) AS BIGINT) AS n,
+           round(CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE), 4) AS p50,
+           round(CAST(quantile_cont(l_extendedprice, 0.9) AS DOUBLE), 4) AS p90,
+           round(CAST(quantile_cont(l_extendedprice, 0.99) AS DOUBLE), 4) AS p99
+    FROM lineitem
+    UNION ALL
+    SELECT 'value', CAST(COUNT(value) AS BIGINT),
+           round(CAST(quantile_cont(value, 0.5) AS DOUBLE), 4),
+           round(CAST(quantile_cont(value, 0.9) AS DOUBLE), 4),
+           round(CAST(quantile_cont(value, 0.99) AS DOUBLE), 4)
+    FROM events
+    """,
+)
+def q_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (p50/p90/p99) over fact columns —
+    the data-profiling stat the approx HLL profile (profile_columns)
+    doesn't cover. Spark `percentile` and DuckDB `quantile_cont` share
+    the interpolation definition; results round to 4 decimals because
+    the two engines' interpolation arithmetic differs in the last ulp.
+    At 100 TB swap in approx_percentile (sketch-mergeable) — this query
+    pins the exact baseline the sketch is judged against."""
+    def prof(df, col, label):
+        pct = F.percentile(F.col(col), F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+        return df.agg(
+            F.count(F.col(col)).alias("n"),
+            pct.alias("__p"),
+        ).select(
+            F.lit(label).alias("col"),
+            "n",
+            F.round(F.col("__p")[0], 4).alias("p50"),
+            F.round(F.col("__p")[1], 4).alias("p90"),
+            F.round(F.col("__p")[2], 4).alias("p99"),
+        )
+
+    li = _t(spark, sf_dir, "lineitem")
+    ev = _events(spark, sf_dir)
+    return prof(li, "l_extendedprice", "l_extendedprice").unionByName(
+        prof(ev, "value", "value")
+    )
+
+
 _PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
 _PII_PHONE = "[0-9][0-9][0-9][-. ][0-9][0-9][0-9][-. ][0-9][0-9][0-9][0-9]"
 _PII_IPV4 = "[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+"

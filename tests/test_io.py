@@ -201,3 +201,31 @@ def test_pipeline_runs_off_reference_shaped_tsvs(spark, tmp_path):
     # the junk row (no name, no valid email) is skipped by validation
     errs = result.errors.collect()
     assert all(e["seqno"] is not None for e in errs)
+
+
+def test_columnar_roundtrip_and_partition_pruning(spark, tmp_path):
+    """parquet AND orc sinks round-trip; hive partitioning prunes: a
+    filter on the partition column must reach the scan as a partition
+    filter, not a data filter."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from bcg_contacts_data_pipeline_spark.io.writers import write_columnar
+
+    df = spark.createDataFrame(
+        [(i, ["a", "b", "c"][i % 3], float(i)) for i in range(99)],
+        "id long, grp string, v double",
+    )
+    for fmt in ("parquet", "orc"):
+        path = str(tmp_path / f"lake_{fmt}")
+        write_columnar(df, path, fmt=fmt, partition_by=["grp"])
+        back = spark.read.format(fmt).load(path)
+        assert back.count() == 99
+        assert {r.grp for r in back.select("grp").distinct().collect()} == {"a", "b", "c"}
+        pruned = back.filter(F.col("grp") == "a")
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "grp" in plan.split("PartitionFilters", 1)[1].splitlines()[0]
+        assert pruned.count() == 33
+
+    with pytest.raises(ValueError, match="parquet|orc"):
+        write_columnar(df, str(tmp_path / "x"), fmt="csv")
