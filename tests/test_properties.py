@@ -202,3 +202,53 @@ def test_kofn_enrich_matches_model(spark, tgt, src):
             assert got[i] == (None, None), (i, got[i])
         else:
             assert got[i] == (best[1], best[0]), (i, got[i], best)
+
+
+# ---------------------------------------------------------------------------
+# SQL-text twins (functions/normalize_sql.py) vs the Column library, over
+# hypothesis-generated strings — stronger than the fixed corpus in
+# test_normalize_sql.py (random unicode, quotes, regex metachars).
+# ---------------------------------------------------------------------------
+
+twin_texts = st.one_of(
+    st.none(),
+    st.sampled_from(["", " ", "nan", "None", "NaN", "42.0", "y", "A@b.co"]),
+    st.text(min_size=0, max_size=16),  # full unicode
+)
+
+
+@given(st.lists(twin_texts, min_size=1, max_size=10))
+@settings(**SETTINGS)
+def test_sql_twins_match_column_forms_on_random_text(spark, vals):
+    from bcg_contacts_data_pipeline_spark.functions import normalize_sql as NS
+
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    pairs = [
+        (N.nullify_sentinels(F.col("v")), NS.nullify_sentinels_sql("v")),
+        (N.norm_email(F.col("v")), NS.norm_email_sql("v")),
+        (N.title_case(F.col("v")), NS.title_case_sql("v")),
+        (N.yn_flag(F.col("v")), NS.yn_flag_sql("v")),
+        (N.norm_ws(F.col("v")), NS.norm_ws_sql("v")),
+        (N.is_valid_value(F.col("v")), NS.is_valid_value_sql("v")),
+    ]
+    cols = []
+    for i, (col_form, sql_form) in enumerate(pairs):
+        cols.append(col_form.alias(f"c{i}"))
+        cols.append(F.expr(sql_form).alias(f"s{i}"))
+    for r in df.select(*cols).collect():
+        for i in range(len(pairs)):
+            assert r[f"c{i}"] == r[f"s{i}"], (i, r)
+
+
+@given(st.lists(st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=8), min_size=1, max_size=6))
+@settings(**SETTINGS)
+def test_repetition_ratio_matches_model(spark, docs):
+    from bcg_contacts_data_pipeline_spark.functions.text import repetition_ratio
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r.id: r.ratio for r in df.select("id", repetition_ratio("text", 2).alias("ratio")).collect()}
+    for i, toks in enumerate(docs):
+        grams = [f"{toks[j]} {toks[j+1]}" for j in range(len(toks) - 1)]
+        want = 1.0 - len(set(grams)) / len(grams) if grams else 0.0
+        assert abs(got[i] - want) < 1e-12, (i, toks, got[i], want)
