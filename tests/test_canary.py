@@ -44,11 +44,22 @@ def test_tpch_table_shapes(spark, table):
         )
 
 
-def test_events_ts_normalizes(spark):
+@pytest.mark.parametrize(
+    "sf_dir",
+    ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"],
+)
+def test_events_ts_normalizes(spark, sf_dir):
     """The one that would have caught round 3: whatever encoding
-    events.ts ships with, read_events must land it on TIMESTAMP (LTZ)
-    and the values must be sane epoch-era instants."""
-    e = read_events(spark, SF)
+    events.ts ships with — AT EVERY SCALE FACTOR the driver runs
+    (smoke sf0.001, correctness sf0.01, bench sf0.1) — read_events must
+    land it on TIMESTAMP (LTZ) and the values must be sane epoch-era
+    instants. The encodings have drifted independently per round; a
+    single-SF canary would miss a partial drift."""
+    import os
+
+    if not os.path.exists(f"{sf_dir}/events.parquet"):
+        pytest.skip(f"{sf_dir} not present")
+    e = read_events(spark, sf_dir)
     assert dict(e.dtypes)["ts"] == "timestamp", (
         f"read_events produced ts dtype {dict(e.dtypes)['ts']!r}; every "
         "temporal op (unix_micros, watermark, window) needs TIMESTAMP"
