@@ -1,0 +1,40 @@
+"""The driver-contract smoke for bench.py: it must EXIT 0 and print one
+valid JSON line with the agreed keys, whatever else happens. Round 3's
+board loss surfaced as exactly this (bench rc=1, no round numbers), so
+the contract is tested in-suite, not just exercised by the driver.
+
+Runs a real subprocess (fresh JVM) over two cheap queries at sf0.001 —
+~1 min, and the only test that exercises bench.py's own code path
+(warm-up, min-of-N, cache isolation, JSON emission).
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_bench_emits_contract_json():
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_CPUS="4",
+        SPARK_GRAFT_BENCH_RUNS="1",
+    )
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"),
+         "hash_split", "error_histogram"],
+        capture_output=True, text=True, timeout=300, env=env, cwd=REPO,
+    )
+    assert proc.returncode == 0, f"bench.py rc={proc.returncode}\n{proc.stderr[-2000:]}"
+    json_lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+    assert len(json_lines) == 1, f"expected ONE JSON line on stdout:\n{proc.stdout}"
+    payload = json.loads(json_lines[0])
+    assert payload["metric"] == "total_query_wall_seconds"
+    assert payload["unit"] == "sec"
+    assert payload["sf"] == 0.001
+    assert set(payload["queries"]) == {"hash_split", "error_histogram"}
+    assert payload["value"] > 0
+    assert abs(sum(payload["queries"].values()) - payload["value"]) < 0.01
