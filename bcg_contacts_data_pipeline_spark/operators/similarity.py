@@ -217,18 +217,8 @@ def minhash_lsh_pairs(
     Jaccard (fraction of agreeing hash positions).
     """
     assert num_hashes % bands == 0
-    rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text, n, num_hashes, seed).cache()
-
-    band_cols = []
-    for b in range(bands):
-        cols = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("bh"))
-        )
-    buckets = sigs.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    buckets = _band_buckets(sigs, id_col, num_hashes, bands)
 
     l = buckets.select(F.col(id_col).alias("id_a"), "band", "bh")
     r = buckets.select(F.col(id_col).alias("id_b"), "band", "bh")
@@ -238,14 +228,45 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+    return _estimate_and_filter(
+        cand, sigs, id_col, sigs, id_col, num_hashes, verify_threshold
+    )
 
+
+def _band_buckets(
+    sigs: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """(id, band, band_hash) — one row per band per document."""
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("bh"))
+        )
+    return sigs.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+
+def _estimate_and_filter(
+    cand: DataFrame,
+    sigs_a: DataFrame,
+    id_a_col: str,
+    sigs_b: DataFrame,
+    id_b_col: str,
+    num_hashes: int,
+    verify_threshold: float | None,
+) -> DataFrame:
+    """Attach the signature-estimated Jaccard (fraction of agreeing hash
+    positions) to candidate (id_a, id_b) pairs and filter by threshold."""
     sig_cols = [f"sig_{i}" for i in range(num_hashes)]
-    sa = sigs.select(
-        F.col(id_col).alias("id_a"),
+    sa = sigs_a.select(
+        F.col(id_a_col).alias("id_a"),
         F.array(*[F.col(c) for c in sig_cols]).alias("sig_a"),
     )
-    sb = sigs.select(
-        F.col(id_col).alias("id_b"),
+    sb = sigs_b.select(
+        F.col(id_b_col).alias("id_b"),
         F.array(*[F.col(c) for c in sig_cols]).alias("sig_b"),
     )
     agree = F.size(
@@ -265,6 +286,45 @@ def minhash_lsh_pairs(
     if verify_threshold is not None:
         out = out.filter(F.col("est_jaccard") >= verify_threshold)
     return out
+
+
+def minhash_lsh_join(
+    left: DataFrame,
+    left_id: str,
+    left_text: Column | str,
+    right: DataFrame,
+    right_id: str,
+    right_text: Column | str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    verify_threshold: float | None = 0.5,
+) -> DataFrame:
+    """Cross-corpus banded-LSH similarity JOIN: (id_a from left, id_b
+    from right, est_jaccard) for pairs colliding on any full band.
+
+    The decontamination primitive: ``left`` = training corpus, ``right``
+    = benchmark/eval set; every training document near-matching an eval
+    document is flagged without an all-pairs comparison — candidates are
+    generated only inside equal (band, band_hash) buckets, so cost is
+    bucket-occupancy-bound exactly like the self-join variant. Both
+    sides use the SAME permutation family (seed), which is what makes
+    signatures comparable across frames.
+    """
+    assert num_hashes % bands == 0
+    sl = minhash_signatures(left, left_id, left_text, n, num_hashes, seed).cache()
+    sr = minhash_signatures(right, right_id, right_text, n, num_hashes, seed).cache()
+    bl = _band_buckets(sl, left_id, num_hashes, bands).select(
+        F.col(left_id).alias("id_a"), "band", "bh"
+    )
+    br = _band_buckets(sr, right_id, num_hashes, bands).select(
+        F.col(right_id).alias("id_b"), "band", "bh"
+    )
+    cand = bl.join(br, on=["band", "bh"]).select("id_a", "id_b").distinct()
+    return _estimate_and_filter(
+        cand, sl, left_id, sr, right_id, num_hashes, verify_threshold
+    )
 
 
 def simhash64(

@@ -975,6 +975,51 @@ def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "decontaminate",
+    oracle=f"""
+    WITH eligible AS (
+      SELECT doc_id FROM documents
+      WHERE doc_id % 10 = 0 AND length(trim(text)) > 0
+        AND len({_TOKS_SQL}) >= 3)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_true,
+           CAST(COUNT(*) AS BIGINT) AS n_found,
+           CAST(COUNT(*) AS DOUBLE) / COUNT(*) AS recall
+    FROM eligible
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: cross-corpus MinHash-LSH join flagging
+    training documents that near-match an eval set (here: every 10th doc
+    doubles as the 'benchmark'). Each eval doc IS in the corpus, so its
+    identical twin pair (id, id) is a provable must-find (same shingles
+    => same signature => same bands => est_jaccard 1.0); recall over
+    that constructed truth is exactly 1.0, independently stated by the
+    oracle. Docs with < 3 tokens have no shingles and are excluded on
+    both sides. Same proof shape as minhash_recall, but exercising the
+    CROSS-FRAME join path (operators/similarity.py:minhash_lsh_join)."""
+    from bcg_contacts_data_pipeline_spark.functions.text import tokens
+    from bcg_contacts_data_pipeline_spark.operators.similarity import (
+        minhash_lsh_join,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    evalset = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    pairs = minhash_lsh_join(
+        docs.select("doc_id", "text"), "doc_id", "text",
+        evalset, "eval_id", "text",
+        n=3, num_hashes=64, bands=16, verify_threshold=0.5,
+    )
+    truth = docs.filter(
+        (F.col("doc_id") % 10 == 0)
+        & (F.length(F.trim("text")) > 0)
+        & (F.size(tokens(F.col("text"))) >= 3)
+    ).select(F.col("doc_id").alias("id_a"), F.col("doc_id").alias("id_b"))
+    return _recall_frame(pairs, truth)
+
+
+@register(
     "simhash_recall",
     oracle=_RECALL_ORACLE_TMPL.format(toks=_TOKS_SQL, min_tokens=1),
 )

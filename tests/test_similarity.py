@@ -183,3 +183,35 @@ def test_corpus_embedding_ops_never_collect_on_driver(spark, monkeypatch):
         S.embedding_neardup(emb, "vec_id", "embedding", threshold=0.8).count()
         == emb.count()
     )
+
+
+def test_minhash_lsh_join_cross_corpus(spark):
+    """Cross-frame LSH join: identical and near-identical docs across
+    frames are flagged; unrelated docs are not."""
+    from bcg_contacts_data_pipeline_spark.operators.similarity import (
+        minhash_lsh_join,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    train = spark.createDataFrame(
+        [
+            (1, base),                                  # exact leak
+            (2, base.replace("today", "tonight")),       # near leak
+            (3, "completely unrelated text about spark distributed joins ok"),
+        ],
+        "doc_id long, text string",
+    )
+    evalset = spark.createDataFrame([(100, base)], "eval_id long, text string")
+    got = minhash_lsh_join(
+        train, "doc_id", "text", evalset, "eval_id", "text",
+        verify_threshold=0.5,
+    ).collect()
+    flagged = {r.id_a for r in got}
+    assert 1 in flagged, got
+    assert 3 not in flagged, got
+    exact = [r for r in got if r.id_a == 1][0]
+    assert exact.est_jaccard == 1.0
+    near = [r for r in got if r.id_a == 2]
+    if near:  # near-dup flagged iff enough signature agreement — if
+        # flagged, the estimate must reflect high (not total) similarity
+        assert 0.5 <= near[0].est_jaccard < 1.0
