@@ -1561,6 +1561,39 @@ def q_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pack_shards",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id,
+             CAST(CASE WHEN length(trim(text)) > 0
+                  THEN len({_TOKS_SQL}) ELSE 0 END AS BIGINT) AS n_tokens
+      FROM documents)
+    SELECT doc_id, n_tokens,
+           CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                // 2000 AS BIGINT) AS shard_id
+    FROM sized
+    """,
+)
+def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard assignment: contiguous packing of documents into
+    ~2000-token shards in doc_id order — shard_id = floor(exclusive
+    running token sum / budget). Pure integer arithmetic, engine-exact.
+    The Spark side computes the global running sum WITHOUT a
+    single-partition window (two-pass partition-offset,
+    operators/pack.py) — the oracle's bare `ORDER BY` window is the
+    1-task shape this operator exists to avoid."""
+    from bcg_contacts_data_pipeline_spark.functions.text import token_count
+    from bcg_contacts_data_pipeline_spark.operators.pack import pack_shards
+
+    docs = _t(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_shards(sized, "doc_id", "n_tokens", budget=2000)
+
+
 _PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
 _PII_PHONE = "[0-9][0-9][0-9][-. ][0-9][0-9][0-9][-. ][0-9][0-9][0-9][0-9]"
 _PII_IPV4 = "[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+"

@@ -123,3 +123,44 @@ def test_dedup_key_reference_concat_semantics(spark):
     # trailing dash keeps these two distinct (would collide without it)
     assert got["dashed name no mobile"] == "a-7-"
     assert got["name and mobile"] == "a-7"
+
+
+def test_global_running_sum_and_pack_shards(spark):
+    """Two-pass global cumsum equals the single-window model on every
+    partition layout; pack_shards respects budget contiguity."""
+    import pyspark.sql.functions as F
+
+    from bcg_contacts_data_pipeline_spark.operators.pack import (
+        global_running_sum,
+        pack_shards,
+    )
+
+    rows = [(i, (i * 37) % 11) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, size long").repartition(7)
+    got = {
+        r.id: r.running_sum
+        for r in global_running_sum(df, "size", "id").collect()
+    }
+    run = 0
+    for i, s in rows:
+        assert got[i] == run, (i, got[i], run)
+        run += s
+
+    packed = {r.id: r.shard_id for r in pack_shards(df, "id", "size", 50).collect()}
+    # shard ids are non-decreasing in order and match the model
+    run, last = 0, 0
+    for i, s in rows:
+        want = run // 50
+        assert packed[i] == want, (i, packed[i], want)
+        assert want >= last
+        last, run = want, run + s
+
+    # inclusive mode: first row carries its own value
+    inc = {
+        r.id: r.cum
+        for r in global_running_sum(df, "size", "id", "cum", exclusive=False).collect()
+    }
+    run = 0
+    for i, s in rows:
+        run += s
+        assert inc[i] == run
