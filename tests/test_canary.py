@@ -127,3 +127,37 @@ def test_events_table_shape(spark):
         f"TESTDATA DRIFT: events.ts encoding {dtypes.get('ts')!r} is not "
         "one normalize_event_ts understands — extend io/events.py"
     )
+
+
+def test_read_events_legacy_nanos_parquet(spark, tmp_path):
+    """End-to-end on the OTHER historical encoding: a real parquet file
+    with TIMESTAMP(NANOS) (which Spark only reads under nanosAsLong, as
+    bigint) must load through read_events with identical values to the
+    timestamp[us] path."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    us = 1_700_000_000_123_456
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array([us * 1000, (us + 5_000_000) * 1000],
+                           pa.timestamp("ns")),
+            "user_id": pa.array([7, 8], pa.int64()),
+            "event_type": pa.array(["a", "b"]),
+            "value": pa.array([0.5, 1.5], pa.float64()),
+            "props": pa.array(["{}", "{}"]),
+        }
+    )
+    d = tmp_path / "legacy"
+    d.mkdir()
+    pq.write_table(tbl, d / "events.parquet", coerce_timestamps=None)
+    from bcg_contacts_data_pipeline_spark.io.events import read_events
+
+    e = read_events(spark, str(d))
+    assert dict(e.dtypes)["ts"] == "timestamp"
+    got = sorted(r.ts for r in e.select("ts").collect())
+    from datetime import datetime
+
+    assert got[0] == datetime(2023, 11, 14, 22, 13, 20, 123456)
+    assert (got[1] - got[0]).total_seconds() == 5.0
