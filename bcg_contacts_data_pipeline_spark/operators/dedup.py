@@ -22,12 +22,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from bcg_contacts_data_pipeline_spark.functions.normalize import (
-    is_valid_value,  # noqa: F401 — re-exported; callers patch via this module
-    norm_email,
-)
+from bcg_contacts_data_pipeline_spark.functions.normalize import norm_email
 from bcg_contacts_data_pipeline_spark.functions.normalize_sql import (
     longest_valid_agg_sql,
+    q as quote_ident,
 )
 
 
@@ -110,10 +108,9 @@ def most_complete_merge(
     merged = keyed.groupBy(key_name).agg(*aggs)
 
     if keyless is not None:
-        qn = lambda n: "`" + n.replace("`", "``") + "`"  # noqa: E731
         passthrough = keyless.selectExpr(
-            qn(key_name),
-            *[qn(c) for c in value_cols],
+            quote_ident(key_name),
+            *[quote_ident(c) for c in value_cols],
             "CAST(1 AS BIGINT) AS group_size",
         )
         merged = merged.unionByName(passthrough)

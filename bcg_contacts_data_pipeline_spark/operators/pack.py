@@ -36,7 +36,11 @@ def global_running_sum(
 
     Eager like renumber: the per-partition offset collect materializes
     the input. The persist is load-bearing for the same reason as there
-    (range-boundary sampling must not be recomputed differently later).
+    (range-boundary sampling must not be recomputed differently later) —
+    and for the same reason it CANNOT be unpersisted before the caller
+    materializes the result. The pin lives until the session drops it;
+    long-lived callers release it with ``spark.catalog.clearCache()``
+    once the output is written (renumber has the same contract).
     """
     v = F.col(value) if isinstance(value, str) else value
     o = F.col(order_by) if isinstance(order_by, str) else order_by
@@ -81,7 +85,11 @@ def pack_shards(
     with_sum = global_running_sum(
         df, size, order_by, out_name="__before", exclusive=True
     )
+    # Integer `div`, not float `/` + cast: the running sum is a long that
+    # can exceed 2^53 at corpus scale, where double division rounds and a
+    # row sitting exactly on a budget boundary could land one shard off
+    # the integer-division oracle (same rule as the events ns->us path).
     return with_sum.select(
         *df.columns,
-        (F.col("__before") / F.lit(int(budget))).cast("long").alias(shard_name),
+        F.expr(f"`__before` div {int(budget)}").alias(shard_name),
     )

@@ -311,6 +311,14 @@ def minhash_lsh_join(
     bucket-occupancy-bound exactly like the self-join variant. Both
     sides use the SAME permutation family (seed), which is what makes
     signatures comparable across frames.
+
+    Caching contract (also applies to minhash_lsh_pairs/simhash_pairs):
+    the signature frames are `.cache()`d because band-bucketing and the
+    verify stage both scan them. The pin lives until the session drops it
+    — long-lived callers running many joins should
+    ``spark.catalog.clearCache()`` (or unpersist) between corpora, as
+    bench.py does between queries; storage-memory eviction makes the
+    leak a slowdown, not an OOM, but it is real on a shared cluster.
     """
     assert num_hashes % bands == 0
     sl = minhash_signatures(left, left_id, left_text, n, num_hashes, seed).cache()

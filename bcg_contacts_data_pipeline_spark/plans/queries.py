@@ -1594,9 +1594,16 @@ def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_shards(sized, "doc_id", "n_tokens", budget=2000)
 
 
-_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
-_PII_PHONE = "[0-9][0-9][0-9][-. ][0-9][0-9][0-9][-. ][0-9][0-9][0-9][0-9]"
-_PII_IPV4 = "[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+"
+# ONE source for the PII regexes: the oracle interpolates the same dict
+# the Spark-side pii_counts/redact_pii use, so tuning a pattern in
+# functions/text.py cannot desync the two engines.
+from bcg_contacts_data_pipeline_spark.functions.text import (  # noqa: E402
+    PII_PATTERNS as _PII_PATTERNS,
+)
+
+_PII_EMAIL = _PII_PATTERNS["email"]
+_PII_PHONE = _PII_PATTERNS["phone"]
+_PII_IPV4 = _PII_PATTERNS["ipv4"]
 
 
 @register(
