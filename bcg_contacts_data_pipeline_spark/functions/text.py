@@ -66,20 +66,30 @@ def quality_score(c: Column | str) -> Column:
 
     0.4 * clamp(tokens/100) + 0.3 * stopword_ratio*3 (capped 1)
     + 0.3 * (1 - punct_ratio*10 (capped 1))
+
+    The token array is let-bound (:func:`bind`) so the whitespace split
+    runs once per row, not once per count that consumes it.
     """
-    nt = token_count(c).cast("double")
-    nc = char_count(c).cast("double")
-    st = stopword_count(c).cast("double")
-    pc = punct_count(c).cast("double")
-    len_component = F.least(nt / F.lit(100.0), F.lit(1.0))
-    stop_component = F.least(st / nt * F.lit(3.0), F.lit(1.0))
-    punct_component = F.lit(1.0) - F.least(pc / nc * F.lit(10.0), F.lit(1.0))
-    score = (
-        F.lit(0.4) * len_component
-        + F.lit(0.3) * stop_component
-        + F.lit(0.3) * punct_component
-    )
-    return F.when(nt > 0, score).otherwise(F.lit(0.0))
+    c = _col(c)
+
+    def body(tk: Column) -> Column:
+        nt = F.size(tk).cast("double")
+        st = F.size(
+            F.filter(tk, lambda t: F.lower(t).isin(*STOPWORDS))
+        ).cast("double")
+        nc = char_count(c).cast("double")
+        pc = punct_count(c).cast("double")
+        len_component = F.least(nt / F.lit(100.0), F.lit(1.0))
+        stop_component = F.least(st / nt * F.lit(3.0), F.lit(1.0))
+        punct_component = F.lit(1.0) - F.least(pc / nc * F.lit(10.0), F.lit(1.0))
+        score = (
+            F.lit(0.4) * len_component
+            + F.lit(0.3) * stop_component
+            + F.lit(0.3) * punct_component
+        )
+        return F.when(nt > 0, score).otherwise(F.lit(0.0))
+
+    return bind(tokens(c), body)
 
 
 def fingerprint(c: Column | str) -> Column:
