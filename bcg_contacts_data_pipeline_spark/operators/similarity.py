@@ -166,6 +166,36 @@ def _minhash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
     ]
 
 
+def _gram_hash_arrays(
+    df: DataFrame, id_col: str, text: Column | str, n: int, parallelism: int = 64
+) -> DataFrame:
+    """(id, __gh) with __gh = the document's DISTINCT n-gram hash array
+    folded to 31 bits — the row-local input both signature families
+    consume. Documents with < n tokens are dropped, matching the
+    explode+groupBy formulation where they produce no rows.
+
+    The drop filter runs EARLY, on the token-count (`size(__th) >= n` —
+    equivalent to a non-empty gram array, since >= n tokens always yield
+    >= 1 distinct gram): a post-hoc `filter(size(__gh) > 0)` gets its
+    predicate rewritten to contain the entire gram-pipeline expression,
+    re-evaluating it per row — measured ~3x the whole stage."""
+    t = F.col(text) if isinstance(text, str) else text
+    hashed = df.repartition(parallelism).select(
+        F.col(id_col),
+        F.transform(tokens(t), lambda x: F.xxhash64(F.lower(x))).alias("__th"),
+    ).filter(F.size("__th") >= n)
+    th = F.col("__th")
+    idx = F.sequence(F.lit(1), F.size(th) - F.lit(n - 1))
+    grams = F.transform(
+        idx,
+        lambda i: F.pmod(
+            F.xxhash64(*[F.element_at(th, i + F.lit(j)) for j in range(n)]),
+            F.lit(MERSENNE_31),
+        ),
+    )
+    return hashed.select(F.col(id_col), F.array_distinct(grams).alias("__gh"))
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -175,27 +205,39 @@ def minhash_signatures(
     seed: int = 42,
 ) -> DataFrame:
     """MinHash signature per document: sig_i = min over shingles of
-    (a_i * h(shingle) + b_i) mod M31, with h = xxhash64 folded to 31 bits.
-    One explode + one groupBy; the mins are partial-aggregatable (map-side
-    combine), so the shuffle carries only (id, num_hashes longs)."""
+    (a_i * h(shingle) + b_i) mod M31, with h the 31-bit-folded gram hash.
+
+    ROW-LOCAL: a signature is a pure function of one document, so it is
+    computed as `array_min(transform(grams, ...))` over the per-doc gram
+    array — a narrow projection with NO explode, NO shuffle, and no
+    64-buffer aggregation. The earlier explode+groupBy formulation
+    shuffled ~|grams-per-doc|× the corpus; this shape is embarrassingly
+    parallel at any scale (min is order-independent, so values are
+    identical). Built as SQL text: 64 near-identical expressions via the
+    Column API would cost thousands of py4j round-trips.
+
+    Returns (id, sigs array<long>[num_hashes]). The whole signature is
+    ONE let-bound expression (`element_at(transform(array(__gh), gh ->
+    ...), 1)`): projection collapse inlines column expressions into every
+    consumer, so 64 separate sig_i columns would re-run the tokenize/
+    n-gram pipeline 64 times per row (measured 4x slower than the
+    exploded form it replaced); binding the gram array as a lambda
+    variable makes it one evaluation regardless of how the optimizer
+    rearranges projections.
+
+    a_i*h + b_i stays < 2^62 (a, b, h all < 2^31) — no int64 overflow
+    under ANSI mode."""
     params = _minhash_params(num_hashes, seed)
-    # Materialize the folded shingle hash as an attribute BEFORE the 64
-    # min-aggregates reference it: inlined, the xxhash64+pmod subtree is
-    # copied into every aggregate expression and the generated code blows
-    # up (measured ~8 s of first-run Janino compile); as a column it is
-    # hashed once per shingle and each aggregate is a 3-op expression.
-    shingles = shingle_hash_frame(df, id_col, text, n).select(
-        F.col(id_col),
-        F.pmod(F.col("sh"), F.lit(MERSENNE_31)).alias("__h31"),
+    grams = _gram_hash_arrays(df, id_col, text, n)
+    a_arr = "array(" + ", ".join(f"{a}L" for a, _ in params) + ")"
+    b_arr = "array(" + ", ".join(f"{b}L" for _, b in params) + ")"
+    sig = (
+        "element_at(transform(array(`__gh`), gh -> "
+        f"zip_with({a_arr}, {b_arr}, (a, b) -> "
+        f"array_min(transform(gh, h -> pmod(a * h + b, {MERSENNE_31}L)))"
+        ")), 1) AS sigs"
     )
-    h = F.col("__h31")
-    mins = [
-        F.min(
-            F.pmod(F.lit(a) * h + F.lit(b), F.lit(MERSENNE_31))
-        ).alias(f"sig_{i}")
-        for i, (a, b) in enumerate(params)
-    ]
-    return shingles.groupBy(id_col).agg(*mins)
+    return grams.selectExpr(f"`{id_col}`", sig)
 
 
 def minhash_lsh_pairs(
@@ -236,14 +278,19 @@ def minhash_lsh_pairs(
 def _band_buckets(
     sigs: DataFrame, id_col: str, num_hashes: int, bands: int
 ) -> DataFrame:
-    """(id, band, band_hash) — one row per band per document."""
+    """(id, band, band_hash) — one row per band per document. ``sigs``
+    carries the signature as one array column (callers cache it, so the
+    repeated slice references below read a materialized attribute)."""
     rows_per_band = num_hashes // bands
-    band_cols = []
-    for b in range(bands):
-        cols = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("bh"))
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                F.slice("sigs", b * rows_per_band + 1, rows_per_band)
+            ).alias("bh"),
         )
+        for b in range(bands)
+    ]
     return sigs.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
@@ -260,14 +307,11 @@ def _estimate_and_filter(
 ) -> DataFrame:
     """Attach the signature-estimated Jaccard (fraction of agreeing hash
     positions) to candidate (id_a, id_b) pairs and filter by threshold."""
-    sig_cols = [f"sig_{i}" for i in range(num_hashes)]
     sa = sigs_a.select(
-        F.col(id_a_col).alias("id_a"),
-        F.array(*[F.col(c) for c in sig_cols]).alias("sig_a"),
+        F.col(id_a_col).alias("id_a"), F.col("sigs").alias("sig_a")
     )
     sb = sigs_b.select(
-        F.col(id_b_col).alias("id_b"),
-        F.array(*[F.col(c) for c in sig_cols]).alias("sig_b"),
+        F.col(id_b_col).alias("id_b"), F.col("sigs").alias("sig_b")
     )
     agree = F.size(
         F.filter(
@@ -338,33 +382,29 @@ def minhash_lsh_join(
 def simhash64(
     df: DataFrame, id_col: str, text: Column | str
 ) -> DataFrame:
-    """64-bit SimHash per document: per bit, sum +1/-1 token votes.
+    """64-bit SimHash per document: per bit, sum +1/-1 token votes; bit
+    set iff the vote is positive. Returns (id, simhash long).
 
-    Explode tokens once, then 64 conditional-sum aggregates (all partial-
-    aggregatable). Returns (id, simhash long).
-    """
+    ROW-LOCAL like minhash_signatures: the hash is a pure function of
+    one document's token multiset, so it folds over the per-doc
+    token-hash array (`aggregate(sequence(0,63), ...)` with a nested
+    `filter` counting set bits) — narrow projection, NO explode, NO
+    shuffle, no 64-buffer aggregation. `vote_i > 0` ⟺
+    `2*count_set_i > n_tokens`, which is what the fold tests; duplicate
+    tokens keep their weight exactly as in the exploded formulation.
+    Documents with no tokens are dropped (the groupBy form produced no
+    row for them)."""
     t = F.col(text) if isinstance(text, str) else text
-    # Token hash materialized as an attribute (not inlined into the 64
-    # bit-vote aggregates) — same codegen-size guard as minhash_signatures.
-    toks = df.repartition(64).select(
-        F.col(id_col), F.explode(F.transform(tokens(t), F.lower)).alias("tok")
-    ).select(F.col(id_col), F.xxhash64(F.col("tok")).alias("__th"))
-    h = F.col("__th")
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
-        for i in range(64)
-    ]
-    agg = toks.groupBy(id_col).agg(*bit_sums)
-    sim = None
-    for i in range(64):
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        term = F.shiftleft(bit, i)
-        sim = term if sim is None else sim.bitwiseOR(term)
-    return agg.select(F.col(id_col), sim.alias("simhash"))
+    toked = df.repartition(64).select(
+        F.col(id_col),
+        F.transform(tokens(t), lambda x: F.xxhash64(F.lower(x))).alias("__th"),
+    ).filter(F.size("__th") > 0)
+    sim = (
+        "aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, i) -> acc + "
+        "IF(2 * size(filter(`__th`, h -> (h >> i) & 1 = 1)) > size(`__th`), "
+        "shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))) AS simhash"
+    )
+    return toked.selectExpr(f"`{id_col}`", sim)
 
 
 def hamming64(a: Column, b: Column) -> Column:
