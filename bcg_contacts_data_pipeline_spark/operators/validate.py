@@ -118,22 +118,33 @@ def validate_documents(
     skip: Column | None = None,
 ) -> DataFrame:
     """Reference-shaped output: one document per failing row with the full
-    error array (validate_fields.py:114-116), ready for ``write.json``."""
+    error array (validate_fields.py:114-116), ready for ``write.json``.
+
+    Failing rows are selected BEFORE the error-array projection with the
+    cheap boolean disjunction of the rule predicates: a post-hoc
+    ``filter(size(errors) > 0)`` gets the whole array-construction
+    expression substituted into its predicate and evaluated a second
+    time per row (see operators/similarity._gram_hash_arrays for the
+    measured version of this hazard); filtering first also means passing
+    rows never build the array at all."""
     if skip is not None:
         df = df.filter(~skip)
+    any_failed = rules[0].failed
+    for r in rules[1:]:
+        any_failed = any_failed | r.failed
+    df = df.filter(any_failed)
     errors = F.array_compact(
         F.array(*[F.when(r.failed, F.lit(r.message)) for r in rules])
     )
     critical = F.array_compact(
         F.array(*[F.when(r.failed, F.lit(r.message)) for r in rules if r.critical])
     )
-    out = df.select(
+    return df.select(
         *id_cols,
         *([F.col(name_col).alias("name")] if name_col else []),
         errors.alias("errors"),
         (F.size(critical) > 0).alias("has_critical"),
     )
-    return out.filter(F.size("errors") > 0)
 
 
 def error_count(rules: list[Rule], skip: Column | None = None) -> Column:
