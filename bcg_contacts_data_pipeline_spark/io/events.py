@@ -60,11 +60,43 @@ def normalize_event_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     )
 
 
+def _ts_is_nanos(path: str) -> bool:
+    """True when the parquet footer declares ``ts`` as TIMESTAMP(NANOS).
+
+    Footer-only pyarrow inspection (no data read) so the Spark session
+    conf is touched ONLY when the legacy encoding is actually present —
+    setting ``nanosAsLong`` unconditionally made every *other* parquet
+    read in the session silently load TIMESTAMP(NANOS) columns as
+    bigint (advisor flag, round 4). The conf cannot be restored right
+    after ``spark.read`` either: Spark re-reads it from the session at
+    physical-planning time, so un-setting it before the action would
+    break the very read it enabled.
+    """
+    try:
+        import pyarrow.dataset as ds
+
+        schema = ds.dataset(path, format="parquet").schema
+        t = schema.field("ts").type
+        return getattr(t, "unit", None) == "ns"
+    except Exception:
+        # Unreadable footer / missing column: let Spark produce its own
+        # (better) error; stay conservative and don't flip the conf.
+        return False
+
+
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch read of ``{sf_dir}/events.parquet`` with ``ts`` normalized.
 
-    Sets ``nanosAsLong`` *before* the read so a TIMESTAMP(NANOS) file loads
-    as bigint instead of failing; the conf is inert for timestamp[us] files.
+    Sets ``nanosAsLong`` before the read ONLY if the footer actually
+    declares TIMESTAMP(NANOS) — so a timestamp[us] file (the current
+    testdata encoding) leaves the session conf untouched. When the
+    legacy encoding IS present the conf stays set for the session
+    lifetime by necessity (Spark consults it again at planning time);
+    that session-wide effect is confined to the ns-encoded case and
+    every consumer of THIS table normalizes through
+    :func:`normalize_event_ts`.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    path = f"{sf_dir}/events.parquet"
+    if _ts_is_nanos(path):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return normalize_event_ts(spark.read.parquet(path))

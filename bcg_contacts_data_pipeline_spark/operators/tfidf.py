@@ -7,9 +7,14 @@ and the corpus size N joins in as a broadcast scalar — NO driver collect,
 so the operator composes lazily into larger plans and scales.
 
 Shuffle shape at 100 TB: one shuffle on (doc, term) for tf, one on term
-for df (both partial-aggregatable), one broadcast-hash join of df back
-onto tf (df is |vocabulary|-sized — small relative to the corpus; AQE
-broadcast-converts it), and one window shuffle on doc for the top-k rank.
+for df (both partial-aggregatable), one join of df back onto tf, and one
+window shuffle on doc for the top-k rank. The df join is deliberately
+UNHINTED: a scraped corpus's vocabulary (typos, URLs, junk tokens) is
+unbounded — hundreds of millions of terms at 100 TB — so a forced
+broadcast would OOM the driver. AQE broadcast-converts the join at
+runtime when the measured df size is under the threshold, and falls back
+to a sort-merge join on `term` when it isn't; both plans are correct.
+The only forced broadcast is the one-row corpus-count scalar.
 
 Determinism for oracle parity: tfidf is rounded to 6 decimals BEFORE
 ranking — ln() differs by ≤1 ulp between libm implementations, and
@@ -46,7 +51,7 @@ def tfidf_top_terms(
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.agg(F.count(F.lit(1)).alias("__n"))
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(dfreq, "term")
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tfidf",

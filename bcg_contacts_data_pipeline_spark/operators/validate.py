@@ -15,6 +15,7 @@ input — no shuffle at all until the severity aggregate.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import reduce
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -129,9 +130,16 @@ def validate_documents(
     rows never build the array at all."""
     if skip is not None:
         df = df.filter(~skip)
-    any_failed = rules[0].failed
-    for r in rules[1:]:
-        any_failed = any_failed | r.failed
+    if not rules:
+        # No rules -> no failing rows; return the empty frame with the
+        # exact output shape (an empty rule list used to IndexError).
+        return df.limit(0).select(
+            *id_cols,
+            *([F.col(name_col).alias("name")] if name_col else []),
+            F.array().cast("array<string>").alias("errors"),
+            F.lit(False).alias("has_critical"),
+        )
+    any_failed = reduce(lambda acc, r: acc | r.failed, (r for r in rules), F.lit(False))
     df = df.filter(any_failed)
     errors = F.array_compact(
         F.array(*[F.when(r.failed, F.lit(r.message)) for r in rules])

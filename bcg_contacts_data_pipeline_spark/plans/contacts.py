@@ -27,7 +27,6 @@ reference's Frankenstein-record behavior); title-casing follows pandas
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import lru_cache
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -341,17 +340,28 @@ def dedup_contacts(
     return renumbered.select("seqno", *[c for c in MASTER_COLUMNS if c != "seqno"], "group_size")
 
 
-@lru_cache(maxsize=1)
-def _contact_rules_cached() -> tuple[V.Rule, ...]:
-    return tuple(contact_rules_build())
+# Memo keyed on the ACTIVE SparkContext (not a bare lru_cache): the
+# cached rules are py4j Column handles, and if the JVM gateway is
+# recreated in-process (test harnesses, long-lived drivers restarting
+# the session) a process-lifetime cache would hand out Columns bound to
+# a dead gateway and fail opaquely. Keying on id(active context) makes
+# a restart a clean cache miss; the single stale entry is dropped.
+_RULES_MEMO: dict[int, tuple[V.Rule, ...]] = {}
 
 
 def contact_rules() -> list[V.Rule]:
-    """validate_fields.py rule set (§2.8). Memoized: rules are unresolved
-    Column expressions, reusable across DataFrames, and building the 13
-    rule trees costs ~0.4 s of py4j round-trips per call — the e2e path
-    needs them twice (validate_contacts + contact_error_count)."""
-    return list(_contact_rules_cached())
+    """validate_fields.py rule set (§2.8). Memoized per SparkContext:
+    rules are unresolved Column expressions, reusable across DataFrames,
+    and building the 13 rule trees costs ~0.4 s of py4j round-trips per
+    call — the e2e path needs them twice (validate_contacts +
+    contact_error_count)."""
+    from pyspark import SparkContext
+
+    key = id(SparkContext._active_spark_context)
+    if key not in _RULES_MEMO:
+        _RULES_MEMO.clear()  # at most one live context; drop stale gateways
+        _RULES_MEMO[key] = tuple(contact_rules_build())
+    return list(_RULES_MEMO[key])
 
 
 def contact_rules_build() -> list[V.Rule]:

@@ -65,9 +65,14 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of io.events.read_events: the events table as an
     unbounded source. The `ts` encoding logic is literally the same
     function (normalize_event_ts) as the batch path, so batch/stream
-    parity cannot drift."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    parity cannot drift. The ``nanosAsLong`` conf is likewise only
+    flipped when the footer actually declares TIMESTAMP(NANOS) — same
+    session-hygiene rule as the batch reader."""
+    from bcg_contacts_data_pipeline_spark.io.events import _ts_is_nanos
+
     path = f"{sf_dir}/events.parquet"
+    if _ts_is_nanos(path):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
     raw = file_stream(spark, path, schema)
     return normalize_event_ts(raw)

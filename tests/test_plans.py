@@ -133,11 +133,29 @@ def test_new_projection_ops_shuffle_free(spark):
         assert "BatchEvalPython" not in p, name
 
 
-def test_tfidf_broadcasts_small_sides(spark):
-    """TF-IDF: the document-frequency table (vocabulary-sized) and the
-    corpus-count scalar broadcast onto the tf side; the (doc, term) tf
-    relation — the corpus-sized side — must never be broadcast."""
-    p = _plan(QUERIES["tfidf_top_terms"](spark, SF))
-    assert "BroadcastHashJoin" in p
-    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
-    assert "SortMergeJoin" not in p
+def test_profile_columns_single_aggregation_job(spark):
+    """profile_columns fuses all per-column stats into ONE aggregate over
+    ONE scan — no union of per-column jobs (N columns used to mean N
+    scheduler round-trips). The plan must contain exactly one parquet
+    scan and no Union node."""
+    p = _plan(QUERIES["profile_columns"](spark, SF))
+    assert "Union" not in p, p
+    assert p.count("Scan parquet") == 1, p
+
+
+def test_tfidf_vocabulary_join_not_force_broadcast(spark):
+    """TF-IDF: the document-frequency join must NOT carry a forced
+    broadcast hint — the vocabulary of a scraped 100 TB corpus is
+    unbounded, so a hint would OOM the driver regardless of AQE. The
+    ONLY hinted broadcast allowed in the optimized plan is the one-row
+    corpus-count scalar (crossJoin). At runtime AQE may still
+    broadcast-convert the df join when its measured size is small —
+    that's the desired adaptive behavior, not a hint."""
+    df = QUERIES["tfidf_top_terms"](spark, SF)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    assert logical.count("strategy=broadcast") == 1, logical
+    # the hinted join must be the 1-row scalar (a cross/nested-loop
+    # shape), never the equi-join on `term`
+    for line in logical.splitlines():
+        if "strategy=broadcast" in line:
+            assert "term" not in line, line
