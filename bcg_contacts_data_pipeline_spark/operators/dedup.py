@@ -27,6 +27,7 @@ from bcg_contacts_data_pipeline_spark.functions.normalize_sql import (
     longest_valid_agg_sql,
     q as quote_ident,
 )
+from bcg_contacts_data_pipeline_spark.operators.pins import PinScope, pin
 
 
 def dedup_key(
@@ -158,6 +159,7 @@ def renumber(
     order_by: list[Column | str],
     seq_name: str = "seqno",
     scalable: bool = True,
+    pins: "PinScope | None" = None,
 ) -> DataFrame:
     """O2 — assign a global contiguous 1..N sequence under a total order.
 
@@ -174,6 +176,11 @@ def renumber(
     where the output contract genuinely demands contiguous numbering; for
     mere row identity use a lazy hash/rank id instead (see
     plans.contacts._with_row_id).
+
+    ``pins``: pass a :class:`~..operators.pins.PinScope` to get a
+    targeted release handle for the load-bearing persist below (release
+    only after the output is materialized); without one the pin lives
+    until ``clearCache()`` (legacy contract).
     """
     cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
     if not scalable:
@@ -185,10 +192,10 @@ def renumber(
     # a later self-join) could assign rows to different partitions than the
     # ones the offsets below were computed from. Materializing once freezes
     # the assignment (and the offset collect pays for the materialization).
-    parted = (
+    parted = pin(
         df.repartitionByRange(*cols)
-        .select("*", F.spark_partition_id().alias("__pid"))
-        .persist()
+        .select("*", F.spark_partition_id().alias("__pid")),
+        pins,
     )
     # Small driver-side collect: one row per partition (#partitions rows).
     counts = (

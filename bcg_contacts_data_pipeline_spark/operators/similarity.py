@@ -39,6 +39,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from bcg_contacts_data_pipeline_spark.operators.pins import PinScope, pin
+
 from bcg_contacts_data_pipeline_spark.functions.text import tokens, word_ngrams
 from bcg_contacts_data_pipeline_spark.functions.vectors import dot
 
@@ -249,6 +251,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     seed: int = 42,
     verify_threshold: float | None = 0.5,
+    pins: PinScope | None = None,
 ) -> DataFrame:
     """Banded-LSH candidate pairs + estimated Jaccard.
 
@@ -259,7 +262,7 @@ def minhash_lsh_pairs(
     Jaccard (fraction of agreeing hash positions).
     """
     assert num_hashes % bands == 0
-    sigs = minhash_signatures(df, id_col, text, n, num_hashes, seed).cache()
+    sigs = pin(minhash_signatures(df, id_col, text, n, num_hashes, seed), pins)
     buckets = _band_buckets(sigs, id_col, num_hashes, bands)
 
     l = buckets.select(F.col(id_col).alias("id_a"), "band", "bh")
@@ -344,6 +347,7 @@ def minhash_lsh_join(
     bands: int = 16,
     seed: int = 42,
     verify_threshold: float | None = 0.5,
+    pins: PinScope | None = None,
 ) -> DataFrame:
     """Cross-corpus banded-LSH similarity JOIN: (id_a from left, id_b
     from right, est_jaccard) for pairs colliding on any full band.
@@ -357,16 +361,17 @@ def minhash_lsh_join(
     signatures comparable across frames.
 
     Caching contract (also applies to minhash_lsh_pairs/simhash_pairs):
-    the signature frames are `.cache()`d because band-bucketing and the
-    verify stage both scan them. The pin lives until the session drops it
-    — long-lived callers running many joins should
-    ``spark.catalog.clearCache()`` (or unpersist) between corpora, as
-    bench.py does between queries; storage-memory eviction makes the
-    leak a slowdown, not an OOM, but it is real on a shared cluster.
+    the signature frames are persisted because band-bucketing and the
+    verify stage both scan them. Pass ``pins`` (a
+    operators.pins.PinScope) to get a targeted release handle — release
+    after the output is materialized; with ``pins=None`` the pin lives
+    until the session drops it (long-lived callers then need
+    ``clearCache()`` between corpora; storage-memory eviction makes the
+    leak a slowdown, not an OOM, but it is real on a shared cluster).
     """
     assert num_hashes % bands == 0
-    sl = minhash_signatures(left, left_id, left_text, n, num_hashes, seed).cache()
-    sr = minhash_signatures(right, right_id, right_text, n, num_hashes, seed).cache()
+    sl = pin(minhash_signatures(left, left_id, left_text, n, num_hashes, seed), pins)
+    sr = pin(minhash_signatures(right, right_id, right_text, n, num_hashes, seed), pins)
     bl = _band_buckets(sl, left_id, num_hashes, bands).select(
         F.col(left_id).alias("id_a"), "band", "bh"
     )
@@ -417,6 +422,7 @@ def simhash_pairs(
     text: Column | str,
     max_hamming: int = 7,
     bands: int = 8,
+    pins: PinScope | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the 64-bit signature into ``bands``
     equal slices, self-join on (band, band_bits), verify exact hamming.
@@ -433,7 +439,7 @@ def simhash_pairs(
     mask = (1 << width) - 1
     # cache: both sides of the candidate self-join scan the signatures;
     # without it the token-hash/bit-aggregation pipeline runs twice.
-    sims = simhash64(df, id_col, text).cache()
+    sims = pin(simhash64(df, id_col, text), pins)
     slices = sims.select(
         F.col(id_col),
         F.col("simhash"),

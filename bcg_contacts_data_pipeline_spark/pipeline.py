@@ -67,18 +67,27 @@ def run_cli(argv: list[str] | None = None, spark: SparkSession | None = None) ->
         )
     # Release owned resources even when a stage throws: without the
     # finally, an embedded caller (spark=None) would leak the
-    # session/JVM and any frame the run body persisted.
+    # session/JVM, any frame the run body persisted, AND the renumber
+    # pins the dedup stage creates (PinScope). Release happens strictly
+    # after every sink has materialized (the _run body finishes all its
+    # writes/counts before returning), so the load-bearing persists are
+    # gone by the time control returns to an embedded caller — pin count
+    # back to zero per run, no session-wide clearCache needed.
+    from bcg_contacts_data_pipeline_spark.operators.pins import PinScope
+
     persisted: list = []
+    pins = PinScope()
     try:
-        return _run(args, spark, persisted)
+        return _run(args, spark, persisted, pins)
     finally:
         for df in persisted:
             df.unpersist()
+        pins.release()
         if own_spark:
             spark.stop()
 
 
-def _run(args, spark: SparkSession, persisted: list) -> int:
+def _run(args, spark: SparkSession, persisted: list, pins=None) -> int:
     from bcg_contacts_data_pipeline_spark.io import readers as R
     from bcg_contacts_data_pipeline_spark.io import registries as REG
     from bcg_contacts_data_pipeline_spark.io import writers as W
@@ -143,6 +152,7 @@ def _run(args, spark: SparkSession, persisted: list) -> int:
         sources=sources,
         mailchimp=mailchimp,
         merge_empty_keys=args.merge_empty_keys,
+        pins=pins,
     )
     cleaned_path = f"{args.out_dir}/MergedDatabase.tsv"
     if args.single_file:

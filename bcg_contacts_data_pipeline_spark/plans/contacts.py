@@ -44,6 +44,7 @@ from bcg_contacts_data_pipeline_spark.operators.enrich import (
     kofn_enrich,
     two_key_enrich,
 )
+from bcg_contacts_data_pipeline_spark.operators.pins import PinScope
 
 #: The master contact schema — output/MergedDatabase.tsv header, row 1.
 MASTER_COLUMNS = (
@@ -233,7 +234,7 @@ def fill_missing(
 
 
 def mailchimp_enrich(
-    master: DataFrame, mailchimp: DataFrame
+    master: DataFrame, mailchimp: DataFrame, pins: PinScope | None = None
 ) -> tuple[DataFrame, DataFrame]:
     """merge_contacts_kindaworks.py: fill missing email on (name, phone)
     match; fill missing mobile on (name, email) match. Two strict two-key
@@ -241,7 +242,7 @@ def mailchimp_enrich(
     mc = (
         mailchimp
         if "sid" in mailchimp.columns
-        else renumber(mailchimp, [F.col(c) for c in mailchimp.columns], seq_name="sid")
+        else renumber(mailchimp, [F.col(c) for c in mailchimp.columns], seq_name="sid", pins=pins)
     )
     m1 = _with_row_id(master)
 
@@ -289,7 +290,7 @@ def mailchimp_enrich(
 
 
 def dedup_contacts(
-    df: DataFrame, merge_empty_keys: bool = False
+    df: DataFrame, merge_empty_keys: bool = False, pins: PinScope | None = None
 ) -> DataFrame:
     """clean_contacts.py:158-236: derive the dedup key (email else
     lower(fullname)-mobile), merge duplicate groups most-complete-wins
@@ -336,6 +337,7 @@ def dedup_contacts(
         order,
         seq_name="seqno",
         scalable=True,
+        pins=pins,
     )
     return renumbered.select("seqno", *[c for c in MASTER_COLUMNS if c != "seqno"], "group_size")
 
@@ -410,16 +412,22 @@ def run_pipeline(
     sources: DataFrame | None = None,
     mailchimp: DataFrame | None = None,
     merge_empty_keys: bool = False,
+    pins: PinScope | None = None,
 ) -> PipelineResult:
     """The whole reference pipeline as one lazy plan:
     stage 0 (optional) mailchimp enrich -> stage 1 fill-missing ->
-    stage 2 clean+dedup -> stage 3 validate."""
+    stage 2 clean+dedup -> stage 3 validate.
+
+    ``pins``: scope for the renumber persists the dedup stage creates —
+    the CLI releases it after every sink has run, so embedded callers
+    running many pipelines in one session don't accumulate cached
+    frames."""
     df = conform_to_master(master)
     mc_log = fill_log = None
     if mailchimp is not None:
-        df, mc_log = mailchimp_enrich(df, mailchimp)
+        df, mc_log = mailchimp_enrich(df, mailchimp, pins=pins)
     if sources is not None:
         df, fill_log = fill_missing(df, sources)
-    cleaned = dedup_contacts(clean_fields(df), merge_empty_keys=merge_empty_keys)
+    cleaned = dedup_contacts(clean_fields(df), merge_empty_keys=merge_empty_keys, pins=pins)
     errors = validate_contacts(cleaned)
     return PipelineResult(cleaned, errors, fill_log, mc_log)

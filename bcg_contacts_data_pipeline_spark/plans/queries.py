@@ -1539,8 +1539,9 @@ def q_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     doesn't cover. Spark `percentile` and DuckDB `quantile_cont` share
     the interpolation definition; results round to 4 decimals because
     the two engines' interpolation arithmetic differs in the last ulp.
-    At 100 TB swap in approx_percentile (sketch-mergeable) — this query
-    pins the exact baseline the sketch is judged against."""
+    At 100 TB use the sketch twin `numeric_profile_approx` (registered
+    below) — this query pins the exact baseline the sketch is judged
+    against, and the twin's in-band booleans do that judging in-query."""
     def prof(df, col, label):
         pct = F.percentile(F.col(col), F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
         return df.agg(
@@ -1552,6 +1553,71 @@ def q_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("__p")[0], 4).alias("p50"),
             F.round(F.col("__p")[1], 4).alias("p90"),
             F.round(F.col("__p")[2], 4).alias("p99"),
+        )
+
+    li = _t(spark, sf_dir, "lineitem")
+    ev = _events(spark, sf_dir)
+    return prof(li, "l_extendedprice", "l_extendedprice").unionByName(
+        prof(ev, "value", "value")
+    )
+
+
+@register(
+    "numeric_profile_approx",
+    oracle="""
+    SELECT 'l_extendedprice' AS col,
+           CAST(COUNT(l_extendedprice) AS BIGINT) AS n,
+           true AS p50_in_band, true AS p90_in_band, true AS p99_in_band
+    FROM lineitem
+    UNION ALL
+    SELECT 'value', CAST(COUNT(value) AS BIGINT), true, true, true
+    FROM events
+    """,
+)
+def q_numeric_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB twin of numeric_profile: `approx_percentile` (the
+    Greenwald-Khanna sketch — bounded memory, map-side mergeable, no
+    single aggregation buffer holding a column's every value) instead of
+    exact `percentile`.
+
+    Sketch outputs aren't bit-stable across engines, so the oracle
+    contract is a TOLERANCE BAND enforced through the exact-hash gate:
+    the Spark side computes, in the same single aggregate, both the
+    sketch percentiles (accuracy=10000, guaranteed rank error
+    <= n/10000) and the EXACT percentiles at q +/- 10x that rank slack,
+    then emits `approx between lo and hi` booleans. The oracle pins the
+    booleans TRUE (and the count exact): a sketch outside its guaranteed
+    band flips a boolean and fails the value-hash compare. The exact
+    bounds are the local-verification harness only — production callers
+    use the sketch columns; numeric_profile remains the exact baseline.
+    """
+    qs = [0.5, 0.9, 0.99]
+    acc = 10_000
+    slack = 10.0 / acc
+
+    def prof(df, col, label):
+        c = F.col(col)
+        ap = F.percentile_approx(
+            c, F.array(*[F.lit(q) for q in qs]), F.lit(acc)
+        )
+        lo = F.percentile(c, F.array(*[F.lit(max(q - slack, 0.0)) for q in qs]))
+        hi = F.percentile(c, F.array(*[F.lit(min(q + slack, 1.0)) for q in qs]))
+        row = df.agg(
+            F.count(c).alias("n"),
+            ap.alias("__ap"),
+            lo.alias("__lo"),
+            hi.alias("__hi"),
+        )
+        return row.select(
+            F.lit(label).alias("col"),
+            "n",
+            *[
+                (
+                    (F.col("__ap")[i] >= F.col("__lo")[i])
+                    & (F.col("__ap")[i] <= F.col("__hi")[i])
+                ).alias(f"p{int(q * 100)}_in_band")
+                for i, q in enumerate(qs)
+            ],
         )
 
     li = _t(spark, sf_dir, "lineitem")

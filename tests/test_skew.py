@@ -118,6 +118,74 @@ def test_salted_agg_reducer_side_spread(spark):
         spark.conf.set(coalesce_key, prev)
 
 
+def test_dedup_hot_key_merge_completes_with_bounded_reducer_input(spark):
+    """SURVEY §4's real hazard on the KEYED path: one dedup key holding
+    ~30% of all rows (the reference's `DEDUP_KEY=''` Frankenstein group,
+    but for a legitimate key). AQE skew-split applies to joins, not
+    aggregates, so the scale defense for the merge is map-side partial
+    aggregation: each map task pre-combines its hot rows into ONE
+    max_by partial, so the hot key's single reducer receives
+    O(#map_partitions) rows, not O(0.3 * N).
+
+    Asserted three ways: (1) the merge completes and is value-correct
+    for the hot group; (2) the plan keeps partial_max_by upstream of the
+    exchange; (3) the observed spread — hot rows occupy all 8 map
+    partitions, so the reducer-side input for the hot key is 8 partials
+    for 3,000 input rows (375x reduction at this toy size; at 100 TB the
+    same bound is #map_tasks, independent of the group's row count)."""
+    from bcg_contacts_data_pipeline_spark.operators.dedup import (
+        dedup_key,
+        most_complete_merge,
+    )
+
+    n = 10_000
+    base = spark.range(n).select(
+        F.when(F.col("id") % 10 < 3, F.lit("hot@corp.example"))
+        .otherwise(
+            F.concat(F.lit("u"), F.col("id"), F.lit("@corp.example"))
+        )
+        .alias("email"),
+        F.concat(F.lit("name"), (F.col("id") % 50)).alias("fullname"),
+        F.col("id").cast("string").alias("mobile"),
+        F.col("id").alias("ord"),
+    )
+    df = base.repartition(8)
+
+    merged = most_complete_merge(
+        df,
+        dedup_key("email", "fullname", "mobile"),
+        value_cols=["fullname", "mobile"],
+        order_by=F.col("ord"),
+    )
+
+    # (1) correctness of the hot group: longest value wins, ties toward
+    # highest ord. Hot ids end in 0/1/2 -> max 4-digit mobile is "9992";
+    # longest fullnames are the len-6 "nameXX" ones, latest is 9992%50=42.
+    hot = merged.filter(F.col("dedup_key") == "hot@corp.example").collect()
+    assert len(hot) == 1
+    assert hot[0]["group_size"] == 3000
+    assert hot[0]["mobile"] == "9992"
+    assert hot[0]["fullname"] == "name42"
+    assert merged.count() == n - 3000 + 1
+
+    # (2) partial aggregation survives upstream of the exchange
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    below_exchange = plan.split("Exchange", 1)[1]
+    assert "partial_max_by" in below_exchange, plan
+
+    # (3) observed spread: hot rows really do occupy every map partition,
+    # so the partial phase caps the hot reducer's input at 8 rows
+    hot_map_parts = (
+        df.select(F.spark_partition_id().alias("p"), "email")
+        .filter(F.col("email") == "hot@corp.example")
+        .groupBy("p")
+        .count()
+        .collect()
+    )
+    assert len(hot_map_parts) == 8, hot_map_parts
+    assert sum(r["count"] for r in hot_map_parts) == 3000
+
+
 def test_merge_empty_keys_hot_group_partial_aggregation(spark):
     """merge_empty_keys=True funnels every keyless row into ONE group —
     a hot aggregation key that AQE cannot split (skew-split applies to
