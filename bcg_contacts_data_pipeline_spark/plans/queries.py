@@ -1131,7 +1131,7 @@ def q_stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         watermark="1 hour",
     )
-    return S.run_available_now(agg, "complete")
+    return S.run_available_now(agg, "complete", shuffle_partitions=8)
 
 
 @register(
@@ -1171,7 +1171,7 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.count(F.lit(1)).alias("n_events")],
         watermark="1 hour",
     )
-    return S.run_available_now(agg, "complete")
+    return S.run_available_now(agg, "complete", shuffle_partitions=8)
 
 
 @register(
@@ -1187,7 +1187,9 @@ def q_stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     st = S.events_stream(spark, sf_dir)
     dd = S.dedup_within_watermark(st, ["user_id", "event_type"], "ts", "2 hours")
-    return S.run_available_now(dd.select("user_id", "event_type"), "append")
+    return S.run_available_now(
+        dd.select("user_id", "event_type"), "append", shuffle_partitions=8
+    )
 
 
 @register(
@@ -1206,7 +1208,7 @@ def q_stream_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     st = S.events_stream(spark, sf_dir)
     out = S.running_user_stats(st.select("user_id", "value"))
-    return S.run_available_now(out, "update")
+    return S.run_available_now(out, "update", shuffle_partitions=8)
 
 
 # ---------------------------------------------------------------------------
@@ -1600,21 +1602,26 @@ def q_numeric_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         ap = F.percentile_approx(
             c, F.array(*[F.lit(q) for q in qs]), F.lit(acc)
         )
-        lo = F.percentile(c, F.array(*[F.lit(max(q - slack, 0.0)) for q in qs]))
-        hi = F.percentile(c, F.array(*[F.lit(min(q + slack, 1.0)) for q in qs]))
+        # ONE exact-percentile aggregate for all 6 band edges (lo+hi per
+        # q): each `percentile` call keeps its own buffer of the
+        # column's values, so splitting lo/hi into two calls doubles the
+        # harness's memory and sort cost for nothing.
+        edges = [max(qs[0] - slack, 0.0), min(qs[0] + slack, 1.0),
+                 max(qs[1] - slack, 0.0), min(qs[1] + slack, 1.0),
+                 max(qs[2] - slack, 0.0), min(qs[2] + slack, 1.0)]
+        band = F.percentile(c, F.array(*[F.lit(e) for e in edges]))
         row = df.agg(
             F.count(c).alias("n"),
             ap.alias("__ap"),
-            lo.alias("__lo"),
-            hi.alias("__hi"),
+            band.alias("__band"),
         )
         return row.select(
             F.lit(label).alias("col"),
             "n",
             *[
                 (
-                    (F.col("__ap")[i] >= F.col("__lo")[i])
-                    & (F.col("__ap")[i] <= F.col("__hi")[i])
+                    (F.col("__ap")[i] >= F.col("__band")[2 * i])
+                    & (F.col("__ap")[i] <= F.col("__band")[2 * i + 1])
                 ).alias(f"p{int(q * 100)}_in_band")
                 for i, q in enumerate(qs)
             ],
@@ -2417,4 +2424,5 @@ def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.run_available_now(
         joined.select("event_id", "user_id", "event_type", "hist_events", "hist_max"),
         "append",
+        shuffle_partitions=8,
     )
