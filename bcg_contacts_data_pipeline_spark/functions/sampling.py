@@ -29,6 +29,65 @@ def hash_bucket(c: Column | str, buckets: int = 100, seed: str = "") -> Column:
     return F.pmod(F.conv(hex8, 16, 10).cast("long"), F.lit(buckets)).cast("long")
 
 
+def stratified_keep(
+    id_col: Column | str,
+    stratum_col: Column | str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    seed: str = "",
+    buckets: int = 10_000,
+) -> Column:
+    """Boolean: keep this row under per-stratum deterministic sampling.
+
+    A row survives when its id's hash bucket (out of ``buckets``) falls
+    below ``rate * buckets`` for its stratum — i.e. an exact
+    ``floor(rate*buckets)/buckets`` fraction of each stratum, chosen by
+    stable hash, not RNG. Corpus rebalancing (downsample the dominant
+    language, keep the rare ones whole) becomes a pure filter: no
+    shuffle, no state, reproducible in any engine, and adding documents
+    never flips the decision on existing ones.
+    """
+    b = hash_bucket(id_col, buckets, seed)
+    s = F.col(stratum_col) if isinstance(stratum_col, str) else stratum_col
+    thresh = None
+    for label, rate in rates.items():
+        lim = F.lit(int(rate * buckets))
+        cond = s == F.lit(label)
+        thresh = F.when(cond, lim) if thresh is None else thresh.when(cond, lim)
+    thresh = (
+        F.lit(int(default_rate * buckets))
+        if thresh is None
+        else thresh.otherwise(F.lit(int(default_rate * buckets)))
+    )
+    return b < thresh
+
+
+def epoch_repeat(
+    df,
+    stratum_col: str,
+    epochs: dict[str, int],
+    default_epochs: int = 1,
+    epoch_name: str = "epoch",
+):
+    """Weighted corpus mixing by epoch upsampling: repeat every row of
+    stratum ``s`` ``epochs[s]`` times, tagging each copy with a 1-based
+    ``epoch``. This is how training mixtures express "see the rare
+    slice 3x per pass": an exploded ``sequence`` (narrow, no shuffle,
+    output exactly the mixture size), not a random sampler — the
+    resulting corpus is identical on every run and every engine.
+    """
+    n = None
+    for label, reps in epochs.items():
+        if reps < 1:
+            raise ValueError(f"epochs must be >= 1: {label}={reps}")
+        cond = F.col(stratum_col) == F.lit(label)
+        n = F.when(cond, F.lit(reps)) if n is None else n.when(cond, F.lit(reps))
+    n = F.lit(default_epochs) if n is None else n.otherwise(F.lit(default_epochs))
+    return df.withColumn(
+        epoch_name, F.explode(F.sequence(F.lit(1), n.cast("int")))
+    )
+
+
 def assign_split(
     c: Column | str,
     weights: dict[str, int] | None = None,

@@ -1,0 +1,107 @@
+"""Change-data-capture merge and snapshot comparison.
+
+The reference refreshes its master contact table by re-running the whole
+pipeline over the newest file per source (run.py:21-38 picks
+latest-by-mtime and rebuilds from scratch). At lake scale a full rebuild
+of a 100 TB table for a 0.1 % daily delta is not viable; the standard
+replacement is an incremental MERGE: union the base snapshot with the
+change batch, keep the highest-version row per business key, drop
+tombstones. Both operators here are single-shuffle, expression-only
+plans — no windows over unpartitioned data, no driver state.
+
+Scale notes
+-----------
+- ``upsert_latest`` is one hash-shuffle on the key with map-side partial
+  ``max_by`` — the same mergeable-aggregate shape as
+  ``dedup.most_complete_merge``. The change batch is typically tiny
+  relative to the base; AQE will coalesce its side automatically. Skewed
+  keys are impossible by construction (one surviving row per key).
+- ``snapshot_diff`` is one shuffle per side for the full outer join.
+  Both sides prune to ``keys + compare_cols`` before the join, so a
+  100-column table diffed on 3 columns moves 4 columns of data.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def upsert_latest(
+    base: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    version_col: str,
+    delete_col: str | None = None,
+) -> DataFrame:
+    """Latest-wins MERGE of ``updates`` into ``base``.
+
+    Both inputs must share a schema. For every business key the row with
+    the highest ``version_col`` wins (ties impossible when versions are
+    per-key monotone, as in any CDC log); if ``delete_col`` is given,
+    keys whose winning row has it true are dropped (tombstone).
+
+    Implemented as union + per-key ``max_by(struct(*), version)`` — an
+    associative aggregate, so Spark computes partials before the
+    exchange and the shuffle carries one row per (partition, key).
+    """
+    cols = base.columns
+    if set(cols) != set(updates.columns):
+        raise ValueError("base and updates must share a schema")
+    unioned = base.select(*cols).unionByName(updates.select(*cols))
+    payload = F.struct(*[F.col(c) for c in cols])
+    merged = unioned.groupBy(*[F.col(k) for k in keys]).agg(
+        F.max_by(payload, F.col(version_col)).alias("_row")
+    )
+    out = merged.select(*[F.col(f"_row.{c}").alias(c) for c in cols])
+    if delete_col is not None:
+        out = out.filter(~F.coalesce(F.col(delete_col), F.lit(False)))
+    return out
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """Row-level diff of two snapshots of the same table.
+
+    Returns one row per key present in either snapshot with a ``status``
+    of ``added`` / ``removed`` / ``changed`` / ``unchanged``; value
+    comparisons are null-safe (``<=>``). Both sides are pruned to
+    ``keys + compare_cols`` before the full outer join, so the network
+    cost is proportional to the compared columns, not the table width.
+    """
+    kcols = list(keys)
+    ccols = list(compare_cols)
+    # Condition built from the ALIASED names: both snapshots often share
+    # plan lineage (a diff of two versions of the same table), where
+    # dataframe-attribute refs resolve ambiguously.
+    o = old.select(*kcols, *ccols).alias("o")
+    n = new.select(*kcols, *ccols).alias("n")
+    cond = None
+    for k in kcols:
+        c = F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}"))
+        cond = c if cond is None else cond & c
+    joined = o.join(n, cond, "full_outer")
+
+    old_absent = F.col(f"o.{kcols[0]}").isNull()
+    new_absent = F.col(f"n.{kcols[0]}").isNull()
+    same: Column = F.lit(True)
+    for c in ccols:
+        same = same & F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+    status = (
+        F.when(old_absent, F.lit("added"))
+        .when(new_absent, F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    key_out = [
+        F.coalesce(F.col(f"n.{k}"), F.col(f"o.{k}")).alias(k) for k in kcols
+    ]
+    old_out = [F.col(f"o.{c}").alias(f"old_{c}") for c in ccols]
+    new_out = [F.col(f"n.{c}").alias(f"new_{c}") for c in ccols]
+    return joined.select(*key_out, status.alias("status"), *old_out, *new_out)

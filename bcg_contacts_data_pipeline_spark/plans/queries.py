@@ -2426,3 +2426,9 @@ def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "append",
         shuffle_partitions=8,
     )
+
+
+# Late import so extension registrations land in the same QUERIES/ORACLE
+# dicts the driver contract reads (the module imports `register` from here;
+# everything it needs is defined above this line).
+from bcg_contacts_data_pipeline_spark.plans import queries_ext  # noqa: E402,F401

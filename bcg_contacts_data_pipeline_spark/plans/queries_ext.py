@@ -1,0 +1,625 @@
+"""Round-5 query surface: lakehouse CDC, corpus curation, and
+event-sequence analytics.
+
+Registered into the same ``plans.queries`` registry (imported at the
+bottom of that module so the driver contract sees one dict). Same
+determinism rules: decimal-exact money math, total orders with unique
+tiebreaks, identical aliases on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bcg_contacts_data_pipeline_spark.plans.queries import (
+    _dec,
+    _events,
+    _t,
+    register,
+)
+
+# ---------------------------------------------------------------------------
+# TPC-H-shape widening: Q6 (pushdown showcase) and Q18 (having-subquery)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.02 AND 0.04
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + global aggregate. The point at scale
+    is that every predicate reaches the parquet scan (PushedFilters) and
+    only 4 columns are read — `tests/test_plans.py` pins the pushdown."""
+    li = _t(spark, sf_dir, "lineitem")
+    f = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.02)
+        & (F.col("l_discount") <= 0.04)
+        & (F.col("l_quantity") < 24)
+    )
+    return f.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(_dec("l_extendedprice") * _dec("l_discount"))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+@register(
+    "q18_large_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,4))) AS qty
+      FROM lineitem GROUP BY 1
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 250)
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(b.qty AS DOUBLE) AS sum_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): aggregate-then-join. The
+    lineitem aggregate shrinks to qualifying orderkeys BEFORE any join —
+    at 100 TB the `big` side is tiny post-HAVING, so AQE converts both
+    probe joins to broadcasts at runtime; no hint needed or wanted."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("_qty"))
+        .filter(F.col("_qty") > 250)
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            F.col("_qty").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot + quantile binning + funnel (operators/analytics.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "order_status_pivot",
+    oracle="""
+    SELECT date_trunc('month', o_orderdate) AS month,
+           CAST(COUNT(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_f,
+           CAST(COUNT(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS n_o,
+           CAST(COUNT(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS n_p,
+           CAST(COUNT(*) AS BIGINT) AS n_total
+    FROM orders GROUP BY 1
+    """,
+)
+def q_order_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly order-status pivot. The pivot values are DECLARED (not
+    discovered), which matters twice at scale: no extra distinct-scan
+    job to find them, and the output schema is static so downstream
+    plans compile. One shuffle (groupBy month); counts are map-side
+    partial."""
+    o = _t(spark, sf_dir, "orders")
+    p = (
+        o.select(
+            F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+            "o_orderstatus",
+        )
+        .groupBy("month")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    n_f = F.coalesce(F.col("F"), F.lit(0)).cast("long")
+    n_o = F.coalesce(F.col("O"), F.lit(0)).cast("long")
+    n_p = F.coalesce(F.col("P"), F.lit(0)).cast("long")
+    return p.select(
+        "month",
+        n_f.alias("n_f"),
+        n_o.alias("n_o"),
+        n_p.alias("n_p"),
+        (n_f + n_o + n_p).alias("n_total"),
+    )
+
+
+@register(
+    "user_value_deciles",
+    oracle="""
+    WITH totals AS (
+      SELECT user_id, SUM(CAST(value AS DECIMAL(18,4))) AS td
+      FROM events GROUP BY 1),
+    ranked AS (
+      SELECT user_id, td,
+             ROW_NUMBER() OVER (ORDER BY td DESC, user_id) AS rk,
+             COUNT(*) OVER () AS n
+      FROM totals)
+    SELECT CAST(FLOOR((rk - 1) * 10.0 / n) + 1 AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(td) AS DOUBLE) AS total_value,
+           CAST(MIN(td) AS DOUBLE) AS min_user_value,
+           CAST(MAX(td) AS DOUBLE) AS max_user_value
+    FROM ranked GROUP BY 1
+    """,
+)
+def q_user_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users binned into value deciles. The global rank that feeds the
+    bin comes from the two-pass partition-offset renumber — NOT a
+    single-partition window (the classic trap this query exists to
+    demonstrate avoiding); the bin is a closed form over (rank, n) so
+    the oracle reproduces it without NTILE-remainder semantics."""
+    from bcg_contacts_data_pipeline_spark.operators.analytics import (
+        with_quantile_bin,
+    )
+
+    ev = _events(spark, sf_dir)
+    totals = ev.groupBy("user_id").agg(
+        F.sum(_dec("value")).alias("_td")
+    )
+    binned = with_quantile_bin(
+        totals,
+        [F.col("_td").desc(), F.col("user_id")],
+        k=10,
+        bin_name="decile",
+    )
+    return binned.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("_td").cast("double").alias("total_value"),
+        F.min("_td").cast("double").alias("min_user_value"),
+        F.max("_td").cast("double").alias("max_user_value"),
+    )
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+    WITH s0 AS (SELECT user_id, MIN(ts) AS t FROM events
+                WHERE event_type = 'view' GROUP BY 1),
+    s1 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+           JOIN s0 ON e.user_id = s0.user_id AND e.ts > s0.t
+           WHERE e.event_type = 'click' GROUP BY 1),
+    s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+           JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+           WHERE e.event_type = 'purchase' GROUP BY 1),
+    n AS (SELECT (SELECT COUNT(*) FROM s0) AS n0,
+                 (SELECT COUNT(*) FROM s1) AS n1,
+                 (SELECT COUNT(*) FROM s2) AS n2)
+    SELECT CAST(0 AS INT) AS stage, 'view' AS event_type,
+           CAST(n0 AS BIGINT) AS users,
+           CAST(n0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS conversion FROM n
+    UNION ALL
+    SELECT CAST(1 AS INT), 'click', CAST(n1 AS BIGINT),
+           CAST(n1 AS DOUBLE) / CAST(n0 AS DOUBLE) FROM n
+    UNION ALL
+    SELECT CAST(2 AS INT), 'purchase', CAST(n2 AS BIGINT),
+           CAST(n2 AS DOUBLE) / CAST(n0 AS DOUBLE) FROM n
+    """,
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel: one shuffle gathers each
+    user's events, stage times are array expressions (earliest stage-k
+    event STRICTLY after stage k-1 — tie-safe, order-independent), and
+    the oracle recomputes the same definition as chained min-joins."""
+    from bcg_contacts_data_pipeline_spark.operators.analytics import (
+        funnel_summary,
+    )
+
+    ev = _events(spark, sf_dir)
+    return funnel_summary(
+        ev, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    )
+
+
+@register(
+    "lang_quantiles",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           round(quantile_cont(CAST(n_chars AS DOUBLE), 0.25), 4) AS p25,
+           round(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 4) AS p50,
+           round(quantile_cont(CAST(n_chars AS DOUBLE), 0.75), 4) AS p75
+    FROM documents GROUP BY 1
+    """,
+)
+def q_lang_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length quartiles — exact linear-interpolated
+    percentile per group, the grouped analogue of `numeric_profile`.
+    Same scale contract as that pair: the exact form is the oracle
+    baseline (its per-group buffer is the documented cost), and the
+    sketch path for 100 TB is `percentile_approx` — proven mergeable and
+    band-checked by `numeric_profile_approx`; swapping it in here is a
+    one-line change the unit test exercises (`tests/test_analytics.py`)."""
+    docs = _t(spark, sf_dir, "documents")
+    pct = F.percentile(
+        F.col("n_chars").cast("double"),
+        F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)),
+    )
+    return (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), pct.alias("__p"))
+        .select(
+            "lang",
+            "n_docs",
+            F.round(F.col("__p")[0], 4).alias("p25"),
+            F.round(F.col("__p")[1], 4).alias("p50"),
+            F.round(F.col("__p")[2], 4).alias("p75"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-corpus curation: chunking, stratified sampling, epoch mixing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_chunks",
+    oracle="""
+    WITH offs AS (
+      SELECT doc_id, text,
+             unnest(generate_series(0, greatest(length(text) - 1, 0), 100)) AS off
+      FROM documents)
+    SELECT doc_id,
+           CAST(off // 100 AS BIGINT) AS chunk_id,
+           CAST(off + 1 AS BIGINT) AS chunk_start,
+           CAST(length(substring(text, CAST(off + 1 AS INT), 120)) AS BIGINT) AS chunk_len,
+           md5(substring(text, CAST(off + 1 AS INT), 120)) AS chunk_md5
+    FROM offs
+    """,
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 120-char windows every 100 chars over every document
+    (operators/chunking.py) — the shard step between corpus and
+    tokenizer. Narrow plan: sequence+posexplode, no shuffle, no UDF;
+    the md5 fingerprint makes the chunk content itself hash-checkable
+    without shipping text through the compare."""
+    from bcg_contacts_data_pipeline_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, "doc_id", "text", size=120, stride=100)
+
+
+@register(
+    "stratified_sample",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE CAST(CAST(('0x' || substring(md5('mix-v1:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 10000 AS BIGINT)
+          < CASE WHEN lang = 'en' THEN 2500 ELSE 6000 END
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rebalancing as a pure filter: downsample the dominant
+    language (en → 25 %) and keep the rest at 60 %, decided by salted
+    md5 bucket — deterministic, engine-portable, growth-stable (adding
+    docs never flips existing decisions). No shuffle, no RNG, no state;
+    the filter composes with any downstream plan."""
+    from bcg_contacts_data_pipeline_spark.functions.sampling import (
+        stratified_keep,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    keep = stratified_keep(
+        "doc_id", "lang", {"en": 0.25}, default_rate=0.6, seed="mix-v1"
+    )
+    return docs.filter(keep).select("doc_id", "lang", "source")
+
+
+@register(
+    "corpus_mix",
+    oracle="""
+    SELECT doc_id, lang,
+           CAST(unnest(generate_series(1,
+                CASE lang WHEN 'zh' THEN 3 WHEN 'fr' THEN 2
+                          WHEN 'de' THEN 2 WHEN 'es' THEN 2
+                          ELSE 1 END)) AS BIGINT) AS epoch
+    FROM documents
+    """,
+)
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted training mixture by epoch upsampling: rare languages
+    repeat 2-3x per pass, the dominant one once — an exploded sequence
+    (narrow, no shuffle, output exactly the mixture size), identical on
+    every run and engine, unlike a random sampler."""
+    from bcg_contacts_data_pipeline_spark.functions.sampling import (
+        epoch_repeat,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    mixed = epoch_repeat(
+        docs, "lang", {"zh": 3, "fr": 2, "de": 2, "es": 2}, default_epochs=1
+    )
+    return mixed.select(
+        "doc_id", "lang", F.col("epoch").cast("long").alias("epoch")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lakehouse maintenance: CDC merge and snapshot diff (operators/cdc.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cdc_upsert_orders",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_totalprice, 1 AS version, false AS is_deleted
+      FROM orders),
+    upd AS (
+      SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, 2 AS version,
+             (o_orderkey % 21 = 0) AS is_deleted
+      FROM orders WHERE o_orderkey % 3 = 0),
+    merged AS (
+      SELECT o_orderkey,
+             arg_max(o_totalprice, version) AS o_totalprice,
+             arg_max(is_deleted, version) AS del,
+             CAST(MAX(version) AS INT) AS version
+      FROM (SELECT * FROM base UNION ALL SELECT * FROM upd)
+      GROUP BY 1)
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice, version
+    FROM merged WHERE NOT del
+    """,
+)
+def q_cdc_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins CDC MERGE (operators/cdc.py:upsert_latest): a change
+    batch (every 3rd key re-priced at version 2, every 21st a tombstone)
+    merged into the base snapshot. One hash-shuffle with map-side
+    partial max_by — the incremental replacement for the reference's
+    full-rebuild refresh (run.py picks latest file and recomputes
+    everything)."""
+    from bcg_contacts_data_pipeline_spark.operators.cdc import upsert_latest
+
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.lit(1).alias("version"),
+        F.lit(False).alias("is_deleted"),
+    )
+    upd = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        F.lit(2).alias("version"),
+        (F.col("o_orderkey") % 21 == 0).alias("is_deleted"),
+    )
+    merged = upsert_latest(
+        base, upd, ["o_orderkey"], "version", delete_col="is_deleted"
+    )
+    return merged.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        "version",
+    )
+
+
+@register(
+    "snapshot_diff_orders",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+    new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+                  ELSE o_totalprice END AS o_totalprice,
+             CASE WHEN o_orderkey % 13 = 0 THEN 'X'
+                  ELSE o_orderstatus END AS o_orderstatus
+      FROM orders WHERE o_orderkey % 11 <> 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 17 = 0),
+    diff AS (
+      SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+             CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                  WHEN n.o_orderkey IS NULL THEN 'removed'
+                  WHEN o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+                   AND o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+                       THEN 'unchanged'
+                  ELSE 'changed' END AS status,
+             CAST(o.o_totalprice AS DOUBLE) AS old_o_totalprice,
+             CAST(n.o_totalprice AS DOUBLE) AS new_o_totalprice,
+             o.o_orderstatus AS old_o_orderstatus,
+             n.o_orderstatus AS new_o_orderstatus
+      FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey)
+    SELECT * FROM diff WHERE status <> 'unchanged'
+    """,
+)
+def q_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level diff of two table snapshots (operators/cdc.py:
+    snapshot_diff): null-safe compares classify every key as added /
+    removed / changed, unchanged rows drop before the compare output.
+    Both sides prune to key + compared columns before the full outer
+    join, so diffing 2 columns of a 100-column table moves 3 columns."""
+    from bcg_contacts_data_pipeline_spark.operators.cdc import snapshot_diff
+
+    o = _t(spark, sf_dir, "orders")
+    old = o.select("o_orderkey", "o_totalprice", "o_orderstatus")
+    new = (
+        o.filter(F.col("o_orderkey") % 11 != 0)
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") * 2
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+            F.when(F.col("o_orderkey") % 13 == 0, F.lit("X"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("o_orderstatus"),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 17 == 0).select(
+                (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+                "o_totalprice",
+                "o_orderstatus",
+            )
+        )
+    )
+    diff = snapshot_diff(
+        old, new, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
+    )
+    return diff.filter(F.col("status") != "unchanged")
+
+
+# ---------------------------------------------------------------------------
+# End-to-end near-dup pruning: LSH pairs -> components -> keep one per
+# cluster — the composition a curation pipeline actually ships.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "neardup_prune",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([lower(t[i]) || ' ' || lower(t[i+1]) || ' ' || lower(t[i+2])
+                    for i in range(1, greatest(len(t)-1, 1))])) AS s
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents WHERE length(trim(text)) > 0)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    edges AS (
+      SELECT id_a, id_b FROM shared
+      JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.2),
+    sym AS (SELECT id_a AS u, id_b AS v FROM edges
+            UNION SELECT id_b, id_a FROM edges),
+    reach AS (
+      WITH RECURSIVE r(node, lab) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT s.v, r.lab FROM r JOIN sym s ON s.u = r.node)
+      SELECT node, MIN(lab) AS comp FROM r GROUP BY node)
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN r.comp = r.node THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN r.comp = r.node THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
+    FROM reach r JOIN documents d ON d.doc_id = r.node
+    GROUP BY 1
+    """,
+)
+def q_neardup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full dedup pipeline a curation job ships: near-dup pairs
+    (ngram Jaccard >= 0.2) -> transitive clusters -> keep the min-id
+    representative per cluster -> per-source survival accounting. Every
+    stage is the already-verified scalable form (banded pair generation,
+    checkpointed label propagation); the keep rule `node == comp` needs
+    no extra join because a component's label IS its min member."""
+    from bcg_contacts_data_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+    from bcg_contacts_data_pipeline_spark.operators.similarity import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
+    comp = connected_components(
+        pairs, "id_a", "id_b", nodes=docs, node_col="doc_id"
+    )
+    kept = F.when(F.col("comp") == F.col("node"), 1).otherwise(0)
+    return (
+        comp.join(
+            docs.select("doc_id", "source"),
+            comp["node"] == F.col("doc_id"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(kept).cast("long").alias("n_kept"),
+            F.sum(F.lit(1) - kept).cast("long").alias("n_removed"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured extraction + sketch-distinct twin
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "json_props_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+           CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_min,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max,
+           CAST(COUNT(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_distinct
+    FROM events GROUP BY 1
+    """,
+)
+def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed extraction from a JSON payload column with a DECLARED schema
+    (`from_json(props, 'k BIGINT')` — no inference scan, no string
+    round-trips downstream; the parse runs once in the projection and
+    Catalyst prunes it to the single referenced field). Integer sums stay
+    in LONG (exact, order-free) so no decimal staging is needed."""
+    ev = _events(spark, sf_dir)
+    k = F.from_json(F.col("props"), "k BIGINT")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.count_distinct(F.col("k")).alias("k_distinct"),
+        )
+    )
+
+
+@register(
+    "approx_distinct_users",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           true AS hll_in_band
+    FROM events GROUP BY 1
+    """,
+)
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch-distinct twin (same contract as numeric_profile_approx):
+    `approx_count_distinct` (HyperLogLog++, fixed-size mergeable state —
+    the 100 TB path for cardinality) computed NEXT TO the exact distinct
+    in one aggregate; the oracle pins the exact count and a boolean that
+    the sketch landed within 3x its 5% standard error. At scale callers
+    drop the exact column; here it is the in-query verification harness."""
+    rsd = 0.05
+    ev = _events(spark, sf_dir)
+    agg = ev.groupBy("event_type").agg(
+        F.count_distinct(F.col("user_id")).alias("n_users"),
+        F.approx_count_distinct("user_id", rsd).alias("__hll"),
+    )
+    lo = F.col("n_users") * (1 - 3 * rsd)
+    hi = F.col("n_users") * (1 + 3 * rsd)
+    return agg.select(
+        "event_type",
+        "n_users",
+        ((F.col("__hll") >= lo) & (F.col("__hll") <= hi)).alias("hll_in_band"),
+    )

@@ -1,0 +1,176 @@
+"""operators/analytics.py + functions/sampling.py round-5 additions."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from bcg_contacts_data_pipeline_spark.functions.sampling import (
+    epoch_repeat,
+    stratified_keep,
+)
+from bcg_contacts_data_pipeline_spark.operators.analytics import (
+    funnel_stages,
+    funnel_summary,
+    with_quantile_bin,
+)
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, "user_id int, ts timestamp, event_type string")
+
+
+STAGES = ["view", "click", "purchase"]
+
+
+def test_funnel_happy_path_and_missing_stage(spark):
+    ev = _events(
+        spark,
+        [
+            # u1 completes the funnel in order
+            (1, _ts("2024-01-01T10:00:00"), "view"),
+            (1, _ts("2024-01-01T11:00:00"), "click"),
+            (1, _ts("2024-01-01T12:00:00"), "purchase"),
+            # u2 clicks BEFORE viewing: click doesn't count, purchase after view-only chain stalls
+            (2, _ts("2024-01-01T09:00:00"), "click"),
+            (2, _ts("2024-01-01T10:00:00"), "view"),
+            (2, _ts("2024-01-01T11:00:00"), "purchase"),
+            # u3 never views
+            (3, _ts("2024-01-01T10:00:00"), "click"),
+        ],
+    )
+    per_user = {
+        r["user_id"]: (r["stage_0_ts"], r["stage_1_ts"], r["stage_2_ts"])
+        for r in funnel_stages(ev, "user_id", "ts", "event_type", STAGES).collect()
+    }
+    assert per_user[1] == (
+        _ts("2024-01-01T10:00:00"),
+        _ts("2024-01-01T11:00:00"),
+        _ts("2024-01-01T12:00:00"),
+    )
+    assert per_user[2][0] == _ts("2024-01-01T10:00:00")
+    assert per_user[2][1] is None and per_user[2][2] is None
+    assert per_user[3] == (None, None, None)
+
+
+def test_funnel_tie_is_strict(spark):
+    """A stage-k event at EXACTLY the previous stage's timestamp does not
+    complete the stage (strict >), regardless of gather order."""
+    ev = _events(
+        spark,
+        [
+            (1, _ts("2024-01-01T10:00:00"), "view"),
+            (1, _ts("2024-01-01T10:00:00"), "click"),
+            (1, _ts("2024-01-01T10:00:01"), "click"),
+        ],
+    )
+    row = funnel_stages(ev, "user_id", "ts", "event_type", STAGES).first()
+    assert row["stage_1_ts"] == _ts("2024-01-01T10:00:01")
+
+
+def test_funnel_summary_counts_and_conversion(spark):
+    ev = _events(
+        spark,
+        [
+            (1, _ts("2024-01-01T10:00:00"), "view"),
+            (1, _ts("2024-01-01T11:00:00"), "click"),
+            (2, _ts("2024-01-01T10:00:00"), "view"),
+        ],
+    )
+    rows = {
+        r["event_type"]: (r["users"], r["conversion"])
+        for r in funnel_summary(ev, "user_id", "ts", "event_type", STAGES).collect()
+    }
+    assert rows["view"] == (2, 1.0)
+    assert rows["click"] == (1, 0.5)
+    assert rows["purchase"][0] == 0
+
+
+def test_funnel_requires_stages(spark):
+    with pytest.raises(ValueError):
+        funnel_stages(_events(spark, []), "user_id", "ts", "event_type", [])
+
+
+def test_quantile_bin_formula_and_determinism(spark):
+    df = spark.range(1, 11).select(F.col("id").cast("int").alias("v"))
+    out = with_quantile_bin(df, [F.col("v")], k=3, bin_name="b")
+    got = {r["v"]: r["b"] for r in out.collect()}
+    # floor((r-1)*3/10)+1 over ranks 1..10 -> 4/3/3 split
+    assert [got[v] for v in range(1, 11)] == [1, 1, 1, 1, 2, 2, 2, 3, 3, 3]
+
+
+def test_quantile_bin_descending_order(spark):
+    df = spark.range(1, 5).select(F.col("id").cast("int").alias("v"))
+    out = with_quantile_bin(df, [F.col("v").desc()], k=2, bin_name="b")
+    got = {r["v"]: r["b"] for r in out.collect()}
+    assert got == {4: 1, 3: 1, 2: 2, 1: 2}
+
+
+def test_stratified_keep_rates_and_determinism(spark):
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"),
+    )
+    keep = stratified_keep("doc_id", "lang", {"en": 0.25}, default_rate=0.75, seed="t")
+    kept = df.filter(keep).groupBy("lang").count().collect()
+    counts = {r["lang"]: r["count"] for r in kept}
+    # md5 buckets are uniform: expect ~250 en, ~750 de of 1000 each.
+    assert 180 < counts["en"] < 320
+    assert 680 < counts["de"] < 820
+    # Deterministic: the same filter twice keeps identical ids.
+    a = sorted(r["doc_id"] for r in df.filter(keep).select("doc_id").collect())
+    b = sorted(r["doc_id"] for r in df.filter(keep).select("doc_id").collect())
+    assert a == b
+
+
+def test_stratified_keep_extreme_rates(spark):
+    df = spark.range(100).select(F.col("id").alias("doc_id"), F.lit("en").alias("lang"))
+    assert df.filter(stratified_keep("doc_id", "lang", {"en": 0.0})).count() == 0
+    assert df.filter(stratified_keep("doc_id", "lang", {"en": 1.0})).count() == 100
+
+
+def test_epoch_repeat_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "zh"), (2, "en"), (3, "zh")], "doc_id int, lang string"
+    )
+    out = epoch_repeat(df, "lang", {"zh": 3}, default_epochs=1)
+    counts = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    assert counts == {"zh": 6, "en": 1}
+    epochs = sorted(
+        r["epoch"] for r in out.filter(F.col("doc_id") == 1).collect()
+    )
+    assert epochs == [1, 2, 3]
+
+
+def test_epoch_repeat_rejects_zero(spark):
+    df = spark.createDataFrame([(1, "zh")], "doc_id int, lang string")
+    with pytest.raises(ValueError):
+        epoch_repeat(df, "lang", {"zh": 0})
+
+
+def test_group_quantiles_approx_swap(spark):
+    """The lang_quantiles scale path: percentile_approx with high accuracy
+    lands inside the exact quartile band on the same data."""
+    df = spark.range(1000).select(
+        (F.col("id") % 5).cast("string").alias("g"),
+        F.col("id").cast("double").alias("v"),
+    )
+    exact = df.groupBy("g").agg(
+        F.percentile(F.col("v"), F.array(F.lit(0.2), F.lit(0.8))).alias("p")
+    )
+    approx = df.groupBy("g").agg(
+        F.percentile_approx(
+            F.col("v"), F.array(F.lit(0.2), F.lit(0.8)), F.lit(10000)
+        ).alias("p")
+    )
+    e = {r["g"]: r["p"] for r in exact.collect()}
+    a = {r["g"]: r["p"] for r in approx.collect()}
+    for g in e:
+        for i in range(2):
+            assert abs(e[g][i] - a[g][i]) <= 5.0  # one step of the 5-spaced grid

@@ -1,0 +1,74 @@
+"""operators/cdc.py — latest-wins upsert and snapshot diff."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bcg_contacts_data_pipeline_spark.operators.cdc import (
+    snapshot_diff,
+    upsert_latest,
+)
+
+
+def _base(spark):
+    return spark.createDataFrame(
+        [(1, "a", 1, False), (2, "b", 1, False), (3, "c", 1, False)],
+        "k int, v string, version int, is_deleted boolean",
+    )
+
+
+def test_upsert_update_insert_tombstone(spark):
+    upd = spark.createDataFrame(
+        [(2, "b2", 2, False), (3, None, 2, True), (4, "d", 2, False)],
+        "k int, v string, version int, is_deleted boolean",
+    )
+    out = upsert_latest(_base(spark), upd, ["k"], "version", "is_deleted")
+    rows = {r["k"]: (r["v"], r["version"]) for r in out.collect()}
+    # 1 untouched, 2 updated, 3 tombstoned away, 4 inserted.
+    assert rows == {1: ("a", 1), 2: ("b2", 2), 4: ("d", 2)}
+
+
+def test_upsert_without_delete_col_keeps_tombstone_rows(spark):
+    upd = spark.createDataFrame(
+        [(3, "c2", 2, True)], "k int, v string, version int, is_deleted boolean"
+    )
+    out = upsert_latest(_base(spark), upd, ["k"], "version")
+    assert out.count() == 3  # no tombstone semantics without delete_col
+
+
+def test_upsert_schema_mismatch_raises(spark):
+    bad = spark.createDataFrame([(1, "x")], "k int, other string")
+    with pytest.raises(ValueError):
+        upsert_latest(_base(spark), bad, ["k"], "version")
+
+
+def test_snapshot_diff_classification(spark):
+    old = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, None), (4, 40.0)], "k int, p double"
+    )
+    new = spark.createDataFrame(
+        [(1, 10.0), (2, 25.0), (3, None), (5, 50.0)], "k int, p double"
+    )
+    out = snapshot_diff(old, new, ["k"], ["p"])
+    got = {r["k"]: r["status"] for r in out.collect()}
+    # 3 is unchanged because the compare is null-safe (null <=> null).
+    assert got == {
+        1: "unchanged",
+        2: "changed",
+        3: "unchanged",
+        4: "removed",
+        5: "added",
+    }
+    chg = out.filter(F.col("k") == 2).first()
+    assert chg["old_p"] == 20.0 and chg["new_p"] == 25.0
+
+
+def test_snapshot_diff_shared_lineage(spark):
+    """Both snapshots derived from the SAME frame (the common case: two
+    versions of one table) must not hit ambiguous-column resolution."""
+    base = spark.range(10).select(F.col("id").alias("k"), (F.col("id") * 2.0).alias("p"))
+    new = base.filter(F.col("k") % 3 != 0)
+    out = snapshot_diff(base, new, ["k"], ["p"])
+    counts = {r["status"]: r["n"] for r in out.groupBy("status").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"removed": 4, "unchanged": 6}

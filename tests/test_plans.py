@@ -159,3 +159,46 @@ def test_tfidf_vocabulary_join_not_force_broadcast(spark):
     for line in logical.splitlines():
         if "strategy=broadcast" in line:
             assert "term" not in line, line
+
+
+def test_q6_all_predicates_and_projection_reach_scan(spark):
+    """TPC-H Q6 is the pushdown benchmark: every filter lands in
+    PushedFilters and the scan reads only the 4 needed columns."""
+    p = _plan(QUERIES["q6_forecast_revenue"](spark, SF))
+    pushed = p.split("PushedFilters:", 1)[1].splitlines()[0]
+    for c in ("l_shipdate", "l_discount", "l_quantity"):
+        assert c in pushed, f"{c} not pushed: {pushed}"
+    read = p.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "l_extendedprice" in read
+    for c in ("l_orderkey", "l_tax", "l_returnflag"):
+        assert c not in read, f"scan reads unneeded {c}: {read}"
+
+
+def test_q18_joins_not_forced(spark):
+    """The post-HAVING side is tiny; join strategy is AQE's call — the
+    plan must carry no user broadcast hint (ResolvedHint at the logical
+    level / a hint-tagged join). At sf scale local stats may or may not
+    trigger broadcast conversion; what we pin is that WE didn't force it."""
+    df = QUERIES["q18_large_orders"](spark, SF)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in logical and "UnresolvedHint" not in logical
+
+
+def test_corpus_curation_ops_shuffle_free(spark):
+    """Chunking, stratified sampling, and epoch mixing are narrow
+    plans: filters/explodes only, no Exchange anywhere."""
+    for name in ("doc_chunks", "stratified_sample", "corpus_mix"):
+        p = _plan(QUERIES[name](spark, SF))
+        assert "Exchange" not in p, f"{name} should be shuffle-free:\n{p}"
+
+
+def test_cdc_upsert_partial_aggregates_before_exchange(spark):
+    """Latest-wins merge must combine map-side: a partial_max_by (or
+    partial agg node) appears UPSTREAM of the exchange so the shuffle
+    carries one row per (partition, key)."""
+    p = _plan(QUERIES["cdc_upsert_orders"](spark, SF))
+    assert "Exchange hashpartitioning(o_orderkey" in p
+    # Children print BELOW their parent: the partial aggregate must be in
+    # the text after the exchange line (the map side).
+    _, _, below = p.partition("Exchange hashpartitioning(o_orderkey")
+    assert "partial_max_by" in below
