@@ -67,3 +67,34 @@ def write_columnar(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.save(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Bucketed (hash-clustered) table sink — the co-location contract
+    for repeated large-to-large joins.
+
+    Two tables bucketed on the same keys with the same bucket count join
+    WITHOUT a shuffle: each task reads bucket i of both sides (and with
+    ``sort_cols`` on the join keys, without a sort either) — at 100 TB
+    this converts the dominant exchange of a fact-fact join into local
+    reads, paying the shuffle once at write time instead of every query.
+    Registers a catalog table because bucket metadata lives in the
+    catalog, not the files; plain `.parquet(path)` readers still work,
+    they just don't see the bucketing.
+    """
+    w = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .option("path", path)
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)

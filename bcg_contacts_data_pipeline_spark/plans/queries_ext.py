@@ -623,3 +623,58 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_users",
         ((F.col("__hll") >= lo) & (F.col("__hll") <= hi)).alias("hll_in_band"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream join (the last Structured Streaming join shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_click_attribution",
+    oracle="""
+    SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id,
+           v.ts AS view_ts, c.ts AS click_ts
+    FROM events v JOIN events c
+      ON c.user_id = v.user_id
+     AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 6 HOUR
+    WHERE v.event_type = 'view' AND c.event_type = 'click'
+    """,
+)
+def q_stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join (click attribution): every
+    view paired with same-user clicks in the following 6 hours. The
+    time-bound join condition lets Spark evict both join buffers at the
+    watermark — state stays O(active users x horizon); on the finite
+    AvailableNow drain the output equals the batch range join the
+    oracle runs."""
+    from bcg_contacts_data_pipeline_spark import streaming as S
+
+    views = S.events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "view"
+    ).select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").alias("view_ts"),
+    )
+    clicks = S.events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "click"
+    ).select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    joined = S.stream_stream_time_join(
+        views,
+        clicks,
+        left_key="user_id",
+        right_key="c_user_id",
+        left_ts="view_ts",
+        right_ts="click_ts",
+        within="6 HOURS",
+        watermark="1 hour",
+    )
+    out = joined.select(
+        "view_id", "click_id", "user_id", "view_ts", "click_ts"
+    )
+    return S.run_available_now(out, "append", shuffle_partitions=8)

@@ -1,6 +1,7 @@
 from bcg_contacts_data_pipeline_spark.streaming.ops import (
     dedup_within_watermark,
     stream_static_enrich,
+    stream_stream_time_join,
     running_user_stats,
     session_agg,
     windowed_agg,
@@ -25,5 +26,6 @@ __all__ = [
     "session_agg",
     "stage_as_dir",
     "stream_static_enrich",
+    "stream_stream_time_join",
     "windowed_agg",
 ]

@@ -139,3 +139,41 @@ def stream_static_enrich(
     from pyspark.sql import functions as F
 
     return stream.join(F.broadcast(static), on, "left")
+
+
+def stream_stream_time_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    within: str,
+    watermark: str,
+) -> DataFrame:
+    """Watermarked stream-stream INNER join: pair each left event with
+    the right events sharing a key (``left_key = right_key`` — distinct
+    column names so the joined frame stays unambiguous) whose timestamp
+    lies in ``(left_ts, left_ts + within]`` — click-attribution shape.
+
+    Both sides carry a watermark and the join condition bounds right
+    time against left time, so Spark derives state-cleanup thresholds
+    for BOTH join buffers: state is O(active keys x (watermark + within))
+    rather than the unbounded buffering an unconstrained stream-stream
+    join would need. Inner join in append mode emits each matched pair
+    exactly once; on a finite AvailableNow drain the result equals the
+    batch range join with the same predicate (tests pin this).
+    """
+    if left_key == right_key:
+        raise ValueError(
+            "rename one side: identical key names make every downstream "
+            f"reference to {left_key!r} ambiguous"
+        )
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[left_key] == rw[right_key])
+        & (rw[right_ts] > lw[left_ts])
+        & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {within}"))
+    )
+    return lw.join(rw, cond, "inner")

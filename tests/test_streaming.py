@@ -116,3 +116,43 @@ def test_file_sink_exactly_once(spark, tmp_path, events):
     S.run_to_files(dd, out, ckpt)  # same checkpoint -> nothing new
     n2 = spark.read.parquet(out).count()
     assert n1 == n2 == events.select("user_id", "event_type").distinct().count()
+
+
+def test_stream_stream_join_matches_batch_range_join(spark, events):
+    """Finite drain of the watermarked stream-stream join == the batch
+    range join with the same predicate."""
+    views = S.events_stream(spark, SF).filter(
+        F.col("event_type") == "view"
+    ).select(F.col("event_id").alias("vid"), "user_id", F.col("ts").alias("vts"))
+    clicks = S.events_stream(spark, SF).filter(
+        F.col("event_type") == "click"
+    ).select(F.col("event_id").alias("cid"), F.col("user_id").alias("cuid"), F.col("ts").alias("cts"))
+    st = S.stream_stream_time_join(
+        views, clicks, "user_id", "cuid", "vts", "cts", "6 HOURS", "1 hour"
+    ).select("vid", "cid")
+    got = {
+        (r["vid"], r["cid"])
+        for r in S.run_available_now(st, "append", shuffle_partitions=4).collect()
+    }
+    v = events.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("vid"), "user_id", F.col("ts").alias("vts")
+    )
+    c = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"), F.col("user_id").alias("cuid"), F.col("ts").alias("cts")
+    )
+    want = {
+        (r["vid"], r["cid"])
+        for r in v.join(
+            c,
+            (v["user_id"] == c["cuid"])
+            & (c["cts"] > v["vts"])
+            & (c["cts"] <= v["vts"] + F.expr("INTERVAL 6 HOURS")),
+        ).select("vid", "cid").collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_stream_stream_join_rejects_same_key_name(spark):
+    st = S.events_stream(spark, SF)
+    with pytest.raises(ValueError):
+        S.stream_stream_time_join(st, st, "user_id", "user_id", "ts", "ts", "1 HOUR", "1 hour")
