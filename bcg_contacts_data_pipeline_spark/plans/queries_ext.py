@@ -678,3 +678,81 @@ def q_stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "view_id", "click_id", "user_id", "view_ts", "click_ts"
     )
     return S.run_available_now(out, "append", shuffle_partitions=8)
+
+
+# ---------------------------------------------------------------------------
+# Sliding windows + set operators (INTERSECT / EXCEPT)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sliding_active_users",
+    oracle="""
+    WITH assigned AS (
+      SELECT date_trunc('hour', ts) - (k * INTERVAL 1 HOUR) AS window_start,
+             user_id
+      FROM events, (SELECT unnest(generate_series(0, 5)) AS k))
+    SELECT window_start,
+           window_start + INTERVAL 6 HOUR AS window_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM assigned GROUP BY 1, 2
+    """,
+)
+def q_sliding_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window activity (6-hour windows every hour): each event
+    lands in 6 overlapping hourly-aligned windows — `F.window(ts, len,
+    slide)` expands row-locally before ONE shuffle on the window key
+    (the fan-out is len/slide, a declared constant, never data-driven).
+    The oracle reproduces the assignment arithmetically: window starts
+    are `hour(ts) - k` for k in 0..5."""
+    ev = _events(spark, sf_dir)
+    w = (
+        ev.groupBy(F.window("ts", "6 hours", "1 hour").alias("__w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct(F.col("user_id")).alias("n_users"),
+        )
+    )
+    return w.select(
+        F.col("__w.start").alias("window_start"),
+        F.col("__w.end").alias("window_end"),
+        "n_events",
+        "n_users",
+    )
+
+
+@register(
+    "view_only_days",
+    oracle="""
+    WITH v AS (SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day
+               FROM events WHERE event_type = 'view'),
+    p AS (SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day
+          FROM events WHERE event_type = 'purchase')
+    SELECT user_id, day, 'both' AS tag
+    FROM (SELECT * FROM v INTERSECT SELECT * FROM p)
+    UNION ALL
+    SELECT user_id, day, 'view_only' AS tag
+    FROM (SELECT * FROM v EXCEPT SELECT * FROM p)
+    """,
+)
+def q_view_only_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT as first-class operators (SURVEY §2.7 covers
+    union; these complete the set-op family): per (user, day), did the
+    user view AND purchase, or only view? Both set ops compile to the
+    same hash-aggregate + join shapes a groupBy would — no quadratic
+    anything — and the day-granular key keeps the comparison meaningful
+    on a corpus where every user eventually does everything."""
+    ev = _events(spark, sf_dir)
+
+    def days(et):
+        return (
+            ev.filter(F.col("event_type") == et)
+            .select("user_id", F.date_format("ts", "yyyy-MM-dd").alias("day"))
+            .distinct()
+        )
+
+    v, p = days("view"), days("purchase")
+    both = v.intersect(p).withColumn("tag", F.lit("both"))
+    only = v.subtract(p).withColumn("tag", F.lit("view_only"))
+    return both.unionByName(only)
