@@ -29,6 +29,20 @@ def hash_bucket(c: Column | str, buckets: int = 100, seed: str = "") -> Column:
     return F.pmod(F.conv(hex8, 16, 10).cast("long"), F.lit(buckets)).cast("long")
 
 
+def _stratum_case(
+    stratum_col: Column | str, mapping: dict[str, int], default: int
+) -> Column:
+    """CASE chain mapping a stratum label to an integer, falling through
+    to ``default`` — shared by the sampler and the mixer so label
+    matching and literal typing can never diverge between them."""
+    s = F.col(stratum_col) if isinstance(stratum_col, str) else stratum_col
+    expr = None
+    for label, v in mapping.items():
+        cond = s == F.lit(label)
+        expr = F.when(cond, F.lit(v)) if expr is None else expr.when(cond, F.lit(v))
+    return F.lit(default) if expr is None else expr.otherwise(F.lit(default))
+
+
 def stratified_keep(
     id_col: Column | str,
     stratum_col: Column | str,
@@ -40,24 +54,20 @@ def stratified_keep(
     """Boolean: keep this row under per-stratum deterministic sampling.
 
     A row survives when its id's hash bucket (out of ``buckets``) falls
-    below ``rate * buckets`` for its stratum — i.e. an exact
-    ``floor(rate*buckets)/buckets`` fraction of each stratum, chosen by
-    stable hash, not RNG. Corpus rebalancing (downsample the dominant
-    language, keep the rare ones whole) becomes a pure filter: no
-    shuffle, no state, reproducible in any engine, and adding documents
-    never flips the decision on existing ones.
+    below ``round(rate * buckets)`` for its stratum — i.e. an exact
+    ``round(rate*buckets)/buckets`` fraction of each stratum, chosen by
+    stable hash, not RNG. (Rounded, not truncated: ``int(0.57*10000)``
+    is 5699 because the double product lands just under the integer —
+    truncation would silently sample one bucket less than requested.)
+    Corpus rebalancing (downsample the dominant language, keep the rare
+    ones whole) becomes a pure filter: no shuffle, no state,
+    reproducible in any engine, and adding documents never flips the
+    decision on existing ones.
     """
     b = hash_bucket(id_col, buckets, seed)
-    s = F.col(stratum_col) if isinstance(stratum_col, str) else stratum_col
-    thresh = None
-    for label, rate in rates.items():
-        lim = F.lit(int(rate * buckets))
-        cond = s == F.lit(label)
-        thresh = F.when(cond, lim) if thresh is None else thresh.when(cond, lim)
-    thresh = (
-        F.lit(int(default_rate * buckets))
-        if thresh is None
-        else thresh.otherwise(F.lit(int(default_rate * buckets)))
+    limits = {label: int(round(rate * buckets)) for label, rate in rates.items()}
+    thresh = _stratum_case(
+        stratum_col, limits, int(round(default_rate * buckets))
     )
     return b < thresh
 
@@ -76,13 +86,10 @@ def epoch_repeat(
     output exactly the mixture size), not a random sampler — the
     resulting corpus is identical on every run and every engine.
     """
-    n = None
     for label, reps in epochs.items():
         if reps < 1:
             raise ValueError(f"epochs must be >= 1: {label}={reps}")
-        cond = F.col(stratum_col) == F.lit(label)
-        n = F.when(cond, F.lit(reps)) if n is None else n.when(cond, F.lit(reps))
-    n = F.lit(default_epochs) if n is None else n.otherwise(F.lit(default_epochs))
+    n = _stratum_case(stratum_col, epochs, default_epochs)
     return df.withColumn(
         epoch_name, F.explode(F.sequence(F.lit(1), n.cast("int")))
     )

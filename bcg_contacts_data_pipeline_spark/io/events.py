@@ -60,8 +60,9 @@ def normalize_event_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     )
 
 
-def _ts_is_nanos(path: str) -> bool:
-    """True when the parquet footer declares ``ts`` as TIMESTAMP(NANOS).
+def _ts_is_nanos(path: str) -> bool | None:
+    """True when the parquet footer declares ``ts`` as TIMESTAMP(NANOS);
+    None when pyarrow is unavailable and the footer cannot be inspected.
 
     Footer-only pyarrow inspection (no data read) so the Spark session
     conf is touched ONLY when the legacy encoding is actually present —
@@ -74,7 +75,14 @@ def _ts_is_nanos(path: str) -> bool:
     """
     try:
         import pyarrow.dataset as ds
-
+    except ImportError:
+        # pyarrow is optional for pyspark. Without it we cannot inspect
+        # the footer, and returning False would silently regress the
+        # legacy ns-encoded file to an unreadable state (the
+        # pre-inspection code handled it by always setting the conf).
+        # Signal "unknown" so the caller can probe via Spark itself.
+        return None
+    try:
         schema = ds.dataset(path, format="parquet").schema
         t = schema.field("ts").type
         return getattr(t, "unit", None) == "ns"
@@ -97,6 +105,25 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`normalize_event_ts`.
     """
     path = f"{sf_dir}/events.parquet"
-    if _ts_is_nanos(path):
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    set_nanos_conf_if_needed(spark, path)
     return normalize_event_ts(spark.read.parquet(path))
+
+
+def set_nanos_conf_if_needed(spark: SparkSession, path: str) -> None:
+    """Enable ``nanosAsLong`` exactly when ``path`` needs it — shared by
+    the batch reader and the streaming source so the gate (and its
+    no-pyarrow fallback) cannot diverge between them."""
+    nanos = _ts_is_nanos(path)
+    if nanos is None:
+        # No pyarrow to read the footer: probe with Spark. A NANOS file
+        # is rejected at schema resolution without the conf, so a clean
+        # schema read means the conf must stay untouched; a failure
+        # means the legacy encoding (set the conf and let the real read
+        # raise the real error if it was something else).
+        try:
+            spark.read.parquet(path).schema
+            nanos = False
+        except Exception:
+            nanos = True
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

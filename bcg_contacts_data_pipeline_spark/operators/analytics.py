@@ -121,21 +121,28 @@ def with_quantile_bin(
     """Assign each row an even-spread quantile bin in ``[1, k]`` under a
     total order.
 
-    Bin formula: ``floor((rank - 1) * k / n) + 1`` over the global
-    1-based rank — every engine computes the identical assignment from
-    (rank, n) with integer arithmetic (unlike NTILE, whose front-loaded
-    remainder rule differs in no material way but is one more thing to
-    replicate). ``order_by`` must be a TOTAL order (add a unique-id
-    tiebreak) or the assignment is nondeterministic.
+    Bin formula: ``((rank - 1) * k) div n + 1`` over the global 1-based
+    rank — INTEGER division, never float: ``floor(a*k/n)`` in doubles
+    mis-bins boundary ranks once ``n*k`` exceeds 2^53 (the same hazard
+    pack.py documents for shard boundaries), and at the row counts this
+    operator exists for that is not hypothetical. Every engine computes
+    the identical assignment from (rank, n) with the same integer
+    quotient (unlike NTILE, whose front-loaded remainder rule is one
+    more thing to replicate). ``order_by`` must be a TOTAL order (add a
+    unique-id tiebreak) or the assignment is nondeterministic.
 
     Rank comes from :func:`~..operators.dedup.renumber` (two-pass
-    partition offsets — scalable, no single-task window); ``n`` is a
-    count over the already-persisted ranked frame, so the extra pass is
-    cheap and the whole operator stays driver-light.
+    partition offsets — scalable, no single-task window), which also
+    returns ``n`` from the offset pass it already ran — no second count
+    job over the pinned frame.
     """
-    ranked = renumber(df, order_by, seq_name="_rank", pins=pins)
-    n = ranked.count()
-    bin_col = (
-        F.floor((F.col("_rank") - F.lit(1)) * F.lit(k) / F.lit(n)) + F.lit(1)
-    ).cast("long")
+    ranked, n = renumber(
+        df, order_by, seq_name="_rank", pins=pins, with_total=True
+    )
+    if n == 0:  # no rows, no bins — and no div-by-zero under ANSI
+        bin_col = F.lit(None).cast("long")
+    else:
+        bin_col = F.expr(
+            f"((_rank - 1) * {int(k)}) div {int(n)} + 1"
+        ).cast("long")
     return ranked.withColumn(bin_name, bin_col).drop("_rank")

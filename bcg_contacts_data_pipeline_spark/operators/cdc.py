@@ -79,17 +79,20 @@ def snapshot_diff(
     ccols = list(compare_cols)
     # Condition built from the ALIASED names: both snapshots often share
     # plan lineage (a diff of two versions of the same table), where
-    # dataframe-attribute refs resolve ambiguously.
-    o = old.select(*kcols, *ccols).alias("o")
-    n = new.select(*kcols, *ccols).alias("n")
+    # dataframe-attribute refs resolve ambiguously. Side-presence is a
+    # literal marker column, NOT key-null-ness: the join itself is
+    # null-safe, so a row with a NULL business key can match across
+    # snapshots — key IS NULL would misread that matched row as absent.
+    o = old.select(*kcols, *ccols, F.lit(True).alias("_p")).alias("o")
+    n = new.select(*kcols, *ccols, F.lit(True).alias("_p")).alias("n")
     cond = None
     for k in kcols:
         c = F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}"))
         cond = c if cond is None else cond & c
     joined = o.join(n, cond, "full_outer")
 
-    old_absent = F.col(f"o.{kcols[0]}").isNull()
-    new_absent = F.col(f"n.{kcols[0]}").isNull()
+    old_absent = F.col("o._p").isNull()
+    new_absent = F.col("n._p").isNull()
     same: Column = F.lit(True)
     for c in ccols:
         same = same & F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))

@@ -160,7 +160,8 @@ def renumber(
     seq_name: str = "seqno",
     scalable: bool = True,
     pins: "PinScope | None" = None,
-) -> DataFrame:
+    with_total: bool = False,
+) -> DataFrame | tuple[DataFrame, int]:
     """O2 — assign a global contiguous 1..N sequence under a total order.
 
     ``scalable=True`` uses the two-pass partition-offset pattern instead of
@@ -185,7 +186,8 @@ def renumber(
     cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
     if not scalable:
         w = Window.orderBy(*cols)
-        return df.withColumn(seq_name, F.row_number().over(w))
+        out = df.withColumn(seq_name, F.row_number().over(w))
+        return (out, out.count()) if with_total else out
 
     # persist() is load-bearing: repartitionByRange samples range boundaries
     # with an rdd-id-derived seed, so RE-computation (e.g. both branches of
@@ -212,7 +214,11 @@ def renumber(
     w = Window.partitionBy("__pid").orderBy(*cols)
     # Single select (not withColumn+withColumn+drop): each op re-analyzes
     # the full upstream tree — significant driver time on deep plans.
-    return parted.select(
+    out = parted.select(
         *[c for c in df.columns],
         (offset_expr[F.col("__pid")] + F.row_number().over(w)).cast("long").alias(seq_name),
     )
+    # `running` is the total row count the offset pass already paid for;
+    # with_total hands it to callers (quantile binning needs N) so they
+    # don't launch a second count job over the pinned frame.
+    return (out, running) if with_total else out

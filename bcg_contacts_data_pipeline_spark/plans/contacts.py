@@ -346,9 +346,11 @@ def dedup_contacts(
 # cached rules are py4j Column handles, and if the JVM gateway is
 # recreated in-process (test harnesses, long-lived drivers restarting
 # the session) a process-lifetime cache would hand out Columns bound to
-# a dead gateway and fail opaquely. Keying on id(active context) makes
-# a restart a clean cache miss; the single stale entry is dropped.
-_RULES_MEMO: dict[int, tuple[V.Rule, ...]] = {}
+# a dead gateway and fail opaquely. The key is (applicationId,
+# startTime) — a stable identity token — NOT id(context): CPython
+# reuses object addresses after GC, so a new context allocated where
+# the old one lived would get a stale cache hit on an id() key.
+_RULES_MEMO: dict[object, tuple[V.Rule, ...]] = {}
 
 
 def contact_rules() -> list[V.Rule]:
@@ -359,7 +361,8 @@ def contact_rules() -> list[V.Rule]:
     contact_error_count)."""
     from pyspark import SparkContext
 
-    key = id(SparkContext._active_spark_context)
+    sc = SparkContext._active_spark_context
+    key = None if sc is None else (sc.applicationId, sc.startTime)
     if key not in _RULES_MEMO:
         _RULES_MEMO.clear()  # at most one live context; drop stale gateways
         _RULES_MEMO[key] = tuple(contact_rules_build())

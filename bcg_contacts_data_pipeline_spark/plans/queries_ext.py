@@ -154,7 +154,7 @@ def q_order_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROW_NUMBER() OVER (ORDER BY td DESC, user_id) AS rk,
              COUNT(*) OVER () AS n
       FROM totals)
-    SELECT CAST(FLOOR((rk - 1) * 10.0 / n) + 1 AS BIGINT) AS decile,
+    SELECT CAST(((rk - 1) * 10) // n + 1 AS BIGINT) AS decile,
            CAST(COUNT(*) AS BIGINT) AS n_users,
            CAST(SUM(td) AS DOUBLE) AS total_value,
            CAST(MIN(td) AS DOUBLE) AS min_user_value,

@@ -56,20 +56,28 @@ def run_available_now(
     """
     spark = stream_df.sparkSession
     name = f"__stream_result_{next(_COUNTER)}"
-    ckpt = _ephemeral_checkpoint_dir()
+    # Everything after the conf override / tmpdir creation runs inside
+    # the try: if .start() itself raises (unsupported plan + output-mode
+    # combination, unwritable checkpoint root), the finally still
+    # restores the session conf and removes the orphan checkpoint dir.
+    ckpt = None
     prev_parts = None
-    if shuffle_partitions is not None:
-        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
+    q = None
     try:
+        ckpt = _ephemeral_checkpoint_dir()
+        if shuffle_partitions is not None:
+            prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", str(shuffle_partitions)
+            )
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
         # awaitTermination returns False on timeout — a partially-filled
         # sink table must surface as an error, never as a silently
         # truncated result.
@@ -78,10 +86,12 @@ def run_available_now(
                 f"streaming query {name!r} did not drain within {timeout_s}s"
             )
     finally:
-        q.stop()
+        if q is not None:
+            q.stop()
         if prev_parts is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-        shutil.rmtree(ckpt, ignore_errors=True)
+        if ckpt is not None:
+            shutil.rmtree(ckpt, ignore_errors=True)
     return stream_df.sparkSession.table(name)
 
 

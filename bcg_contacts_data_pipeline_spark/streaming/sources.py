@@ -68,11 +68,12 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     parity cannot drift. The ``nanosAsLong`` conf is likewise only
     flipped when the footer actually declares TIMESTAMP(NANOS) — same
     session-hygiene rule as the batch reader."""
-    from bcg_contacts_data_pipeline_spark.io.events import _ts_is_nanos
+    from bcg_contacts_data_pipeline_spark.io.events import (
+        set_nanos_conf_if_needed,
+    )
 
     path = f"{sf_dir}/events.parquet"
-    if _ts_is_nanos(path):
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    set_nanos_conf_if_needed(spark, path)
     schema = spark.read.parquet(path).schema
     raw = file_stream(spark, path, schema)
     return normalize_event_ts(raw)

@@ -72,3 +72,19 @@ def test_snapshot_diff_shared_lineage(spark):
     out = snapshot_diff(base, new, ["k"], ["p"])
     counts = {r["status"]: r["n"] for r in out.groupBy("status").agg(F.count("*").alias("n")).collect()}
     assert counts == {"removed": 4, "unchanged": 6}
+
+
+def test_snapshot_diff_null_key_rows(spark):
+    """A NULL business key matches across snapshots (the join is
+    null-safe), so presence must come from side markers, not key
+    null-ness: an identical null-key row is 'unchanged', never 'added'."""
+    old = spark.createDataFrame([(None, 10.0), (1, 1.0)], "k int, p double")
+    new = spark.createDataFrame([(None, 10.0), (1, 2.0)], "k int, p double")
+    got = {r["k"]: r["status"] for r in snapshot_diff(old, new, ["k"], ["p"]).collect()}
+    assert got == {None: "unchanged", 1: "changed"}
+    # null-key row present only in old -> removed (not 'added')
+    got2 = {
+        r["k"]: r["status"]
+        for r in snapshot_diff(old, new.filter(F.col("k").isNotNull()), ["k"], ["p"]).collect()
+    }
+    assert got2 == {None: "removed", 1: "changed"}
