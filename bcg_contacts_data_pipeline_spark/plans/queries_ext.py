@@ -756,3 +756,92 @@ def q_view_only_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = v.intersect(p).withColumn("tag", F.lit("both"))
     only = v.subtract(p).withColumn("tag", F.lit("view_only"))
     return both.unionByName(only)
+
+
+# ---------------------------------------------------------------------------
+# Quality filter cascade: per-stage survival accounting in ONE pass
+# ---------------------------------------------------------------------------
+
+
+def _cascade_oracle() -> str:
+    from bcg_contacts_data_pipeline_spark.plans.queries import _PII_EMAIL
+
+    return f"""
+    WITH synth AS (
+      SELECT doc_id, n_chars,
+             CASE WHEN doc_id % 7 = 0
+               THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@corp.example now'
+               ELSE text END AS t
+      FROM documents),
+    flags AS (
+      SELECT n_chars >= 150 AS b1,
+             len(regexp_split_to_array(trim(t), '\\s+')) >= 30 AS b2,
+             CAST(len(list_distinct(regexp_split_to_array(lower(trim(t)), '\\s+'))) AS DOUBLE)
+               / len(regexp_split_to_array(trim(t), '\\s+')) >= 0.5 AS b3,
+             NOT regexp_matches(t, '{_PII_EMAIL}') AS b4
+      FROM synth)
+    SELECT 0 AS stage, 'total' AS name, CAST(COUNT(*) AS BIGINT) AS survivors FROM flags
+    UNION ALL
+    SELECT 1, 'min_length', CAST(SUM(CASE WHEN b1 THEN 1 ELSE 0 END) AS BIGINT) FROM flags
+    UNION ALL
+    SELECT 2, 'min_words', CAST(SUM(CASE WHEN b1 AND b2 THEN 1 ELSE 0 END) AS BIGINT) FROM flags
+    UNION ALL
+    SELECT 3, 'distinct_ratio', CAST(SUM(CASE WHEN b1 AND b2 AND b3 THEN 1 ELSE 0 END) AS BIGINT) FROM flags
+    UNION ALL
+    SELECT 4, 'no_email_pii', CAST(SUM(CASE WHEN b1 AND b2 AND b3 AND b4 THEN 1 ELSE 0 END) AS BIGINT) FROM flags
+    """
+
+
+@register("filter_cascade", oracle=_cascade_oracle())
+def q_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter cascade with per-stage survival accounting in ONE
+    scan and ONE tiny aggregate: every stage's boolean is a sibling
+    column, cumulative survival is boolean AND-chains, and the per-stage
+    counts are conditional sums in a single agg — NOT four filtered
+    re-scans (the naive form reads the corpus once per stage). Email PII
+    is synthesized into every 7th doc (same construction as pii_scan)
+    so the last stage demonstrably drops rows."""
+    from bcg_contacts_data_pipeline_spark.plans.queries import _PII_EMAIL
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    t = F.when(
+        d % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            d.cast("string"),
+            F.lit("@corp.example now"),
+        ),
+    ).otherwise(F.col("text"))
+    words = F.split(F.trim(t), r"\s+")
+    b1 = F.col("n_chars") >= 150
+    b2 = F.size(words) >= 30
+    b3 = (
+        F.size(F.array_distinct(F.split(F.lower(F.trim(t)), r"\s+"))).cast("double")
+        / F.size(words)
+    ) >= 0.5
+    b4 = ~(t.rlike(_PII_EMAIL))
+    flags = docs.select(
+        b1.alias("b1"), b2.alias("b2"), b3.alias("b3"), b4.alias("b4")
+    )
+    cnt = lambda c: F.sum(c.cast("long"))  # noqa: E731
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("_n0"),
+        cnt(F.col("b1")).alias("_n1"),
+        cnt(F.col("b1") & F.col("b2")).alias("_n2"),
+        cnt(F.col("b1") & F.col("b2") & F.col("b3")).alias("_n3"),
+        cnt(F.col("b1") & F.col("b2") & F.col("b3") & F.col("b4")).alias("_n4"),
+    )
+    names = ["total", "min_length", "min_words", "distinct_ratio", "no_email_pii"]
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("int").alias("stage"),
+                F.lit(nm).alias("name"),
+                F.col(f"_n{i}").alias("survivors"),
+            )
+            for i, nm in enumerate(names)
+        ]
+    )
+    return agg.select(F.inline(rows))

@@ -202,3 +202,19 @@ def test_cdc_upsert_partial_aggregates_before_exchange(spark):
     # the text after the exchange line (the map side).
     _, _, below = p.partition("Exchange hashpartitioning(o_orderkey")
     assert "partial_max_by" in below
+
+
+def test_filter_cascade_single_scan(spark):
+    """Per-stage survival counts must come from ONE scan + one global
+    aggregate — not a filtered re-scan per stage."""
+    p = _plan(QUERIES["filter_cascade"](spark, SF))
+    assert p.count("FileScan") == 1, p
+    assert p.count("Exchange") <= 1, p  # only the SinglePartition gather
+
+
+def test_funnel_single_user_shuffle(spark):
+    """The funnel gathers events per user exactly once; stage times are
+    array expressions over that one grouped pass."""
+    p = _plan(QUERIES["funnel_conversion"](spark, SF))
+    assert p.count("FileScan") == 1, p
+    assert p.count("Exchange hashpartitioning") == 1, p
