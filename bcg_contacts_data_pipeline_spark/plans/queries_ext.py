@@ -845,3 +845,134 @@ def q_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return agg.select(F.inline(rows))
+
+
+# ---------------------------------------------------------------------------
+# The curation pipeline, end-to-end: the LLM-data twin of
+# contacts_pipeline_e2e — quality gates -> near-dup prune -> split ->
+# chunk -> shard accounting, as ONE lazy plan over raw documents.
+# ---------------------------------------------------------------------------
+
+_CURATION_ORACLE = """
+WITH flags AS (
+  SELECT doc_id, text,
+         n_chars >= 100 AS b1,
+         len(regexp_split_to_array(trim(text), '\\s+')) >= 20 AS b2,
+         CAST(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS DOUBLE)
+           / len(regexp_split_to_array(trim(text), '\\s+')) >= 0.45 AS b3
+  FROM documents),
+kept AS (SELECT doc_id, text FROM flags WHERE b1 AND b2 AND b3),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct([lower(t[i]) || ' ' || lower(t[i+1]) || ' ' || lower(t[i+2])
+                for i in range(1, greatest(len(t)-1, 1))])) AS s
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM kept WHERE length(trim(text)) > 0)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+edges AS (
+  SELECT id_a, id_b FROM shared
+  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.2),
+sym AS (SELECT id_a AS u, id_b AS v FROM edges
+        UNION SELECT id_b, id_a FROM edges),
+reach AS (
+  WITH RECURSIVE r(node, lab) AS (
+    SELECT doc_id, doc_id FROM kept
+    UNION
+    SELECT s.v, r.lab FROM r JOIN sym s ON s.u = r.node)
+  SELECT node, MIN(lab) AS comp FROM r GROUP BY node),
+pruned AS (
+  SELECT k.doc_id, k.text FROM kept k
+  JOIN reach r ON r.node = k.doc_id AND r.comp = r.node),
+chunks AS (
+  SELECT doc_id,
+         off // 200 AS chunk_id,
+         CAST(length(substring(text, CAST(off + 1 AS INT), 200)) AS BIGINT) AS chunk_len
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(0, greatest(length(text) - 1, 0), 200)) AS off
+        FROM pruned)),
+labeled AS (
+  SELECT CASE
+           WHEN CAST(CAST(('0x' || substring(md5('cur-v1:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 AS BIGINT) < 80 THEN 'train'
+           WHEN CAST(CAST(('0x' || substring(md5('cur-v1:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 AS BIGINT) < 90 THEN 'val'
+           ELSE 'test' END AS split,
+         doc_id, chunk_id, chunk_len
+  FROM chunks)
+SELECT split,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(chunk_len) AS BIGINT) AS total_chars,
+       CAST((SUM(chunk_len) - arg_max(chunk_len, doc_id * 1000000 + chunk_id)) // 5000 + 1 AS BIGINT) AS n_shards
+FROM labeled GROUP BY 1
+"""
+
+
+@register("curation_pipeline_e2e", oracle=_CURATION_ORACLE)
+def q_curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete training-data curation pipeline as ONE lazy plan —
+    the LLM-data twin of contacts_pipeline_e2e: quality gates (length,
+    word count, distinct-word ratio; single narrow projection) ->
+    transitive near-dup pruning (banded pair generation + label
+    propagation, keep the min-id representative) -> deterministic
+    80/10/10 hash split -> disjoint 200-char chunking -> per-split
+    shard accounting under a 5000-char budget (contiguous packing in
+    (doc_id, chunk_id) order: n_shards = exclusive-prefix of the last
+    chunk div budget + 1, computed from aggregates — no per-split
+    1-task cumsum window). Every stage is the separately-oracle-proven
+    operator; this query pins their composition."""
+    from bcg_contacts_data_pipeline_spark.functions.sampling import (
+        assign_split,
+    )
+    from bcg_contacts_data_pipeline_spark.operators.chunking import (
+        chunk_documents,
+    )
+    from bcg_contacts_data_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+    from bcg_contacts_data_pipeline_spark.operators.similarity import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    words = F.split(F.trim(t), r"\s+")
+    ratio = (
+        F.size(F.array_distinct(F.split(F.lower(F.trim(t)), r"\s+"))).cast("double")
+        / F.size(words)
+    )
+    kept = docs.filter(
+        (F.col("n_chars") >= 100) & (F.size(words) >= 20) & (ratio >= 0.45)
+    ).select("doc_id", "text")
+
+    pairs = ngram_jaccard_pairs(kept, "doc_id", "text", n=3, threshold=0.2)
+    comp = connected_components(
+        pairs, "id_a", "id_b", nodes=kept, node_col="doc_id"
+    )
+    reps = comp.filter(F.col("comp") == F.col("node")).select(
+        F.col("node").alias("doc_id")
+    )
+    pruned = kept.join(reps, "doc_id", "left_semi")
+
+    chunks = chunk_documents(pruned, "doc_id", "text", size=200, stride=200)
+    labeled = chunks.withColumn(
+        "split", assign_split("doc_id", seed="cur-v1")
+    )
+    agg = labeled.groupBy("split").agg(
+        F.count_distinct(F.col("doc_id")).alias("n_docs"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("chunk_len").alias("total_chars"),
+        F.max_by(
+            F.col("chunk_len"), F.struct(F.col("doc_id"), F.col("chunk_id"))
+        ).alias("_last"),
+    )
+    return agg.select(
+        "split",
+        "n_docs",
+        "n_chunks",
+        F.col("total_chars").cast("long").alias("total_chars"),
+        F.expr("(total_chars - _last) div 5000 + 1").cast("long").alias("n_shards"),
+    )
