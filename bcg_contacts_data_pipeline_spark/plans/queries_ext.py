@@ -976,3 +976,45 @@ def q_curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_chars").cast("long").alias("total_chars"),
         F.expr("(total_chars - _last) div 5000 + 1").cast("long").alias("n_shards"),
     )
+
+
+@register(
+    "user_growth_curve",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, MIN(strftime(ts, '%Y-%m-%d')) AS day
+      FROM events GROUP BY 1),
+    per_day AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS new_users
+      FROM first_seen GROUP BY 1)
+    SELECT day, new_users,
+           CAST(SUM(new_users) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cumulative_users
+    FROM per_day
+    """,
+)
+def q_user_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users by day WITHOUT a running set: cumulative
+    COUNT(DISTINCT) is unboundable state, but each user contributes to
+    exactly one day — their first — so the curve is min-day per user
+    (one shuffle), daily counts (map-side partial), and a running sum
+    over the DAY axis. The only window runs over calendar days — a
+    few thousand rows no matter how many trillions of events — which is
+    the aggregate-then-window-on-small pattern that keeps global
+    ordering off the raw data."""
+    ev = _events(spark, sf_dir)
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.date_format("ts", "yyyy-MM-dd")).alias("day")
+    )
+    per_day = first_seen.groupBy("day").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return per_day.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
+    )
