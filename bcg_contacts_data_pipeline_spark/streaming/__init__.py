@@ -3,6 +3,7 @@ from bcg_contacts_data_pipeline_spark.streaming.ops import (
     stream_static_enrich,
     stream_stream_time_join,
     running_user_stats,
+    running_user_stats_tws,
     session_agg,
     windowed_agg,
 )
@@ -23,6 +24,7 @@ __all__ = [
     "run_available_now",
     "run_to_files",
     "running_user_stats",
+    "running_user_stats_tws",
     "session_agg",
     "stage_as_dir",
     "stream_static_enrich",

@@ -177,3 +177,83 @@ def stream_stream_time_join(
         & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {within}"))
     )
     return lw.join(rw, cond, "inner")
+
+
+class _RunningStatsProcessor:
+    """StatefulProcessor for transformWithState: per-user running
+    (count, max) in a ValueState — the modern (Spark 4) twin of
+    _running_fn above, same semantics, same output schema."""
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState("agg", _STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        if self._state.exists():
+            prev = self._state.get()
+            n, mx = int(prev[0]), float(prev[1])
+        else:
+            n, mx = 0, float("-inf")
+        for pdf in rows:
+            n += len(pdf)
+            if len(pdf):
+                m = float(pdf["value"].max())
+                mx = m if m > mx else mx
+        self._state.update((n, mx))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "max_value": [mx]}
+        )
+
+    def handleInitialState(self, key, initialState, timerValues) -> None:
+        pass
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        return iter(())
+
+    def close(self) -> None:
+        pass
+
+
+def _have_tws_runtime() -> bool:
+    """transformWithState's Python state server speaks protobuf; without
+    a working google.protobuf the executor-side worker crashes with an
+    opaque STREAM_FAILED. Checked up front so callers get a clear error
+    (same honesty pattern as multimodal's _HAVE_PIL gate)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def running_user_stats_tws(stream: DataFrame) -> DataFrame:
+    """Per-user running (n_events, max_value) via ``transformWithState``
+    — the Spark 4 arbitrary-state API (typed state handles, timers,
+    TTL) that supersedes applyInPandasWithState. Kept NEXT TO the
+    legacy twin (`running_user_stats`) with identical semantics so the
+    two state APIs are mutually pinned; new stateful operators should
+    start from this one where the runtime allows.
+
+    Requires a working ``google.protobuf`` (the API's Python state
+    server protocol); raises immediately with a clear message when it
+    is absent instead of crashing the streaming worker mid-query.
+    """
+    if not _have_tws_runtime():
+        raise ImportError(
+            "transformWithStateInPandas needs google.protobuf (state "
+            "server protocol); it is unavailable in this environment — "
+            "use running_user_stats (applyInPandasWithState) instead"
+        )
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    proc_cls = type(
+        "_RunningStatsProcessorTWS",
+        (_RunningStatsProcessor, StatefulProcessor),
+        {},
+    )
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=proc_cls(),
+        outputStructType=_RUNNING_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

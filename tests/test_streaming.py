@@ -156,3 +156,66 @@ def test_stream_stream_join_rejects_same_key_name(spark):
     st = S.events_stream(spark, SF)
     with pytest.raises(ValueError):
         S.stream_stream_time_join(st, st, "user_id", "user_id", "ts", "ts", "1 HOUR", "1 hour")
+
+
+def test_tws_runtime_gate(spark):
+    """transformWithState twin: runs with full batch parity when the
+    protobuf runtime exists; without it, fails fast with a clear error
+    instead of crashing the streaming worker mid-query."""
+    from bcg_contacts_data_pipeline_spark.streaming.ops import (
+        _have_tws_runtime,
+        running_user_stats_tws,
+    )
+
+    st = S.events_stream(spark, SF).select("user_id", "value")
+    if not _have_tws_runtime():
+        with pytest.raises(ImportError, match="protobuf"):
+            running_user_stats_tws(st)
+        return
+    out = S.run_available_now(
+        running_user_stats_tws(st), "update", shuffle_partitions=4
+    )
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    want = {
+        r["user_id"]: r["n"]
+        for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    got = {r["user_id"]: r["n_events"] for r in out.collect()}
+    assert got == want
+
+
+def test_rocksdb_state_store_provider(spark, events):
+    """The 100 TB streaming config (RocksDB state store) must actually
+    run: the same watermarked windowed aggregation produces identical
+    results under the RocksDB provider as under the default HDFS-backed
+    one. Scoped conf, restored after."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+
+    def run():
+        st = S.events_stream(spark, SF)
+        agg = S.windowed_agg(
+            st, "ts", "1 hour", ["event_type"],
+            [F.count(F.lit(1)).alias("n_events")],
+            watermark="1 hour",
+        )
+        res = S.run_available_now(agg, "complete", shuffle_partitions=4)
+        return {
+            (r["window_start"], r["event_type"]): r["n_events"]
+            for r in res.collect()
+        }
+
+    base = run()
+    spark.conf.set(key, rocks)
+    try:
+        with_rocks = run()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    assert with_rocks == base and len(base) > 0
