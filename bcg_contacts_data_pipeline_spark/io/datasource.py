@@ -1,0 +1,135 @@
+"""Custom Spark data source (Python DataSource API, Spark 4) for the
+reference's heterogeneous TSV directory.
+
+`io.readers.read_sources` expresses the same ingest as driver-side plan
+construction (one read + registry projection per file, unioned). This
+module packages it as a first-class source —
+
+    spark.read.format("contacts_tsv")
+         .option("path", dir)
+         .option("registry", json.dumps(canonical))
+         .load()
+
+— which matters operationally: the format string travels through SQL
+DDL, jobs, and configs where a Python helper function cannot. Use
+``CREATE TEMPORARY VIEW ... USING contacts_tsv OPTIONS (...)`` for the
+SQL route; a persistent ``CREATE TABLE`` stores the options in the
+catalog but does not forward them back to a Python reader at scan time
+(probed on Spark 4.1 — Python-source catalog tables round-trip the
+format name, not the options).
+
+Scale notes
+-----------
+- One InputPartition per file: files parse in parallel across the
+  cluster, and a directory of N files gets N-way scan parallelism with
+  zero driver-side plan width (read_sources builds an N-branch union in
+  the driver — fine for tens of files, quadratic analyzer pain for
+  thousands).
+- Each partition yields ONE Arrow RecordBatch built columnar-side, not
+  row tuples — the Arrow fast path of the DataSource API.
+- This source exists for *heterogeneous/quirky* formats (per-file
+  synonym schemas, the reference's headerless exports). For big
+  homogeneous TSVs the JVM csv reader (`read_tsv`) remains the fast
+  path; the docstring of read_sources states the same split.
+
+Reference: fill_missing_contacts.py:188-201, merge_contacts_kindaworks.py:27-54
+(synonym registries), run.py:21-38 (directory ingest).
+"""
+
+from __future__ import annotations
+
+import csv
+import glob as globmod
+import json
+import os
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str, headerless_cols: list[str] | None):
+        self.path = path
+        self.headerless_cols = headerless_cols
+
+
+class ContactsTSVDataSource(DataSource):
+    """Format name ``contacts_tsv``. Options:
+
+    - ``path``: directory containing ``*.tsv``
+    - ``registry``: JSON dict, canonical column -> list of synonyms
+      (same structure ``SourceRegistry`` takes)
+    - ``headerless`` (optional): JSON dict, file basename -> list of
+      positional column names for files exported without a header row
+      (the reference's 5.tsv/6.tsv shape)
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "contacts_tsv"
+
+    def schema(self) -> str:
+        targets = list(json.loads(self.options["registry"]).keys())
+        cols = ", ".join(f"`{t}` string" for t in targets)
+        return f"{cols}, source_file string"
+
+    def reader(self, schema) -> "ContactsTSVReader":
+        return ContactsTSVReader(dict(self.options))
+
+
+class ContactsTSVReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.directory = options["path"]
+        self.registry: dict[str, list[str]] = json.loads(options["registry"])
+        self.headerless: dict[str, list[str]] = json.loads(
+            options.get("headerless", "{}")
+        )
+
+    def partitions(self):
+        paths = sorted(globmod.glob(os.path.join(self.directory, "*.tsv")))
+        if not paths:
+            raise FileNotFoundError(f"no *.tsv under {self.directory!r}")
+        return [
+            _FilePartition(p, self.headerless.get(os.path.basename(p)))
+            for p in paths
+        ]
+
+    def read(self, partition: _FilePartition):
+        import pyarrow as pa
+
+        with open(partition.path, newline="", encoding="utf-8") as fh:
+            rows = list(csv.reader(fh, delimiter="\t"))
+        if partition.headerless_cols is not None:
+            header = partition.headerless_cols
+        else:
+            header = rows[0] if rows else []
+            rows = rows[1:]
+        # synonym resolution, case-insensitive on stripped names —
+        # identical contract to SourceRegistry.apply
+        lookup: dict[str, int] = {}
+        for i, col in enumerate(header):
+            lookup.setdefault(col.strip().lower(), i)
+        chains: list[list[int]] = []
+        for target, synonyms in self.registry.items():
+            idxs = []
+            for syn in [target, *synonyms]:
+                hit = lookup.get(syn.strip().lower())
+                if hit is not None and hit not in idxs:
+                    idxs.append(hit)
+            chains.append(idxs)
+
+        def first_non_blank(row: list[str], idxs: list[int]) -> str | None:
+            for i in idxs:
+                if i < len(row):
+                    v = row[i]
+                    if v is not None and len(v.strip()) > 0:
+                        return v
+            return None
+
+        columns = [
+            [first_non_blank(r, idxs) for r in rows] for idxs in chains
+        ]
+        columns.append([partition.path] * len(rows))
+        names = [*self.registry.keys(), "source_file"]
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(c, type=pa.string()) for c in columns], names=names
+        )

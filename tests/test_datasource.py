@@ -1,0 +1,128 @@
+"""contacts_tsv custom data source: parity with read_sources + registry,
+partition-per-file parallelism, headerless support."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from bcg_contacts_data_pipeline_spark.io.datasource import ContactsTSVDataSource
+from bcg_contacts_data_pipeline_spark.io.readers import (
+    SourceRegistry,
+    read_sources,
+)
+
+CANONICAL = {
+    "email": ["e-mail", "mail"],
+    "mobile": ["phone", "cell"],
+    "name": ["full name"],
+}
+
+
+@pytest.fixture
+def tsv_dir(tmp_path):
+    (tmp_path / "a.tsv").write_text(
+        "Email\tPhone\tFull Name\n"
+        "a@x.io\t111\tAda\n"
+        "\t222\tBob\n",
+        encoding="utf-8",
+    )
+    (tmp_path / "b.tsv").write_text(
+        "mail\tcell\textra\n"
+        "c@x.io\t333\tzzz\n",
+        encoding="utf-8",
+    )
+    # headerless export, positional schema (the reference's 5.tsv shape)
+    (tmp_path / "c.tsv").write_text("d@x.io\t444\tDee\n", encoding="utf-8")
+    return str(tmp_path)
+
+
+@pytest.fixture
+def registered(spark):
+    spark.dataSource.register(ContactsTSVDataSource)
+    return spark
+
+
+def _load(spark, tsv_dir, **extra):
+    opts = {
+        "path": tsv_dir,
+        "registry": json.dumps(CANONICAL),
+        "headerless": json.dumps(
+            {"c.tsv": ["email", "mobile", "name"]}
+        ),
+    }
+    opts.update(extra)
+    r = spark.read.format("contacts_tsv")
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def test_reads_all_files_with_synonyms(registered, tsv_dir):
+    rows = _load(registered, tsv_dir).collect()
+    got = {
+        (r["email"], r["mobile"], r["name"], os.path.basename(r["source_file"]))
+        for r in rows
+    }
+    assert got == {
+        ("a@x.io", "111", "Ada", "a.tsv"),
+        (None, "222", "Bob", "a.tsv"),  # blank email -> NULL
+        ("c@x.io", "333", None, "b.tsv"),  # no name synonym -> NULL
+        ("d@x.io", "444", "Dee", "c.tsv"),  # headerless positional
+    }
+
+
+def test_partition_per_file(registered, tsv_dir):
+    df = _load(registered, tsv_dir)
+    assert df.rdd.getNumPartitions() == 3
+
+
+def test_parity_with_read_sources(registered, tsv_dir):
+    """The packaged source and the plan-construction helper implement the
+    same contract: identical canonical rows on header-ful files."""
+    paths = [os.path.join(tsv_dir, f) for f in ("a.tsv", "b.tsv")]
+    want = {
+        tuple(r[c] for c in CANONICAL)
+        for r in read_sources(
+            registered, paths, SourceRegistry(CANONICAL)
+        ).collect()
+    }
+    got = {
+        tuple(r[c] for c in CANONICAL)
+        for r in _load(registered, tsv_dir).collect()
+        if os.path.basename(r["source_file"]) in ("a.tsv", "b.tsv")
+    }
+    assert got == want
+
+
+def test_empty_dir_raises(registered, tmp_path):
+    with pytest.raises(Exception, match="no \\*\\.tsv"):
+        _load(registered, str(tmp_path)).collect()
+
+
+def test_usable_from_sql(registered, tsv_dir):
+    """The point of packaging as a format: it works through SQL DDL.
+    TEMPORARY VIEW is the supported DDL shape — a persistent CREATE
+    TABLE stores the options in the catalog but does not forward them
+    back to the Python reader at scan time (probed; limitation noted in
+    the module docstring)."""
+    registered.sql(
+        f"""CREATE OR REPLACE TEMPORARY VIEW contacts_src
+            USING contacts_tsv OPTIONS (
+            path '{tsv_dir}',
+            registry '{json.dumps(CANONICAL)}',
+            headerless '{json.dumps({"c.tsv": ["email", "mobile", "name"]})}'
+        )"""
+    )
+    try:
+        assert registered.sql("SELECT count(*) FROM contacts_src").first()[0] == 4
+        assert (
+            registered.sql(
+                "SELECT count(*) FROM contacts_src WHERE email IS NULL"
+            ).first()[0]
+            == 1
+        )
+    finally:
+        registered.sql("DROP VIEW IF EXISTS contacts_src")
