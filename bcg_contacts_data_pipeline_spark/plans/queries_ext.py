@@ -1018,3 +1018,41 @@ def q_user_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
     )
+
+
+@register(
+    "q17_small_qty_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0
+               AS avg_yearly,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#11'
+      AND l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                          FROM lineitem l2
+                          WHERE l2.l_partkey = l.l_partkey)
+    """,
+)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: a CORRELATED scalar subquery (per-part average
+    threshold) written as-is in SQL — Catalyst decorrelates it into an
+    aggregate + join automatically, so the executed plan computes each
+    part's average once, not once per probing row (plan-asserted: no
+    subquery node survives). The brand filter reaches the part scan and
+    shrinks the join's build side before the fact table is touched.
+    Quantities are integer-valued doubles, so AVG is order-exact and
+    the threshold compare is engine-deterministic."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("q17_lineitem")
+    _t(spark, sf_dir, "part").createOrReplaceTempView("q17_part")
+    return spark.sql(
+        """
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0
+                   AS avg_yearly,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM q17_lineitem l JOIN q17_part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#11'
+          AND l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                              FROM q17_lineitem l2
+                              WHERE l2.l_partkey = l.l_partkey)
+        """
+    )

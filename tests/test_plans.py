@@ -218,3 +218,13 @@ def test_funnel_single_user_shuffle(spark):
     p = _plan(QUERIES["funnel_conversion"](spark, SF))
     assert p.count("FileScan") == 1, p
     assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_q17_subquery_decorrelated(spark):
+    """The correlated scalar subquery must be rewritten to an aggregate
+    + join: per-part averages computed once, no per-row subquery
+    execution surviving into the physical plan."""
+    p = _plan(QUERIES["q17_small_qty_revenue"](spark, SF))
+    assert "Subquery" not in p, p
+    assert "Join" in p
+    assert "partial_avg" in p  # the decorrelated aggregate, map-side
