@@ -68,7 +68,7 @@ class ContactsTSVDataSource(DataSource):
         return "contacts_tsv"
 
     def schema(self) -> str:
-        targets = list(json.loads(self.options["registry"]).keys())
+        targets = list(_parse_registry(dict(self.options)).keys())
         cols = ", ".join(f"`{t}` string" for t in targets)
         return f"{cols}, source_file string"
 
@@ -76,18 +76,59 @@ class ContactsTSVDataSource(DataSource):
         return ContactsTSVReader(dict(self.options))
 
 
+def _parse_registry(options: dict) -> dict[str, list[str]]:
+    """Required-option and JSON validation with errors that name the
+    option — a bare KeyError/JSONDecodeError through the DataSource
+    plumbing is undebuggable from SQL."""
+    if "registry" not in options:
+        raise ValueError(
+            "contacts_tsv requires a 'registry' option: JSON dict of "
+            "canonical column -> list of synonyms"
+        )
+    try:
+        reg = json.loads(options["registry"])
+    except json.JSONDecodeError as e:
+        raise ValueError(f"contacts_tsv 'registry' option is not valid JSON: {e}") from e
+    if not isinstance(reg, dict) or not reg:
+        raise ValueError("contacts_tsv 'registry' must be a non-empty JSON object")
+    return reg
+
+
+#: Rows per emitted RecordBatch: bounds task memory to ~batch size
+#: instead of file size (a multi-GB TSV would otherwise be resident
+#: 3-4x over — parsed rows + Python column lists + Arrow arrays).
+_BATCH_ROWS = 65_536
+
+
 class ContactsTSVReader(DataSourceReader):
     def __init__(self, options: dict):
+        if "path" not in options:
+            raise ValueError("contacts_tsv requires a 'path' option (TSV directory)")
         self.directory = options["path"]
-        self.registry: dict[str, list[str]] = json.loads(options["registry"])
-        self.headerless: dict[str, list[str]] = json.loads(
-            options.get("headerless", "{}")
-        )
+        self.registry = _parse_registry(options)
+        try:
+            self.headerless: dict[str, list[str]] = json.loads(
+                options.get("headerless", "{}")
+            )
+        except json.JSONDecodeError as e:
+            raise ValueError(
+                f"contacts_tsv 'headerless' option is not valid JSON: {e}"
+            ) from e
 
     def partitions(self):
         paths = sorted(globmod.glob(os.path.join(self.directory, "*.tsv")))
         if not paths:
             raise FileNotFoundError(f"no *.tsv under {self.directory!r}")
+        # Fail up front on a headerless key that matches no file: a typo
+        # would otherwise make that file parse header-fully — first data
+        # row silently consumed as a header, every column NULL.
+        basenames = {os.path.basename(p) for p in paths}
+        unmatched = sorted(set(self.headerless) - basenames)
+        if unmatched:
+            raise ValueError(
+                f"'headerless' keys match no *.tsv in {self.directory!r}: "
+                f"{unmatched} (found: {sorted(basenames)})"
+            )
         return [
             _FilePartition(p, self.headerless.get(os.path.basename(p)))
             for p in paths
@@ -96,40 +137,49 @@ class ContactsTSVReader(DataSourceReader):
     def read(self, partition: _FilePartition):
         import pyarrow as pa
 
+        def batches(rows: list[list[str]], header: list[str]):
+            # synonym resolution, case-insensitive on stripped names —
+            # identical contract to SourceRegistry.apply
+            lookup: dict[str, int] = {}
+            for i, col in enumerate(header):
+                lookup.setdefault(col.strip().lower(), i)
+            chains: list[list[int]] = []
+            for target, synonyms in self.registry.items():
+                idxs = []
+                for syn in [target, *synonyms]:
+                    hit = lookup.get(syn.strip().lower())
+                    if hit is not None and hit not in idxs:
+                        idxs.append(hit)
+                chains.append(idxs)
+
+            def first_non_blank(row: list[str], idxs: list[int]) -> str | None:
+                for i in idxs:
+                    if i < len(row):
+                        v = row[i]
+                        if v is not None and len(v.strip()) > 0:
+                            return v
+                return None
+
+            names = [*self.registry.keys(), "source_file"]
+            columns = [
+                [first_non_blank(r, idxs) for r in rows] for idxs in chains
+            ]
+            columns.append([partition.path] * len(rows))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(c, type=pa.string()) for c in columns], names=names
+            )
+
         with open(partition.path, newline="", encoding="utf-8") as fh:
-            rows = list(csv.reader(fh, delimiter="\t"))
-        if partition.headerless_cols is not None:
-            header = partition.headerless_cols
-        else:
-            header = rows[0] if rows else []
-            rows = rows[1:]
-        # synonym resolution, case-insensitive on stripped names —
-        # identical contract to SourceRegistry.apply
-        lookup: dict[str, int] = {}
-        for i, col in enumerate(header):
-            lookup.setdefault(col.strip().lower(), i)
-        chains: list[list[int]] = []
-        for target, synonyms in self.registry.items():
-            idxs = []
-            for syn in [target, *synonyms]:
-                hit = lookup.get(syn.strip().lower())
-                if hit is not None and hit not in idxs:
-                    idxs.append(hit)
-            chains.append(idxs)
-
-        def first_non_blank(row: list[str], idxs: list[int]) -> str | None:
-            for i in idxs:
-                if i < len(row):
-                    v = row[i]
-                    if v is not None and len(v.strip()) > 0:
-                        return v
-            return None
-
-        columns = [
-            [first_non_blank(r, idxs) for r in rows] for idxs in chains
-        ]
-        columns.append([partition.path] * len(rows))
-        names = [*self.registry.keys(), "source_file"]
-        yield pa.RecordBatch.from_arrays(
-            [pa.array(c, type=pa.string()) for c in columns], names=names
-        )
+            reader = csv.reader(fh, delimiter="\t")
+            if partition.headerless_cols is not None:
+                header = partition.headerless_cols
+            else:
+                header = next(reader, [])
+            # stream the file in bounded slices — never the whole file
+            chunk: list[list[str]] = []
+            for row in reader:
+                chunk.append(row)
+                if len(chunk) >= _BATCH_ROWS:
+                    yield from batches(chunk, header)
+                    chunk = []
+            yield from batches(chunk, header)

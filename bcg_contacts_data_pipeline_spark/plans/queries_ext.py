@@ -913,17 +913,24 @@ FROM labeled GROUP BY 1
 
 @register("curation_pipeline_e2e", oracle=_CURATION_ORACLE)
 def q_curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The complete training-data curation pipeline as ONE lazy plan —
-    the LLM-data twin of contacts_pipeline_e2e: quality gates (length,
-    word count, distinct-word ratio; single narrow projection) ->
-    transitive near-dup pruning (banded pair generation + label
+    """The complete training-data curation pipeline as one composed
+    plan — the LLM-data twin of contacts_pipeline_e2e: quality gates
+    (length, word count, distinct-word ratio; single narrow projection)
+    -> transitive near-dup pruning (banded pair generation + label
     propagation, keep the min-id representative) -> deterministic
     80/10/10 hash split -> disjoint 200-char chunking -> per-split
     shard accounting under a 5000-char budget (contiguous packing in
     (doc_id, chunk_id) order: n_shards = exclusive-prefix of the last
     chunk div budget + 1, computed from aggregates — no per-split
-    1-task cumsum window). Every stage is the separately-oracle-proven
-    operator; this query pins their composition."""
+    1-task cumsum window). NOT fully lazy, by design: the label
+    propagation inside connected_components checkpoints eagerly per
+    round (iterative lineage must be cut — same contract
+    dedup_components documents), so building this frame runs those
+    rounds. The gated `kept` subtree feeds three consumers (pair
+    generation, CC vertex set, the semi join) and is persisted once
+    rather than re-running the regex gates per consumer. Every stage is
+    the separately-oracle-proven operator; this query pins their
+    composition."""
     from bcg_contacts_data_pipeline_spark.functions.sampling import (
         assign_split,
     )
@@ -944,9 +951,18 @@ def q_curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(F.split(F.lower(F.trim(t)), r"\s+"))).cast("double")
         / F.size(words)
     )
-    kept = docs.filter(
-        (F.col("n_chars") >= 100) & (F.size(words) >= 20) & (ratio >= 0.45)
-    ).select("doc_id", "text")
+    from bcg_contacts_data_pipeline_spark.operators.pins import pin
+
+    # Persisted once: three consumers below (pair generation, the CC
+    # vertex set, the final semi join) would otherwise each re-scan
+    # documents and re-run the regex gates. Session-lifetime pin (the
+    # one-shot driver/bench contract other queries use).
+    kept = pin(
+        docs.filter(
+            (F.col("n_chars") >= 100) & (F.size(words) >= 20) & (ratio >= 0.45)
+        ).select("doc_id", "text"),
+        None,
+    )
 
     pairs = ngram_jaccard_pairs(kept, "doc_id", "text", n=3, threshold=0.2)
     comp = connected_components(

@@ -94,15 +94,24 @@ _RUNNING_SCHEMA = "user_id long, n_events long, max_value double"
 _STATE_SCHEMA = "n long, mx double"
 
 
-def _running_fn(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    (n, mx) = state.get if state.exists else (0, float("-inf"))
+def _fold_running(
+    n: int, mx: float, pdfs: Iterator[pd.DataFrame]
+) -> tuple[int, float]:
+    """The accumulation both state APIs share — one definition, so the
+    legacy and transformWithState twins cannot silently diverge."""
     for pdf in pdfs:
         n += len(pdf)
         if len(pdf):
             m = float(pdf["value"].max())
             mx = m if m > mx else mx
+    return n, mx
+
+
+def _running_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (n, mx) = state.get if state.exists else (0, float("-inf"))
+    n, mx = _fold_running(n, mx, pdfs)
     state.update((n, mx))
     yield pd.DataFrame(
         {"user_id": [key[0]], "n_events": [n], "max_value": [mx]}
@@ -193,11 +202,7 @@ class _RunningStatsProcessor:
             n, mx = int(prev[0]), float(prev[1])
         else:
             n, mx = 0, float("-inf")
-        for pdf in rows:
-            n += len(pdf)
-            if len(pdf):
-                m = float(pdf["value"].max())
-                mx = m if m > mx else mx
+        n, mx = _fold_running(n, mx, rows)
         self._state.update((n, mx))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "max_value": [mx]}
@@ -213,17 +218,33 @@ class _RunningStatsProcessor:
         pass
 
 
-def _have_tws_runtime() -> bool:
+def _have_tws_runtime(spark=None) -> bool:
     """transformWithState's Python state server speaks protobuf; without
-    a working google.protobuf the executor-side worker crashes with an
-    opaque STREAM_FAILED. Checked up front so callers get a clear error
-    (same honesty pattern as multimodal's _HAVE_PIL gate)."""
-    try:
-        from google.protobuf import descriptor  # noqa: F401
+    a working google.protobuf the worker crashes with an opaque
+    STREAM_FAILED. Checked up front so callers get a clear error (same
+    honesty pattern as multimodal's _HAVE_PIL gate).
 
-        return True
-    except ImportError:
+    The crash is EXECUTOR-side, and driver/executor Python environments
+    can differ on a real cluster — so when a session is supplied, the
+    probe also runs as a one-partition job on an executor; the
+    driver-only import check alone would green-light a cluster whose
+    executor images lack protobuf."""
+
+    def probe() -> bool:
+        try:
+            from google.protobuf import descriptor  # noqa: F401
+
+            return True
+        except ImportError:
+            return False
+
+    if not probe():
         return False
+    if spark is None:
+        return True
+    return bool(
+        spark.sparkContext.parallelize([0], 1).map(lambda _: probe()).first()
+    )
 
 
 def running_user_stats_tws(stream: DataFrame) -> DataFrame:
@@ -238,11 +259,12 @@ def running_user_stats_tws(stream: DataFrame) -> DataFrame:
     server protocol); raises immediately with a clear message when it
     is absent instead of crashing the streaming worker mid-query.
     """
-    if not _have_tws_runtime():
+    if not _have_tws_runtime(stream.sparkSession):
         raise ImportError(
             "transformWithStateInPandas needs google.protobuf (state "
-            "server protocol); it is unavailable in this environment — "
-            "use running_user_stats (applyInPandasWithState) instead"
+            "server protocol) on driver AND executors; it is unavailable "
+            "in this environment — use running_user_stats "
+            "(applyInPandasWithState) instead"
         )
     from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 

@@ -126,3 +126,27 @@ def test_usable_from_sql(registered, tsv_dir):
         )
     finally:
         registered.sql("DROP VIEW IF EXISTS contacts_src")
+
+
+def test_unmatched_headerless_key_fails_fast(registered, tsv_dir):
+    """A typo'd headerless basename must error, not silently parse the
+    file header-fully (first data row eaten, all columns NULL)."""
+    with pytest.raises(Exception, match="headerless.*match no"):
+        _load(
+            registered, tsv_dir, headerless=json.dumps({"zz.tsv": ["email"]})
+        ).collect()
+
+
+def test_missing_registry_clear_error(registered, tsv_dir):
+    with pytest.raises(Exception, match="registry"):
+        registered.read.format("contacts_tsv").option("path", tsv_dir).load()
+
+
+def test_bad_registry_json_clear_error(registered, tsv_dir):
+    with pytest.raises(Exception, match="not valid JSON"):
+        (
+            registered.read.format("contacts_tsv")
+            .option("path", tsv_dir)
+            .option("registry", "{nope")
+            .load()
+        )

@@ -168,7 +168,7 @@ def test_tws_runtime_gate(spark):
     )
 
     st = S.events_stream(spark, SF).select("user_id", "value")
-    if not _have_tws_runtime():
+    if not _have_tws_runtime(spark):
         with pytest.raises(ImportError, match="protobuf"):
             running_user_stats_tws(st)
         return
@@ -177,10 +177,17 @@ def test_tws_runtime_gate(spark):
     )
     ev = spark.read.parquet(f"{SF}/events.parquet")
     want = {
-        r["user_id"]: r["n"]
-        for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+        r["user_id"]: (r["n"], r["mx"])
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.max(F.col("value").cast("double")).alias("mx"),
+        )
+        .collect()
     }
-    got = {r["user_id"]: r["n_events"] for r in out.collect()}
+    got = {
+        r["user_id"]: (r["n_events"], r["max_value"]) for r in out.collect()
+    }
     assert got == want
 
 
