@@ -85,14 +85,23 @@ def epoch_repeat(
     slice 3x per pass": an exploded ``sequence`` (narrow, no shuffle,
     output exactly the mixture size), not a random sampler — the
     resulting corpus is identical on every run and every engine.
+
+    ``0`` epochs (in the mapping or as ``default_epochs``) means DROP
+    that stratum — the explicit empty-sequence branch below; without it
+    ``sequence(1, 0)`` would DESCEND (Spark defaults the step to -1
+    when start > stop) and silently emit every row twice with epochs
+    [1, 0]. Negative values are rejected.
     """
     for label, reps in epochs.items():
-        if reps < 1:
-            raise ValueError(f"epochs must be >= 1: {label}={reps}")
+        if reps < 0:
+            raise ValueError(f"epochs must be >= 0: {label}={reps}")
+    if default_epochs < 0:
+        raise ValueError(f"default_epochs must be >= 0: {default_epochs}")
     n = _stratum_case(stratum_col, epochs, default_epochs)
-    return df.withColumn(
-        epoch_name, F.explode(F.sequence(F.lit(1), n.cast("int")))
+    seq = F.when(n >= 1, F.sequence(F.lit(1), n.cast("int"))).otherwise(
+        F.array().cast("array<int>")
     )
+    return df.withColumn(epoch_name, F.explode(seq))
 
 
 def assign_split(

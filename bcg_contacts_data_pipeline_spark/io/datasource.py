@@ -18,6 +18,20 @@ catalog but does not forward them back to a Python reader at scan time
 (probed on Spark 4.1 — Python-source catalog tables round-trip the
 format name, not the options).
 
+Filesystem contract
+-------------------
+``partitions()`` globs driver-side and ``read()`` uses plain
+``open()``, so the source requires a POSIX directory visible AT THE
+SAME PATH on the driver and every executor (local mode, NFS, or a
+FUSE-mounted store). Object-store / HDFS URIs are NOT supported — the
+glob matches nothing and the source fails fast with the no-files
+error. This matches the reference's deployment (a local staging
+directory of exported TSVs); for a distributed filesystem, land the
+files first or use the JVM csv reader. ``source_file`` is emitted in
+the same ``file:`` URI form ``read_sources`` gets from
+``input_file_name()``, so the two ingest routes are interchangeable
+downstream.
+
 Scale notes
 -----------
 - One InputPartition per file: files parse in parallel across the
@@ -164,7 +178,13 @@ class ContactsTSVReader(DataSourceReader):
             columns = [
                 [first_non_blank(r, idxs) for r in rows] for idxs in chains
             ]
-            columns.append([partition.path] * len(rows))
+            # file: URI, percent-encoded — byte-identical to what
+            # input_file_name() yields in read_sources, so provenance
+            # joins/filters written against one route work on the other.
+            from pathlib import Path
+
+            uri = Path(os.path.abspath(partition.path)).as_uri()
+            columns.append([uri] * len(rows))
             yield pa.RecordBatch.from_arrays(
                 [pa.array(c, type=pa.string()) for c in columns], names=names
             )

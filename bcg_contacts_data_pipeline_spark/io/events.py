@@ -117,13 +117,19 @@ def set_nanos_conf_if_needed(spark: SparkSession, path: str) -> None:
     if nanos is None:
         # No pyarrow to read the footer: probe with Spark. A NANOS file
         # is rejected at schema resolution without the conf, so a clean
-        # schema read means the conf must stay untouched; a failure
-        # means the legacy encoding (set the conf and let the real read
-        # raise the real error if it was something else).
+        # schema read means the conf must stay untouched. Only the
+        # NANOS-rejection error flips the conf — any other probe
+        # failure (missing file, permissions, corrupt footer) must NOT
+        # leak session-wide legacy timestamp semantics into later
+        # unrelated parquet reads; let the real read raise the real
+        # error (round-5 advisor flag).
         try:
             spark.read.parquet(path).schema
             nanos = False
-        except Exception:
-            nanos = True
+        except Exception as e:
+            msg = str(e)
+            nanos = "NANOS" in msg and (
+                "Illegal Parquet type" in msg or "nanosAsLong" in msg
+            )
     if nanos:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -43,6 +43,14 @@ def upsert_latest(
     per-key monotone, as in any CDC log); if ``delete_col`` is given,
     keys whose winning row has it true are dropped (tombstone).
 
+    ``version_col`` must be NON-NULL on every row and the plan enforces
+    it: a NULL version raises at execution time (``raise_error`` inside
+    the ordering expression — per-row null check, no extra pass). Without
+    the guard, a key whose rows are all NULL-versioned makes ``max_by``
+    return a NULL struct — a silent all-NULL output row, business key
+    included, that survives the tombstone filter (round-5 advisor flag);
+    a corrupt CDC batch should fail loudly instead.
+
     Implemented as union + per-key ``max_by(struct(*), version)`` — an
     associative aggregate, so Spark computes partials before the
     exchange and the shuffle carries one row per (partition, key).
@@ -52,8 +60,18 @@ def upsert_latest(
         raise ValueError("base and updates must share a schema")
     unioned = base.select(*cols).unionByName(updates.select(*cols))
     payload = F.struct(*[F.col(c) for c in cols])
+    version = F.when(
+        F.col(version_col).isNotNull(), F.col(version_col)
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                f"upsert_latest: NULL {version_col} in CDC input - "
+                "versions must be non-null on every row"
+            )
+        )
+    )
     merged = unioned.groupBy(*[F.col(k) for k in keys]).agg(
-        F.max_by(payload, F.col(version_col)).alias("_row")
+        F.max_by(payload, version).alias("_row")
     )
     out = merged.select(*[F.col(f"_row.{c}").alias(c) for c in cols])
     if delete_col is not None:

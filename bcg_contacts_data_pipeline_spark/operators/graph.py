@@ -25,6 +25,27 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from bcg_contacts_data_pipeline_spark.operators.pins import PinScope
+
+
+def free_local_checkpoint(df: DataFrame) -> None:
+    """Best-effort release of a ``localCheckpoint``'s materialized blocks.
+
+    ``DataFrame.unpersist`` only touches the SQL cache; a checkpoint's
+    blocks belong to the underlying RDD, reachable through the
+    ``LogicalRDD`` plan node. Spark's ContextCleaner would free them
+    eventually (when the JVM-side RDD is garbage collected), but an
+    iterative operator that checkpoints per round should not hold every
+    round's blocks until GC. Freeing makes the frame UNRECOMPUTABLE
+    (lineage was truncated) — only call once nothing will read it again.
+    Guarded: the accessor path is Spark-internal, so any mismatch
+    degrades to the ContextCleaner behavior instead of failing the job.
+    """
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
 
 def connected_components(
     edges: DataFrame,
@@ -34,6 +55,7 @@ def connected_components(
     node_col: str | None = None,
     max_iter: int | None = None,
     checkpoint: str = "local",
+    pins: PinScope | None = None,
 ) -> DataFrame:
     """(node, component) with component = min node id of the component.
 
@@ -55,6 +77,17 @@ def connected_components(
     - ``"reliable"``: ``checkpoint`` to the fault-tolerant FS configured
       via ``spark.sparkContext.setCheckpointDir`` — survives executor
       loss; the right choice for long-running cluster jobs at scale.
+
+    Checkpoint block lifetime (local mode): each round's label
+    checkpoint is freed as soon as the next round has materialized, so
+    live block storage is bounded at sym + 2 label frames regardless of
+    graph diameter (a 50-round pathological chain no longer holds 50
+    label snapshots until GC). The two frames that must outlive the
+    call — sym is not needed after the loop and is freed on exit; the
+    FINAL labels back the returned DataFrame — the final checkpoint is
+    registered in ``pins`` when a scope is passed (release it only
+    after your sinks have run; the frame cannot be recomputed), else it
+    is left to Spark's ContextCleaner like before.
     """
     if checkpoint not in ("local", "reliable"):
         raise ValueError(f"checkpoint must be 'local' or 'reliable', got {checkpoint!r}")
@@ -87,6 +120,7 @@ def connected_components(
 
     comp_type = verts.schema["node"].dataType
     labels = verts.select("node", F.col("node").alias("comp"))
+    prev_ck: DataFrame | None = None  # superseded round checkpoint
     rounds = 0
     while max_iter is None or rounds < max_iter:
         rounds += 1
@@ -114,7 +148,20 @@ def connected_components(
         # lets the changed-count action reuse the materialized result.
         new_labels = _truncate(new_labels)
         changed = new_labels.filter(F.col("comp") != F.col("old")).count()
+        # The new round is fully materialized (eager checkpoint + the
+        # count action above); the previous round's blocks can never be
+        # read again — free them now instead of waiting for GC.
+        if checkpoint == "local" and prev_ck is not None:
+            free_local_checkpoint(prev_ck)
+        prev_ck = new_labels
         labels = new_labels.select("node", "comp")
         if changed == 0:
             break
+    # prev_ck is None only when max_iter=0 skipped the loop entirely —
+    # then the returned labels still derive from sym and neither may be
+    # freed.
+    if checkpoint == "local" and prev_ck is not None:
+        free_local_checkpoint(sym)
+        if pins is not None:
+            pins.adopt(prev_ck, free_local_checkpoint)
     return labels

@@ -31,13 +31,23 @@ class PinScope:
     """
 
     def __init__(self) -> None:
-        self._frames: list[DataFrame] = []
+        self._frames: list[tuple[DataFrame, object | None]] = []
 
     def pin(self, df: DataFrame) -> DataFrame:
         """Persist ``df`` (default MEMORY_AND_DISK, same as .cache())
         and remember it for release."""
         df.persist()
-        self._frames.append(df)
+        self._frames.append((df, None))
+        return df
+
+    def adopt(self, df: DataFrame, releaser=None) -> DataFrame:
+        """Register an ALREADY-materialized frame (e.g. a
+        ``localCheckpoint``) for release without re-persisting it.
+        ``releaser(df)`` is called at release time when given (a
+        checkpointed frame's blocks are not freed by
+        ``DataFrame.unpersist`` — the owner passes the routine that
+        does); defaults to ``df.unpersist``."""
+        self._frames.append((df, releaser))
         return df
 
     def __len__(self) -> int:
@@ -45,8 +55,11 @@ class PinScope:
 
     def release(self, blocking: bool = False) -> None:
         frames, self._frames = self._frames, []
-        for df in frames:
-            df.unpersist(blocking=blocking)
+        for df, releaser in frames:
+            if releaser is not None:
+                releaser(df)
+            else:
+                df.unpersist(blocking=blocking)
 
     def __enter__(self) -> "PinScope":
         return self

@@ -118,12 +118,27 @@ def ngram_jaccard_pairs(
     text: Column | str,
     n: int = 3,
     threshold: float = 0.2,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing >= 1 shingle.
 
     Inverted-index self-join: |pairs| is bounded by shingle co-occurrence,
     not corpus². Jaccard = shared / (|A| + |B| - shared) — integer counts,
     one IEEE division, engine-exact.
+
+    ``max_df`` is the posting-list frequency cap, the thing that makes
+    this shape survive a real scraped corpus: a stop-shingle ("of the
+    and") shared by f documents contributes f² rows to the self-join —
+    quadratic on exactly the skewed posting lists web text has. With
+    ``max_df=K``, shingles whose document frequency exceeds K are dropped
+    BEFORE the join (and before the size counts — the semantics become
+    Jaccard over the sub-K shingle universe, well-defined and mirrorable
+    in an oracle), so no posting list contributes more than K² pairs.
+    The hot set is tiny by construction (only shingles in > K docs), so
+    the anti-join against it broadcasts under AQE — no extra shuffle of
+    the full shingle frame. ``max_df=None`` keeps the exact uncapped
+    baseline (the documented contract of the standalone ``ngram_jaccard``
+    query).
 
     Physical shape:
     - the join key is xxhash64(shingle), 8 bytes instead of a string
@@ -135,6 +150,14 @@ def ngram_jaccard_pairs(
       the pipeline (measured ~2x slower single-shot).
     """
     shingles = shingle_hash_frame(df, id_col, text, n)
+    if max_df is not None:
+        hot = (
+            shingles.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_df)
+            .select("sh")
+        )
+        shingles = shingles.join(hot, "sh", "left_anti")
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
 
     a = shingles.select(F.col(id_col).alias("id_a"), "sh")

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bcg_contacts_data_pipeline_spark.operators.pins import PinScope
 from bcg_contacts_data_pipeline_spark.plans.queries import (
     _dec,
     _events,
@@ -246,9 +247,9 @@ def q_lang_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile per group, the grouped analogue of `numeric_profile`.
     Same scale contract as that pair: the exact form is the oracle
     baseline (its per-group buffer is the documented cost), and the
-    sketch path for 100 TB is `percentile_approx` — proven mergeable and
-    band-checked by `numeric_profile_approx`; swapping it in here is a
-    one-line change the unit test exercises (`tests/test_analytics.py`)."""
+    sketch path for 100 TB is the registered, oracle-checked twin
+    `lang_quantiles_approx` below — same band-check contract as
+    `numeric_profile_approx`, applied per group."""
     docs = _t(spark, sf_dir, "documents")
     pct = F.percentile(
         F.col("n_chars").cast("double"),
@@ -264,6 +265,82 @@ def q_lang_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("__p")[1], 4).alias("p50"),
             F.round(F.col("__p")[2], 4).alias("p75"),
         )
+    )
+
+
+@register(
+    "lang_quantiles_approx",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           true AS p25_in_band, true AS p50_in_band, true AS p75_in_band
+    FROM documents GROUP BY 1
+    """,
+)
+def q_lang_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB twin of lang_quantiles: GROUPED `approx_percentile`
+    (Greenwald-Khanna sketch — bounded memory per group, map-side
+    mergeable) instead of exact `percentile`, whose per-group buffer
+    holds every value of the group (docs-per-language: effectively
+    unbounded at corpus scale).
+
+    The verification harness is RANK-based rather than the value-band
+    numeric_profile_approx uses: an interpolated band at q +/- slack is
+    narrower than one element's spacing once groups are small, while
+    the sketch always returns an actual element — so instead we join
+    the per-group sketch values back (broadcast — one row per
+    language) and count each group's values strictly below / at-or-
+    below the sketch value. The sketch output occupies ranks
+    (cnt_lt, cnt_le]; it is in-band iff that interval intersects
+    q*n +/- (10*n/accuracy + 1) — the sketch's guaranteed rank error
+    at 10x slack, plus one rank for discreteness. The oracle pins the
+    per-group counts exact and the booleans TRUE, so a sketch outside
+    its rank guarantee fails the value-hash compare. Every stage is
+    mergeable aggregates + one broadcast join — unlike the exact-band
+    harness, even the verification path has no unbounded buffer.
+    Production callers keep the sketch columns and drop the check;
+    lang_quantiles remains the exact baseline."""
+    qs = [0.25, 0.5, 0.75]
+    acc = 10_000
+    docs = _t(spark, sf_dir, "documents")
+    c = F.col("n_chars").cast("double")
+    sk = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.percentile_approx(
+            c, F.array(*[F.lit(q) for q in qs]), F.lit(acc)
+        ).alias("__ap"),
+    )
+    joined = docs.select("lang", c.alias("__v")).join(
+        F.broadcast(sk), "lang"
+    )
+    ranks = joined.groupBy("lang").agg(
+        F.first("n_docs").alias("n_docs"),
+        F.first("__ap").alias("__ap"),
+        *[
+            agg
+            for i in range(len(qs))
+            for agg in (
+                F.sum(
+                    (F.col("__v") < F.col("__ap")[i]).cast("long")
+                ).alias(f"__lt{i}"),
+                F.sum(
+                    (F.col("__v") <= F.col("__ap")[i]).cast("long")
+                ).alias(f"__le{i}"),
+            )
+        ],
+    )
+    n = F.col("n_docs").cast("double")
+    tol = n * (10.0 / acc) + F.lit(1.0)
+    return ranks.select(
+        "lang",
+        "n_docs",
+        *[
+            (
+                (F.col(f"__lt{i}") + 1 <= F.lit(q) * n + tol)
+                & (F.col(f"__le{i}") >= F.lit(q) * n - tol)
+            ).alias(f"p{int(q * 100)}_in_band")
+            for i, q in enumerate(qs)
+        ],
     )
 
 
@@ -491,12 +568,14 @@ def q_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "neardup_prune",
     oracle="""
-    WITH sh AS (
+    WITH sh_all AS (
       SELECT doc_id,
              unnest(list_distinct([lower(t[i]) || ' ' || lower(t[i+1]) || ' ' || lower(t[i+2])
                     for i in range(1, greatest(len(t)-1, 1))])) AS s
       FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
             FROM documents WHERE length(trim(text)) > 0)),
+    hot AS (SELECT s FROM sh_all GROUP BY s HAVING COUNT(*) > 100),
+    sh AS (SELECT * FROM sh_all WHERE s NOT IN (SELECT s FROM hot)),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
     shared AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
@@ -524,11 +603,14 @@ def q_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_neardup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full dedup pipeline a curation job ships: near-dup pairs
-    (ngram Jaccard >= 0.2) -> transitive clusters -> keep the min-id
-    representative per cluster -> per-source survival accounting. Every
-    stage is the already-verified scalable form (banded pair generation,
-    checkpointed label propagation); the keep rule `node == comp` needs
-    no extra join because a component's label IS its min member."""
+    (ngram Jaccard >= 0.2, posting lists frequency-capped at df <= 100
+    so a stop-shingle can never make the inverted-index join quadratic)
+    -> transitive clusters -> keep the min-id representative per cluster
+    -> per-source survival accounting. Every stage is the scalable form
+    (capped exact pair generation — the cap is mirrored in the oracle
+    and skew-tested in tests/test_skew.py; checkpointed label
+    propagation); the keep rule `node == comp` needs no extra join
+    because a component's label IS its min member."""
     from bcg_contacts_data_pipeline_spark.operators.graph import (
         connected_components,
     )
@@ -537,7 +619,9 @@ def q_neardup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.2, max_df=100
+    )
     comp = connected_components(
         pairs, "id_a", "id_b", nodes=docs, node_col="doc_id"
     )
@@ -862,12 +946,14 @@ WITH flags AS (
            / len(regexp_split_to_array(trim(text), '\\s+')) >= 0.45 AS b3
   FROM documents),
 kept AS (SELECT doc_id, text FROM flags WHERE b1 AND b2 AND b3),
-sh AS (
+sh_all AS (
   SELECT doc_id,
          unnest(list_distinct([lower(t[i]) || ' ' || lower(t[i+1]) || ' ' || lower(t[i+2])
                 for i in range(1, greatest(len(t)-1, 1))])) AS s
   FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
         FROM kept WHERE length(trim(text)) > 0)),
+hot AS (SELECT s FROM sh_all GROUP BY s HAVING COUNT(*) > 100),
+sh AS (SELECT * FROM sh_all WHERE s NOT IN (SELECT s FROM hot)),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 shared AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
@@ -911,26 +997,30 @@ FROM labeled GROUP BY 1
 """
 
 
-@register("curation_pipeline_e2e", oracle=_CURATION_ORACLE)
-def q_curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+def curation_frame(
+    spark: SparkSession, sf_dir: str, pins: "PinScope | None" = None
+) -> DataFrame:
     """The complete training-data curation pipeline as one composed
     plan — the LLM-data twin of contacts_pipeline_e2e: quality gates
     (length, word count, distinct-word ratio; single narrow projection)
-    -> transitive near-dup pruning (banded pair generation + label
-    propagation, keep the min-id representative) -> deterministic
-    80/10/10 hash split -> disjoint 200-char chunking -> per-split
-    shard accounting under a 5000-char budget (contiguous packing in
-    (doc_id, chunk_id) order: n_shards = exclusive-prefix of the last
-    chunk div budget + 1, computed from aggregates — no per-split
-    1-task cumsum window). NOT fully lazy, by design: the label
-    propagation inside connected_components checkpoints eagerly per
-    round (iterative lineage must be cut — same contract
-    dedup_components documents), so building this frame runs those
-    rounds. The gated `kept` subtree feeds three consumers (pair
-    generation, CC vertex set, the semi join) and is persisted once
-    rather than re-running the regex gates per consumer. Every stage is
-    the separately-oracle-proven operator; this query pins their
-    composition."""
+    -> transitive near-dup pruning (df-capped exact pair generation —
+    posting lists with document frequency > 100 are dropped before the
+    inverted-index self-join, so no stop-shingle can make it quadratic;
+    the cap is mirrored in the oracle SQL — plus label propagation,
+    keep the min-id representative) -> deterministic 80/10/10 hash
+    split -> disjoint 200-char chunking -> per-split shard accounting
+    under a 5000-char budget (contiguous packing in (doc_id, chunk_id)
+    order: n_shards = exclusive-prefix of the last chunk div budget +
+    1, computed from aggregates — no per-split 1-task cumsum window).
+    NOT fully lazy, by design: the label propagation inside
+    connected_components checkpoints eagerly per round (iterative
+    lineage must be cut — same contract dedup_components documents), so
+    building this frame runs those rounds. The gated `kept` subtree
+    feeds three consumers (pair generation, CC vertex set, the semi
+    join) and is persisted once rather than re-running the regex gates
+    per consumer; pass a ``PinScope`` to release that persist once your
+    sinks have run (``pins=None`` keeps the legacy session-lifetime
+    contract the one-shot driver/bench callers rely on)."""
     from bcg_contacts_data_pipeline_spark.functions.sampling import (
         assign_split,
     )
@@ -955,18 +1045,20 @@ def q_curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Persisted once: three consumers below (pair generation, the CC
     # vertex set, the final semi join) would otherwise each re-scan
-    # documents and re-run the regex gates. Session-lifetime pin (the
-    # one-shot driver/bench contract other queries use).
+    # documents and re-run the regex gates. Scoped when the caller
+    # passes a PinScope; session-lifetime otherwise.
     kept = pin(
         docs.filter(
             (F.col("n_chars") >= 100) & (F.size(words) >= 20) & (ratio >= 0.45)
         ).select("doc_id", "text"),
-        None,
+        pins,
     )
 
-    pairs = ngram_jaccard_pairs(kept, "doc_id", "text", n=3, threshold=0.2)
+    pairs = ngram_jaccard_pairs(
+        kept, "doc_id", "text", n=3, threshold=0.2, max_df=100
+    )
     comp = connected_components(
-        pairs, "id_a", "id_b", nodes=kept, node_col="doc_id"
+        pairs, "id_a", "id_b", nodes=kept, node_col="doc_id", pins=pins
     )
     reps = comp.filter(F.col("comp") == F.col("node")).select(
         F.col("node").alias("doc_id")
@@ -992,6 +1084,16 @@ def q_curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_chars").cast("long").alias("total_chars"),
         F.expr("(total_chars - _last) div 5000 + 1").cast("long").alias("n_shards"),
     )
+
+
+@register("curation_pipeline_e2e", oracle=_CURATION_ORACLE)
+def q_curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered one-shot form of :func:`curation_frame` (``pins=None``:
+    the driver materializes once and the session exits, so the single
+    session-lifetime pin is bounded; long-lived callers invoke
+    ``curation_frame`` directly with their own ``PinScope`` — asserted
+    released-to-zero in tests/test_pins.py)."""
+    return curation_frame(spark, sf_dir, pins=None)
 
 
 @register(
@@ -1070,5 +1172,89 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
                               FROM q17_lineitem l2
                               WHERE l2.l_partkey = l.l_partkey)
+        """
+    )
+
+
+@register(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: a CORRELATED EXISTS predicate (orders with at
+    least one lineitem shipped > 30 days after the order date; the
+    reference schema has no commit/receipt dates, so late shipping
+    stands in for the late-commit predicate — the plan shape is the
+    point). Catalyst rewrites the subquery to a LEFT SEMI join on
+    l_orderkey — each qualifying order counted once no matter how many
+    late lineitems it has, no subquery node and no distinct needed
+    (plan-asserted in tests/test_plans.py). The quarter filter prunes
+    the probe side at the orders scan before the semi join runs; the
+    correlated non-equi condition (l_shipdate > o_orderdate + 30d)
+    rides along as the semi join's secondary predicate."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("q4_orders")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("q4_lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS order_count
+        FROM q4_orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-04-01'
+          AND EXISTS (SELECT 1 FROM q4_lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "q16_supplier_counts",
+    oracle="""
+    SELECT p_brand, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#45'
+      AND p_size IN (1, 4, 7)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_size
+    """,
+)
+def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: NOT IN exclusion subquery + COUNT(DISTINCT) per
+    group (distinct suppliers per brand/size, excluding a blocklist of
+    suppliers — negative account balance stands in for the comment
+    pattern the reference schema lacks). Catalyst compiles the NOT IN
+    to a null-aware LEFT ANTI join; both key columns are non-null here
+    so it executes as a plain anti join against the tiny blocklist
+    (broadcast under AQE), and no subquery node survives
+    (plan-asserted). The distinct aggregate runs as the standard
+    two-shuffle expand: partial distinct on (group, l_suppkey), then
+    the count — no per-group set materializes on any single task."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("q16_lineitem")
+    _t(spark, sf_dir, "part").createOrReplaceTempView("q16_part")
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("q16_supplier")
+    return spark.sql(
+        """
+        SELECT p_brand, p_size,
+               CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM q16_lineitem JOIN q16_part ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#45'
+          AND p_size IN (1, 4, 7)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM q16_supplier
+                                WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_size
         """
     )

@@ -65,17 +65,44 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+
+    # The driver keeps only the LAST 2000 chars of stdout and parses the
+    # tail line — with 70+ queries the full per-query map outgrew that
+    # window and `parsed` came back null (round-5 flag). The full map
+    # always lands in bench_full.json next to this script; the stdout
+    # line self-bounds: all queries when they fit, else the slowest ones
+    # that do, plus the count left out.
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"),
+        "w",
+    ) as f:
+        json.dump(payload, f)
+
+    line = json.dumps(payload, separators=(",", ":"))
+    budget = 1900
+    if len(line) > budget:
+        by_cost = sorted(timings, key=timings.get, reverse=True)
+        kept: dict[str, float] = {}
+        for name in by_cost:
+            trial = dict(payload)
+            trial["queries"] = {**kept, name: timings[name]}
+            trial["queries_omitted"] = len(timings) - len(trial["queries"])
+            trial["detail"] = "bench_full.json"
+            if len(json.dumps(trial, separators=(",", ":"))) > budget:
+                break
+            kept[name] = timings[name]
+        payload["queries"] = kept
+        payload["queries_omitted"] = len(timings) - len(kept)
+        payload["detail"] = "bench_full.json"
+        line = json.dumps(payload, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

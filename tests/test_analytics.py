@@ -148,10 +148,26 @@ def test_epoch_repeat_counts(spark):
     assert epochs == [1, 2, 3]
 
 
-def test_epoch_repeat_rejects_zero(spark):
-    df = spark.createDataFrame([(1, "zh")], "doc_id int, lang string")
+def test_epoch_repeat_zero_drops_and_negative_rejects(spark):
+    """0 epochs = drop the stratum (explicit empty-sequence branch —
+    without it sequence(1, 0) DESCENDS and silently duplicates rows,
+    round-5 advisor flag, incl. default_epochs=0 for unmapped strata);
+    negative epochs are rejected up front."""
+    df = spark.createDataFrame(
+        [(1, "zh"), (2, "en")], "doc_id int, lang string"
+    )
+    dropped = epoch_repeat(df, "lang", {"zh": 0}, default_epochs=1)
+    assert {r["lang"] for r in dropped.collect()} == {"en"}
+    # the advisor's exact repro: unmapped stratum under default_epochs=0
+    # must vanish, not come back twice with epochs [1, 0]
+    unmapped = epoch_repeat(df, "lang", {"zh": 2}, default_epochs=0)
+    rows = unmapped.collect()
+    assert {r["lang"] for r in rows} == {"zh"}
+    assert sorted(r["epoch"] for r in rows) == [1, 2]
     with pytest.raises(ValueError):
-        epoch_repeat(df, "lang", {"zh": 0})
+        epoch_repeat(df, "lang", {"zh": -1})
+    with pytest.raises(ValueError):
+        epoch_repeat(df, "lang", {"zh": 1}, default_epochs=-2)
 
 
 def test_group_quantiles_approx_swap(spark):

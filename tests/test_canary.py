@@ -195,3 +195,33 @@ def test_read_events_legacy_nanos_parquet(spark, tmp_path):
 
     assert got[0] == datetime(2023, 11, 14, 22, 13, 20, 123456)
     assert (got[1] - got[0]).total_seconds() == 5.0
+
+
+def test_nanos_fallback_probe_does_not_leak_conf(spark, tmp_path, monkeypatch):
+    """The no-pyarrow fallback probe (round-5 advisor flag): a probe
+    failure that is NOT the NANOS schema rejection — here a missing
+    path — must leave the session's nanosAsLong conf untouched (setting
+    it would leak legacy timestamp semantics into every later parquet
+    read); a genuine TIMESTAMP(NANOS) rejection must still set it."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bcg_contacts_data_pipeline_spark.io import events as ev
+
+    monkeypatch.setattr(ev, "_ts_is_nanos", lambda path: None)
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    spark.conf.unset(key)
+
+    ev.set_nanos_conf_if_needed(
+        spark, str(tmp_path / "missing" / "events.parquet")
+    )
+    assert spark.conf.get(key, "false") == "false"
+
+    tbl = pa.table({"ts": pa.array([1_700_000_000_123_456_000], pa.timestamp("ns"))})
+    nanos_path = tmp_path / "ns.parquet"
+    pq.write_table(tbl, nanos_path)
+    try:
+        ev.set_nanos_conf_if_needed(spark, str(nanos_path))
+        assert spark.conf.get(key) == "true"
+    finally:
+        spark.conf.unset(key)

@@ -88,3 +88,21 @@ def test_snapshot_diff_null_key_rows(spark):
         for r in snapshot_diff(old, new.filter(F.col("k").isNotNull()), ["k"], ["p"]).collect()
     }
     assert got2 == {None: "removed", 1: "changed"}
+
+
+def test_upsert_latest_null_version_fails_loudly(spark):
+    """A NULL version must fail the job, not emit a silent all-NULL row:
+    without the guard, a key whose rows are all NULL-versioned makes
+    max_by return a NULL struct that survives the tombstone filter
+    (round-5 advisor flag)."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    base = spark.createDataFrame(
+        [(1, "a", 1)], "k int, v string, ver int"
+    )
+    bad = spark.createDataFrame(
+        [(2, "b", None)], "k int, v string, ver int"
+    )
+    with pytest.raises(SparkRuntimeException, match="NULL ver"):
+        upsert_latest(base, bad, ["k"], "ver").collect()

@@ -81,20 +81,25 @@ def test_partition_per_file(registered, tsv_dir):
 
 def test_parity_with_read_sources(registered, tsv_dir):
     """The packaged source and the plan-construction helper implement the
-    same contract: identical canonical rows on header-ful files."""
+    same contract: identical canonical rows on header-ful files,
+    INCLUDING the source_file column — both routes emit the percent-
+    encoded file: URI (input_file_name form), so provenance joins
+    written against one route work on the other (round-5 advisor flag:
+    the raw-path/URI divergence was masked by comparing basenames)."""
     paths = [os.path.join(tsv_dir, f) for f in ("a.tsv", "b.tsv")]
     want = {
-        tuple(r[c] for c in CANONICAL)
+        tuple(r[c] for c in (*CANONICAL, "source_file"))
         for r in read_sources(
             registered, paths, SourceRegistry(CANONICAL)
         ).collect()
     }
     got = {
-        tuple(r[c] for c in CANONICAL)
+        tuple(r[c] for c in (*CANONICAL, "source_file"))
         for r in _load(registered, tsv_dir).collect()
         if os.path.basename(r["source_file"]) in ("a.tsv", "b.tsv")
     }
     assert got == want
+    assert all(t[-1].startswith("file:///") for t in got)
 
 
 def test_empty_dir_raises(registered, tmp_path):

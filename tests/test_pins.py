@@ -33,7 +33,7 @@ def test_renumber_registers_and_releases_pin(spark):
     assert len(scope) == 1
     rows = out.orderBy("n").collect()
     assert [r["n"] for r in rows] == list(range(1, 101))
-    pinned = scope._frames[0]
+    pinned = scope._frames[0][0]
     assert pinned.storageLevel.useMemory or pinned.storageLevel.useDisk
     scope.release()
     assert len(scope) == 0
@@ -49,7 +49,7 @@ def test_pack_shards_scope_as_context_manager(spark):
         out = pack_shards(df, "id", "sz", budget=100, pins=scope)
         got = {r["id"]: r["shard_id"] for r in out.collect()}
         assert len(scope) == 1
-        pinned = scope._frames[0]
+        pinned = scope._frames[0][0]
     # context exit released the pin
     assert got[0] == 0 and got[9] == 0 and got[10] == 1 and got[49] == 4
     lvl = pinned.storageLevel
@@ -94,4 +94,28 @@ def test_pipeline_cli_returns_pin_count_to_baseline(spark, tmp_path):
         spark=spark,
     )
     assert rc == 0
+    assert _n_persistent_rdds(spark) == before
+
+
+def test_curation_frame_scope_returns_pins_to_zero(spark):
+    """curation_frame threads every materialization through a PinScope
+    (round-5 verdict: the registered query's pins=None form leaked one
+    cached frame per invocation in a long-lived session). With a scope:
+    result materializes correctly, the scope holds exactly two entries
+    (the `kept` persist + connected_components' final label
+    checkpoint — intermediate round checkpoints are freed eagerly
+    inside the operator), and release returns the session's
+    persistent-RDD count to its pre-call value."""
+    from bcg_contacts_data_pipeline_spark.plans.queries_ext import (
+        curation_frame,
+    )
+
+    before = _n_persistent_rdds(spark)
+    scope = PinScope()
+    out = curation_frame(spark, "/root/testdata/sf0.001", pins=scope)
+    rows = out.collect()
+    assert len(rows) >= 1 and all(r["n_docs"] >= 1 for r in rows)
+    assert len(scope) == 2
+    scope.release()
+    assert len(scope) == 0
     assert _n_persistent_rdds(spark) == before

@@ -186,6 +186,53 @@ def test_dedup_hot_key_merge_completes_with_bounded_reducer_input(spark):
     assert sum(r["count"] for r in hot_map_parts) == 3000
 
 
+def test_ngram_df_cap_bounds_hot_shingle_pairs(spark):
+    """The posting-list frequency cap on ngram_jaccard_pairs — the thing
+    that keeps the inverted-index self-join from going quadratic on a
+    stop-shingle. Corpus: one shingle ("of the and") shared by 60 of 202
+    docs (~30%), everything else unique except one rare shingle shared
+    by exactly 2 docs. Uncapped, the hot posting list alone contributes
+    C(60,2) = 1770 join pairs; with max_df=50 the hot shingle is dropped
+    BEFORE the join, so the only surviving pair is the rare one — pair
+    generation is bounded by the cap, not by the hot key's df² (at corpus
+    scale: no posting list contributes more than max_df² pairs)."""
+    from bcg_contacts_data_pipeline_spark.operators.similarity import (
+        ngram_jaccard_pairs,
+    )
+
+    rows = [
+        (i, f"u{i}a u{i}b u{i}c of the and") for i in range(60)  # hot
+    ] + [
+        (i, f"u{i}a u{i}b u{i}c u{i}d") for i in range(60, 200)  # unique
+    ] + [
+        (200, "z1 z2 z3"),  # rare shared shingle (df=2, under the cap)
+        (201, "z1 z2 z3"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # threshold=0.0 exposes every generated co-occurrence pair, so the
+    # counts below measure the JOIN's output, not the similarity filter.
+    uncapped = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.0)
+    assert uncapped.count() == 1770 + 1
+
+    capped = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.0, max_df=50
+    )
+    got = capped.collect()
+    assert len(got) == 1, got
+    assert (got[0]["id_a"], got[0]["id_b"]) == (200, 201)
+    # Jaccard over the capped shingle universe: both docs have exactly
+    # the one (sub-cap) shingle -> 1/(1+1-1) = 1.0.
+    assert got[0]["jaccard"] == 1.0
+
+    # The hot-set filter is an anti-join (the hot side is tiny by
+    # construction — only shingles with df > K — so AQE broadcasts it);
+    # pin that the plan really anti-joins rather than re-shuffling the
+    # full shingle frame through an inner join on df.
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan, plan
+
+
 def test_merge_empty_keys_hot_group_partial_aggregation(spark):
     """merge_empty_keys=True funnels every keyless row into ONE group —
     a hot aggregation key that AQE cannot split (skew-split applies to
