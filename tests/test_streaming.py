@@ -226,3 +226,66 @@ def test_rocksdb_state_store_provider(spark, events):
         else:
             spark.conf.set(key, prev)
     assert with_rocks == base and len(base) > 0
+
+
+def test_update_mode_multi_batch_incremental_emission(spark, tmp_path):
+    """`update` output mode — the mode a live dashboard sink actually
+    uses with stateful aggs (round-5 verdict item 7): each micro-batch
+    emits only the keys whose aggregate CHANGED, so the sink accumulates
+    a history of per-key revisions rather than append's one-shot rows or
+    complete's full-table snapshots.
+
+    Three source files drained one per trigger (maxFilesPerTrigger=1)
+    give three micro-batches. Deterministic final-state check: counts
+    are monotone, so each key's LAST revision is its max — must equal
+    the batch groundtruth; and the 'hot' key present in every file must
+    have emitted one revision per batch (3 rows), proving the emission
+    really was incremental, while a key present in one file emits one."""
+    rows = {
+        "f1": [("hot", 1), ("only1", 1)],
+        "f2": [("hot", 2), ("both23", 1)],
+        "f3": [("hot", 3), ("both23", 2)],
+    }
+    src = tmp_path / "src"
+    src.mkdir()
+    for fname, data in rows.items():
+        spark.createDataFrame(data, "k string, v int").coalesce(
+            1
+        ).write.parquet(str(src / fname))
+    # flatten the per-file subdirs into one dir of parquet files
+    import glob as globmod
+    import shutil
+
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    for i, p in enumerate(sorted(globmod.glob(str(src / "*" / "*.parquet")))):
+        shutil.copy(p, flat / f"{i}.parquet")
+
+    stream = (
+        spark.readStream.schema("k string, v int")
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(flat))
+    )
+    agg = stream.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("total")
+    )
+    out = S.run_available_now(agg, "update", shuffle_partitions=4)
+    revs = out.collect()
+
+    # final state: last (= max, counts are monotone) revision per key
+    final = {}
+    for r in revs:
+        cur = final.get(r["k"])
+        if cur is None or r["n"] > cur[0]:
+            final[r["k"]] = (r["n"], r["total"])
+    assert final == {
+        "hot": (3, 6),
+        "only1": (1, 1),
+        "both23": (2, 3),
+    }
+    # incremental emission: one revision per batch the key appeared in
+    per_key = {}
+    for r in revs:
+        per_key[r["k"]] = per_key.get(r["k"], 0) + 1
+    assert per_key == {"hot": 3, "only1": 1, "both23": 2}
