@@ -746,20 +746,21 @@ def embedding_ann_lsh(
     return bucketed.groupBy("__bucket").applyInPandas(bucket_topk, out_schema)
 
 
-def embedding_neardup(
+def embedding_pairs(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     threshold: float,
     corpus_blocks: int = 8,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate detection (greedy lowest-id-wins).
+    """All id-ordered pairs with cosine similarity >= ``threshold``.
 
-    A row is a duplicate iff some row with a smaller id has cosine
-    similarity >= ``threshold``; its canonical id is the smallest such
-    neighbor. One-hop canonicalization (not transitive closure) — the
-    standard greedy policy for training-data dedup, and fully
-    SQL-expressible for the oracle.
+    Returns ``(id_a, id_b)`` with ``id_a < id_b``. Diagonal block cells
+    score each unordered pair twice, so the output may contain duplicate
+    rows — downstream consumers either aggregate them away for free
+    (``embedding_neardup``'s min-agg) or tolerate duplicate edges
+    (``connected_components``' min-label propagation); a ``.distinct()``
+    here would be a pure extra shuffle on the hit set.
 
     Scale shape: NO driver collect. The corpus is hash-split into
     ``corpus_blocks`` blocks on the id and only the upper-triangle block
@@ -774,7 +775,7 @@ def embedding_neardup(
     route is a blocking stage (``embedding_ann_lsh`` / ``minhash_lsh_pairs``)
     followed by exact verification of the candidate set.
 
-    Output: (doc_id, canonical_id, is_duplicate), one row per input row.
+    Output: (id_a, id_b) with id_a < id_b, possibly with duplicates.
     """
     B = corpus_blocks
     base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
@@ -788,9 +789,16 @@ def embedding_neardup(
         F.col("__b").alias("bi"),
         F.explode(F.sequence(F.col("__b"), F.lit(B - 1))).alias("bj"),
     )
+    # The right side gets freshly-aliased column names: both sides descend
+    # from the same `tagged` frame, and a self-cogroup whose children share
+    # attribute ids can lose the right side's non-key columns to analyzer
+    # deduplication depending on what sits downstream (observed on 4.1:
+    # bare consumption of the cogroup output handed the UDF a right pdf
+    # with only the grouping keys). Distinct names -> distinct attributes,
+    # no conflict to deduplicate, plan-shape independent.
     hi = tagged.select(
-        "__id",
-        "__v",
+        F.col("__id").alias("__id2"),
+        F.col("__v").alias("__v2"),
         F.explode(F.sequence(F.lit(0), F.col("__b"))).alias("bi"),
         F.col("__b").alias("bj"),
     )
@@ -802,9 +810,9 @@ def embedding_neardup(
         if not len(lpdf) or not len(rpdf):
             return empty
         xarr = np.stack(lpdf["__v"].to_numpy()).astype(np.float64)
-        yarr = np.stack(rpdf["__v"].to_numpy()).astype(np.float64)
+        yarr = np.stack(rpdf["__v2"].to_numpy()).astype(np.float64)
         xids = lpdf["__id"].to_numpy()
-        yids = rpdf["__id"].to_numpy()
+        yids = rpdf["__id2"].to_numpy()
         score = _seq_scores(xarr, yarr)  # X x Y
         hit = score >= threshold
         # orient every hit as (smaller id = canonical a, larger id = dup b);
@@ -824,10 +832,35 @@ def embedding_neardup(
         .cogroup(hi.groupBy("bi", "bj"))
         .applyInPandas(cell_hits, "__bid long, __aid long")
     )
-    mins = pairs.groupBy("__bid").agg(F.min("__aid").alias("__min_aid"))
+    return pairs.select(
+        F.col("__aid").alias("id_a"), F.col("__bid").alias("id_b")
+    )
+
+
+def embedding_neardup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    corpus_blocks: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate detection (greedy lowest-id-wins).
+
+    A row is a duplicate iff some row with a smaller id has cosine
+    similarity >= ``threshold``; its canonical id is the smallest such
+    neighbor. One-hop canonicalization (not transitive closure) — the
+    standard greedy policy for training-data dedup, and fully
+    SQL-expressible for the oracle. Pair generation (and its scale
+    story) lives in ``embedding_pairs``; the min-agg here also absorbs
+    the duplicate rows diagonal cells emit.
+
+    Output: (doc_id, canonical_id, is_duplicate), one row per input row.
+    """
+    pairs = embedding_pairs(df, id_col, vec_col, threshold, corpus_blocks)
+    mins = pairs.groupBy("id_b").agg(F.min("id_a").alias("__min_aid"))
     return (
         df.select(F.col(id_col).alias("doc_id"))
-        .join(mins, F.col("doc_id") == F.col("__bid"), "left")
+        .join(mins, F.col("doc_id") == F.col("id_b"), "left")
         .select(
             "doc_id",
             F.coalesce(F.col("__min_aid"), F.col("doc_id")).alias("canonical_id"),

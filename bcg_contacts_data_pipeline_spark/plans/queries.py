@@ -2432,3 +2432,4 @@ def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dicts the driver contract reads (the module imports `register` from here;
 # everything it needs is defined above this line).
 from bcg_contacts_data_pipeline_spark.plans import queries_ext  # noqa: E402,F401
+from bcg_contacts_data_pipeline_spark.plans import queries_r6  # noqa: E402,F401

@@ -1,0 +1,463 @@
+"""Round-6 query surface: the remaining distinct TPC-H plan shapes
+(outer-join count histogram, scalar-agg HAVING, max-over-view,
+EXISTS+NOT-EXISTS combo, disjunctive join pushdown, anti+threshold),
+plus transitive embedding clusters and time-series gap-fill.
+
+Registered into the same ``plans.queries`` registry (imported at the
+bottom of that module). Same determinism rules as every other entry:
+decimal-exact money math, integer-exact thresholds (multiplication
+instead of division where an average would round), identical aliases
+on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bcg_contacts_data_pipeline_spark.plans.queries import (
+    _dec,
+    _events,
+    _t,
+    register,
+)
+
+# ---------------------------------------------------------------------------
+# TPC-H plan-shape widening (reference parity is already complete; these
+# prove the engine on the remaining *plan features* the earlier board
+# didn't exercise: Q13/Q11/Q15/Q21/Q19/Q22 shapes adapted to the driver
+# schema — no partsupp/phone/comment columns, so each docstring states
+# the stand-in predicate).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+          FROM customer LEFT OUTER JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey) per_cust
+    GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: count-of-counts over a PRESERVED outer join.
+    The filter (``o_orderpriority <> '1-URGENT'``, standing in for the
+    comment-pattern exclusion the driver schema lacks) lives in the JOIN
+    condition, not a WHERE — pushing it to WHERE would turn the outer
+    join inner and silently drop zero-order customers, the exact rows
+    the histogram's ``c_count = 0`` bucket exists for. ``COUNT(o_orderkey)``
+    counts non-null matches only, so those customers land in bucket 0.
+    Two aggregations, each a single hash shuffle; the second input is
+    one row per customer, already tiny."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey)
+            & (o.o_orderpriority != F.lit("1-URGENT")),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+@register(
+    "q11_part_value_threshold",
+    oracle="""
+    WITH v AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                 * CAST(l_quantity AS DECIMAL(18,4))) AS pv
+      FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+      WHERE s_nationkey = 7
+      GROUP BY l_partkey)
+    SELECT l_partkey, CAST(pv AS DOUBLE) AS part_value
+    FROM v
+    WHERE pv > (SELECT SUM(pv) FROM v) * CAST(0.001 AS DECIMAL(7,6))
+    """,
+)
+def q11_part_value_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: HAVING against an UNCORRELATED scalar aggregate
+    subquery — per-part inventory value within one nation's suppliers,
+    kept only when it exceeds 0.1% of that nation's total (lineitem
+    value stands in for partsupp, which the driver schema lacks).
+    Catalyst plans the scalar subquery as its own stage whose single-row
+    result feeds the filter; with CTE/exchange reuse the per-part
+    aggregate is shared between the outer query and the total, so the
+    expensive join+agg runs once, not twice. All money math is exact
+    decimal — including the 0.001 multiplier (a decimal literal, not a
+    double), so the threshold compare is engine-deterministic."""
+    for t in ("lineitem", "supplier"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"q11_{t}")
+    return spark.sql(
+        """
+        WITH v AS (
+          SELECT l_partkey,
+                 SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                     * CAST(l_quantity AS DECIMAL(18,4))) AS pv
+          FROM q11_lineitem JOIN q11_supplier ON s_suppkey = l_suppkey
+          WHERE s_nationkey = 7
+          GROUP BY l_partkey)
+        SELECT l_partkey, CAST(pv AS DOUBLE) AS part_value
+        FROM v
+        WHERE pv > (SELECT SUM(pv) FROM v) * CAST(0.001 AS DECIMAL(7,6))
+        """
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                 * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+    WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: argmax over an aggregated view — the supplier(s)
+    whose quarterly revenue equals the global max. The view appears
+    twice (probe + MAX subquery); the equality join back is the
+    classic Q15 plan and exercises subquery + view reuse. Revenue is an
+    exact decimal sum, so the equality compare (normally a float
+    anti-pattern) is well-defined and engine-deterministic; ties would
+    return every tied supplier on both engines."""
+    for t in ("lineitem", "supplier"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"q15_{t}")
+    return spark.sql(
+        """
+        WITH revenue AS (
+          SELECT l_suppkey,
+                 SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                     * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS total_rev
+          FROM q15_lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+        FROM q15_supplier JOIN revenue ON s_suppkey = l_suppkey
+        WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+        """
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier, lineitem l1, orders
+    WHERE s_suppkey = l1.l_suppkey
+      AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s_name
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: correlated EXISTS *and* NOT EXISTS against the
+    same fact table — suppliers who were the SOLE late shipper on a
+    multi-supplier finished order (shipping > 60 days after order date
+    stands in for the receipt/commit lag the driver schema lacks).
+    Catalyst compiles the pair into a LEFT SEMI then a LEFT ANTI join
+    on l_orderkey, each carrying its non-equi secondary condition
+    (supplier inequality; the anti side also correlates on
+    o_orderdate from the OUTER join's row — a two-table correlation).
+    No subquery node survives and nothing is evaluated per-row
+    (plan-asserted in tests/test_plans.py)."""
+    for t in ("lineitem", "supplier", "orders"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"q21_{t}")
+    return spark.sql(
+        """
+        SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM q21_supplier, q21_lineitem l1, q21_orders
+        WHERE s_suppkey = l1.l_suppkey
+          AND o_orderkey = l1.l_orderkey
+          AND o_orderstatus = 'F'
+          AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (SELECT 1 FROM q21_lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM q21_lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        GROUP BY s_name
+        """
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+               AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: an OR of conjunctive predicates spanning BOTH
+    join sides. The naive plan joins everything then filters; the right
+    plan (and what Catalyst produces via CNF conversion) extracts the
+    join key plus per-table residuals — ``p_brand IN (...)`` and the
+    size bound prune the part scan, the quantity bound prunes the
+    lineitem scan — BEFORE the join, leaving only the cross-branch
+    disjunction as the join residual. Plan-asserted: both scans carry
+    pushed filters and the join is a broadcast hash join, not a
+    filtered cartesian."""
+    for t in ("lineitem", "part"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"q19_{t}")
+    return spark.sql(
+        """
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+                   AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM q19_lineitem JOIN q19_part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)
+        """
+    )
+
+
+@register(
+    "q22_dormant_balance",
+    oracle="""
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               AS totacctbal
+    FROM customer JOIN nation ON n_nationkey = c_nationkey
+    WHERE CAST(c_acctbal AS DECIMAL(18,2))
+          * (SELECT COUNT(*) FROM customer WHERE c_acctbal > 0)
+          > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+             FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY n_name
+    """,
+)
+def q22_dormant_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: anti join + a global-average threshold —
+    above-average-balance customers with no recent orders, rolled up by
+    nation (nation stands in for the phone country code the driver
+    schema lacks; "dormant since 2000" stands in for "no orders at
+    all", which this dataset doesn't contain). The average compare is
+    written multiplicatively — ``bal * count > sum`` — because decimal
+    SUM and COUNT are exact on both engines while AVG's divide rounds
+    under each engine's own scale rules; same predicate, zero float
+    ambiguity. Catalyst evaluates the two scalar subqueries once each
+    and compiles NOT EXISTS to a left anti join on o_custkey with the
+    date bound pushed to the orders scan."""
+    for t in ("customer", "nation", "orders"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"q22_{t}")
+    return spark.sql(
+        """
+        SELECT n_name,
+               CAST(COUNT(*) AS BIGINT) AS numcust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                   AS totacctbal
+        FROM q22_customer JOIN q22_nation ON n_nationkey = c_nationkey
+        WHERE CAST(c_acctbal AS DECIMAL(18,2))
+              * (SELECT COUNT(*) FROM q22_customer WHERE c_acctbal > 0)
+              > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+                 FROM q22_customer WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM q22_orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '2000-01-01')
+        GROUP BY n_name
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup: transitive cosine clusters over embeddings — the
+# embedding-space analogue of `dedup_components` (which clusters on
+# n-gram Jaccard). Composition of two existing scale-safe operators:
+# blocked exact pair generation + min-label propagation.
+# ---------------------------------------------------------------------------
+
+_DOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}), "
+    "x -> x[1]::DOUBLE * x[2]::DOUBLE), (acc, v) -> acc + v)"
+)
+
+
+@register(
+    "embedding_components",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE {_DOT.format(a='a.embedding', b='b.embedding')}
+            / (sqrt({_DOT.format(a='a.embedding', b='a.embedding')})
+               * sqrt({_DOT.format(a='b.embedding', b='b.embedding')}))
+            >= 0.35),
+    sym AS (SELECT id_a AS u, id_b AS v FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+      WITH RECURSIVE r(node, lab) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT s.v, r.lab FROM r JOIN sym s ON s.u = r.node)
+      SELECT node, MIN(lab) AS comp FROM r GROUP BY node)
+    SELECT CAST(node AS BIGINT) AS vec_id, CAST(comp AS BIGINT) AS component,
+           CAST(COUNT(*) OVER (PARTITION BY comp) AS BIGINT)
+               AS component_size
+    FROM reach
+    """,
+)
+def q_embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive semantic-duplicate clusters: cosine >= 0.35 pairs
+    (blocked exact scoring, `embedding_pairs`) closed under
+    connectivity via min-label propagation. This is the cluster-level
+    view `embedding_neardup`'s greedy one-hop canonicalization can't
+    give: A~B, B~C with A!~C still lands all three in one cluster, the
+    policy used when near-dup groups must be sampled (keep one PER
+    CLUSTER) rather than greedily pruned. Duplicate edges from diagonal
+    block cells are absorbed by the propagation's min-agg — no distinct
+    shuffle spent on them. The oracle recomputes the closure with a
+    recursive CTE; cosine scores fold dimension-sequentially on both
+    engines, so even threshold-boundary pairs agree bitwise."""
+    from pyspark.sql import Window
+
+    from bcg_contacts_data_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+    from bcg_contacts_data_pipeline_spark.operators.similarity import (
+        embedding_pairs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_pairs(emb, "vec_id", "embedding", threshold=0.35)
+    comp = connected_components(
+        pairs, "id_a", "id_b", nodes=emb, node_col="vec_id"
+    )
+    w = Window.partitionBy("comp")
+    return comp.select(
+        F.col("node").alias("vec_id"),
+        F.col("comp").alias("component"),
+        F.count(F.lit(1)).over(w).alias("component_size"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap-fill + forward fill — the resample/ffill operation every
+# metrics pipeline needs before rate/delta math, as one lazy plan.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_gapfill",
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS h,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(value AS DECIMAL(18,6))) AS v
+      FROM events GROUP BY 1, 2),
+    span AS (SELECT user_id, MIN(h) AS h0, MAX(h) AS h1
+             FROM hourly GROUP BY user_id),
+    hours AS (
+      SELECT user_id,
+             unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+      FROM span)
+    SELECT hours.user_id, hours.hour,
+           COALESCE(hourly.n, 0) AS n_events,
+           CAST(last_value(hourly.v IGNORE NULLS)
+                    OVER (PARTITION BY hours.user_id ORDER BY hours.hour)
+                AS DOUBLE) AS v_filled,
+           hourly.h IS NULL AS is_gap
+    FROM hours LEFT JOIN hourly
+      ON hourly.user_id = hours.user_id AND hourly.h = hours.hour
+    """,
+)
+def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly gap-fill with forward fill: densify each user's
+    series to every hour between their first and last event, carrying
+    the last observed hourly sum across silent hours (``is_gap`` marks
+    synthesized rows). The dense axis comes from ``sequence()`` +
+    ``explode`` — rows generated executor-side, proportional to each
+    user's own time span, never a driver loop or a global calendar
+    cross-join. The fill is ``last(v, ignorenulls=true)`` over an
+    UNBOUNDED PRECEDING row frame: one shuffle by user, no self-join.
+    First-hour rows always have an observation (the span starts at the
+    user's first event), so v_filled is never null. Hour sums are exact
+    decimal before the final double cast."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir)
+    hourly = (
+        e.groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("v"),
+        )
+    )
+    # the dense axis descends from `hourly` itself, so its columns get
+    # fresh names — a same-name self-join would be ambiguous to resolve
+    hours = (
+        hourly.groupBy("user_id")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(
+            F.col("user_id").alias("g_user"),
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+        )
+    )
+    w = (
+        Window.partitionBy("g_user")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        hours.join(
+            hourly,
+            (F.col("g_user") == hourly.user_id) & (F.col("hour") == hourly.h),
+            "left",
+        )
+        .select(
+            F.col("g_user").alias("user_id"),
+            "hour",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+            F.last(F.col("v"), ignorenulls=True)
+            .over(w)
+            .cast("double")
+            .alias("v_filled"),
+            F.col("h").isNull().alias("is_gap"),
+        )
+    )

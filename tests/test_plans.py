@@ -228,3 +228,71 @@ def test_q17_subquery_decorrelated(spark):
     assert "Subquery" not in p, p
     assert "Join" in p
     assert "partial_avg" in p  # the decorrelated aggregate, map-side
+
+
+def test_q4_exists_becomes_semi_join(spark):
+    """The correlated EXISTS must compile to a LEFT SEMI join carrying
+    the non-equi ship-lag condition — no subquery node, no distinct —
+    with the quarter filter pushed to the orders scan."""
+    p = _plan(QUERIES["q4_order_priority"](spark, SF))
+    assert "Subquery" not in p, p
+    assert "LeftSemi" in p, p
+    assert "o_orderdate" in p.split("PushedFilters", 1)[-1] or (
+        "(o_orderdate" in p.split("Filter", 1)[-1]
+    ), p
+
+
+def test_q16_not_in_becomes_anti_join(spark):
+    """NOT IN over non-null keys must execute as a plain LEFT ANTI join
+    against the blocklist; the distinct count runs as the two-level
+    aggregate (group+key partial, then count), never a per-group set."""
+    p = _plan(QUERIES["q16_supplier_counts"](spark, SF))
+    assert "Subquery" not in p, p
+    assert "LeftAnti" in p, p
+    assert "count(distinct l_suppkey" in p, p
+
+
+def test_q21_exists_pair_becomes_semi_plus_anti(spark):
+    """The EXISTS / NOT EXISTS pair must compile to one LEFT SEMI and
+    one LEFT ANTI join on l_orderkey, each with its supplier-inequality
+    residual (the anti side also correlating on o_orderdate from the
+    outer join); nothing row-at-a-time survives."""
+    p = _plan(QUERIES["q21_waiting_suppliers"](spark, SF))
+    assert "Subquery" not in p, p
+    assert "LeftSemi" in p, p
+    assert "LeftAnti" in p, p
+    # the status filter must prune the orders scan before any join
+    assert "o_orderstatus" in p.split("PushedFilters", 1)[-1], p
+
+
+def test_q19_or_branches_prune_both_scans(spark):
+    """The OR-of-conjuncts must CNF-decompose: quantity bounds pushed to
+    the lineitem scan, brand/size bounds to the part scan, and the join
+    a broadcast hash join on p_partkey — not a filtered cartesian."""
+    p = _plan(QUERIES["q19_disjunctive_revenue"](spark, SF))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "BroadcastHashJoin" in p, p
+    li_scan = [
+        seg for seg in p.split("FileScan parquet ") if seg.startswith("[l_")
+    ]
+    part_scan = [
+        seg for seg in p.split("FileScan parquet ") if seg.startswith("[p_")
+    ]
+    assert li_scan and "l_quantity" in li_scan[0].split("DataFilters", 1)[-1], p
+    assert part_scan and "p_brand" in part_scan[0].split("DataFilters", 1)[-1], p
+
+
+def test_q13_outer_join_preserved(spark):
+    """The priority exclusion lives in the JOIN condition: the plan must
+    keep a LeftOuter join (zero-order customers populate bucket 0) and
+    push the priority filter only to the orders side."""
+    p = _plan(QUERIES["q13_customer_distribution"](spark, SF))
+    assert "LeftOuter" in p, p
+    # customer scan must NOT be filtered on the orders predicate
+    cust_scan = [
+        seg.splitlines()[0]
+        for seg in p.split("FileScan parquet ")
+        if seg.startswith("[c_")
+    ]
+    assert cust_scan and "o_orderpriority" not in cust_scan[0], p

@@ -215,3 +215,82 @@ def test_minhash_lsh_join_cross_corpus(spark):
     if near:  # near-dup flagged iff enough signature agreement — if
         # flagged, the estimate must reflect high (not total) similarity
         assert 0.5 <= near[0].est_jaccard < 1.0
+
+
+def test_embedding_pairs_direct_consumption(spark):
+    """Regression: both cogroup sides descend from the same frame, and a
+    self-cogroup with shared attribute ids can lose the right side's
+    non-key columns to analyzer dedup when the pair set is consumed
+    directly (not via the neardup join). The pairs must be countable
+    bare, and the distinct pair set must match brute force."""
+    import math
+
+    from pyspark.sql import Row
+
+    from bcg_contacts_data_pipeline_spark.operators.similarity import (
+        embedding_pairs,
+    )
+
+    vecs = {
+        1: [1.0, 0.0],
+        2: [0.999, 0.01],  # ~1
+        3: [0.0, 1.0],
+        4: [0.01, 0.999],  # ~3
+        5: [0.7071, 0.7071],  # between
+    }
+    df = spark.createDataFrame(
+        [Row(vec_id=k, embedding=v) for k, v in vecs.items()]
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in embedding_pairs(
+            df, "vec_id", "embedding", threshold=0.95, corpus_blocks=3
+        ).collect()
+    }
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        return dot / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        )
+
+    want = {
+        (a, b)
+        for a in vecs
+        for b in vecs
+        if a < b and cos(vecs[a], vecs[b]) >= 0.95
+    }
+    assert got == want
+    assert want  # the fixture must actually produce pairs
+
+
+def test_embedding_components_transitive_closure(spark):
+    """A~B and B~C with A!~C must land all three in ONE component — the
+    property the greedy neardup canonicalization cannot express."""
+    from pyspark.sql import Row
+
+    from bcg_contacts_data_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+    from bcg_contacts_data_pipeline_spark.operators.similarity import (
+        embedding_pairs,
+    )
+
+    # chain: each ~20 degrees apart; cos(20deg)=0.94 > 0.9, cos(40deg)=0.77 < 0.9
+    import math
+
+    def v(deg):
+        return [math.cos(math.radians(deg)), math.sin(math.radians(deg))]
+
+    df = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=v(0)),
+            Row(vec_id=2, embedding=v(20)),
+            Row(vec_id=3, embedding=v(40)),
+            Row(vec_id=9, embedding=v(180)),  # isolated
+        ]
+    )
+    pairs = embedding_pairs(df, "vec_id", "embedding", 0.9, corpus_blocks=2)
+    comp = connected_components(pairs, "id_a", "id_b", nodes=df, node_col="vec_id")
+    labels = {r.node: r.comp for r in comp.collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 9: 9}

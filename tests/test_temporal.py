@@ -116,3 +116,42 @@ def test_range_join_buckets_floor_pre_1970(spark):
     )
     # both right rows are within (lts, lts + 60s] and straddle the epoch
     assert out.count() == 2
+
+
+def test_events_gapfill_fills_and_flags(spark):
+    """The gap-fill query is registered under the shared registry the
+    driver reads (the real behavior checks live in the sf0.001 shape
+    test below and the DuckDB oracle)."""
+    from bcg_contacts_data_pipeline_spark.plans.queries import QUERIES
+    from bcg_contacts_data_pipeline_spark.plans.queries_r6 import (
+        q_events_gapfill,
+    )
+
+    assert QUERIES["events_gapfill"] is q_events_gapfill
+
+
+def test_events_gapfill_shape_on_sf0001(spark):
+    from bcg_contacts_data_pipeline_spark.plans.queries import QUERIES
+
+    rows = QUERIES["events_gapfill"](spark, "/root/testdata/sf0.001").collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert rows, "gapfill produced no rows"
+    some_gap = False
+    for user, urows in by_user.items():
+        urows.sort(key=lambda r: r.hour)
+        # dense axis: consecutive hours, no holes, no duplicates
+        hours = [r.hour for r in urows]
+        assert len(set(hours)) == len(hours)
+        for a, b in zip(hours, hours[1:]):
+            assert (b - a).total_seconds() == 3600, (user, a, b)
+        # first row is an observation; fills are flagged and carry value
+        assert not urows[0].is_gap
+        assert urows[0].v_filled is not None
+        for r in urows:
+            if r.is_gap:
+                some_gap = True
+                assert r.n_events == 0
+                assert r.v_filled is not None
+    assert some_gap, "fixture produced no gaps — test is vacuous"
