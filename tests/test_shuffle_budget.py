@@ -1,0 +1,78 @@
+"""Shuffle-budget regression harness.
+
+Every `groupBy`/`join`/`distinct`/`repartition` is a shuffle, and at
+100 TB an extra shuffle is the difference between a plan that holds and
+one that doesn't. The plan tests in test_plans.py pin *specific*
+properties of specific queries; this file pins the TOTAL shuffle count
+of the headline batch queries, so any future edit that silently adds an
+exchange — a lost ReusedExchange, a join that stopped broadcasting, an
+accidental repartition — fails loudly with a named budget to consciously
+update instead of a quiet throughput cliff.
+
+Counts are shuffle exchanges only (hash / range / single-partition);
+broadcast exchanges are deliberately excluded — replacing a shuffle with
+a broadcast is an improvement and should not trip the budget.
+
+The budget asserts EQUALITY, not <=: an unexplained *decrease* is also
+suspicious (it usually means a subtree was optimized away — verify the
+semantics held, then lower the number here on purpose).
+"""
+
+import re
+
+import pytest
+
+from bcg_contacts_data_pipeline_spark.plans.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+_SHUFFLE = re.compile(
+    r"Exchange (hashpartitioning|rangepartitioning|SinglePartition)"
+)
+
+#: name -> number of shuffle exchanges in the executed plan at sf0.001.
+BUDGET = {
+    # TPC-H shapes: one aggregate shuffle each; joins broadcast
+    "q1_pricing_summary": 1,
+    "q3_shipping_priority": 1,
+    "q5_region_revenue": 1,
+    "q6_forecast_revenue": 1,
+    "q13_customer_distribution": 2,  # per-customer agg + histogram agg
+    "q19_disjunctive_revenue": 1,
+    # reference-parity operators
+    "dedup_merge": 1,
+    "enrich_2of3": 6,  # 3 pairwise probes + pick-first windows
+    "error_histogram": 1,
+    "topk_parts_per_brand": 2,
+    "profile_columns": 2,  # partial+final of the single fused agg
+    # corpus/text family — expression-only ops must stay shuffle-free
+    "token_stats": 0,
+    "lang_quality": 0,
+    "doc_chunks": 0,
+    "hash_split": 0,
+    "exact_dedup": 1,
+    "fingerprint_dedup": 1,
+    "filter_cascade": 1,  # the single gather to one summary row
+    # event analytics
+    "funnel_conversion": 2,
+    "events_hourly": 2,  # distinct-agg expand is two-phase
+    "sessionize": 1,
+    "events_gapfill": 2,  # hourly agg + the by-user fill window
+    "cdc_upsert_orders": 1,
+    "pack_shards": 3,
+}
+
+
+@pytest.mark.parametrize("name", sorted(BUDGET))
+def test_shuffle_budget(spark, name):
+    plan = (
+        QUERIES[name](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    got = len(_SHUFFLE.findall(plan))
+    assert got == BUDGET[name], (
+        f"{name}: {got} shuffle exchanges, budget says {BUDGET[name]} — "
+        f"if the change is intentional, update BUDGET with a comment.\n{plan}"
+    )
