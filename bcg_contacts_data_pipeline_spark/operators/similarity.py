@@ -604,7 +604,16 @@ def embedding_topk(
         own = F.pmod(F.xxhash64(F.col("__id")), F.lit(B)).cast("int")
         grid = F.explode(F.array(*[F.lit(i) for i in range(B)]))
         qside = base.select("__id", "__v", own.alias("qb"), grid.alias("cb"))
-        cside = base.select("__id", "__v", own.alias("cb"), grid.alias("qb"))
+        # Fresh aliases on the corpus side: same self-cogroup
+        # attribute-id-sharing hazard embedding_pairs documents — shared
+        # ids between the two children can cost the right pdf its
+        # non-key columns depending on what consumes the output.
+        cside = base.select(
+            F.col("__id").alias("__id2"),
+            F.col("__v").alias("__v2"),
+            own.alias("cb"),
+            grid.alias("qb"),
+        )
 
         def cell_topk(key, qpdf, cpdf):
             if not len(qpdf) or not len(cpdf):
@@ -614,9 +623,9 @@ def embedding_topk(
                     {"query_id": "int64", "neighbor_id": "int64", "score": "float64"}
                 )
             qarr = np.stack(qpdf["__v"].to_numpy()).astype(np.float64)
-            carr = np.stack(cpdf["__v"].to_numpy()).astype(np.float64)
+            carr = np.stack(cpdf["__v2"].to_numpy()).astype(np.float64)
             qids = qpdf["__id"].to_numpy()
-            cids = cpdf["__id"].to_numpy()
+            cids = cpdf["__id2"].to_numpy()
             score = _seq_scores(carr, qarr)  # C x Q
             out_q, out_n, out_s = [], [], []
             for j in range(len(qarr)):

@@ -176,3 +176,69 @@ def tumbling_agg(
         .groupBy("window_start", *keys)
         .agg(*aggs)
     )
+
+def gapfill_forward_fill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    unit: str = "hour",
+) -> DataFrame:
+    """Densify each key's series to every ``unit`` between its first and
+    last observation, carrying the last observed per-unit sum across
+    silent periods (``is_gap`` marks synthesized rows) — the
+    resample+ffill every metrics pipeline needs before rate/delta math.
+
+    Scale shape: the dense axis comes from ``sequence()`` + ``explode``
+    — rows generated executor-side, proportional to each key's own time
+    span, never a driver loop or a global calendar cross-join. The fill
+    is ``last(v, ignorenulls=true)`` over an UNBOUNDED PRECEDING row
+    frame: one shuffle by key, no self-join. First-period rows always
+    have an observation (the span starts at the key's first event), so
+    ``v_filled`` is never null. Per-unit sums are exact decimal before
+    the final double cast, so the carried value is engine-deterministic.
+
+    Output: (<key_col>, <unit>, n_events, v_filled, is_gap).
+    """
+    step = F.expr(f"INTERVAL 1 {unit.upper()}")
+    agg = (
+        df.groupBy(
+            key_col, F.date_trunc(unit, F.col(ts_col)).alias("__t")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(F.col(value_col).cast("decimal(18,6)")).alias("__v"),
+        )
+    )
+    # the dense axis descends from `agg` itself, so its columns get
+    # fresh names — a same-name self-join would be ambiguous to resolve
+    dense = (
+        agg.groupBy(key_col)
+        .agg(F.min("__t").alias("__t0"), F.max("__t").alias("__t1"))
+        .select(
+            F.col(key_col).alias("__k"),
+            F.explode(F.sequence("__t0", "__t1", step)).alias(unit),
+        )
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(unit)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        dense.join(
+            agg,
+            (F.col("__k") == agg[key_col]) & (F.col(unit) == agg["__t"]),
+            "left",
+        )
+        .select(
+            F.col("__k").alias(key_col),
+            unit,
+            F.coalesce(F.col("__n"), F.lit(0)).alias("n_events"),
+            F.last(F.col("__v"), ignorenulls=True)
+            .over(w)
+            .cast("double")
+            .alias("v_filled"),
+            F.col("__t").isNull().alias("is_gap"),
+        )
+    )

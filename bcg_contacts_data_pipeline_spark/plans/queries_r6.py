@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bcg_contacts_data_pipeline_spark.plans.queries import (
-    _dec,
+    _DOT_SQL,
     _events,
     _t,
     register,
@@ -81,7 +81,8 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY l_partkey)
     SELECT l_partkey, CAST(pv AS DOUBLE) AS part_value
     FROM v
-    WHERE pv > (SELECT SUM(pv) FROM v) * CAST(0.001 AS DECIMAL(7,6))
+    WHERE pv > (SELECT CAST(SUM(pv) AS DECIMAL(28,8)) FROM v)
+               * CAST(0.001 AS DECIMAL(7,6))
     """,
 )
 def q11_part_value_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -94,7 +95,13 @@ def q11_part_value_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate is shared between the outer query and the total, so the
     expensive join+agg runs once, not twice. All money math is exact
     decimal — including the 0.001 multiplier (a decimal literal, not a
-    double), so the threshold compare is engine-deterministic."""
+    double). The total is cast to DECIMAL(28,8) before the multiply:
+    SUM's decimal(38,8) x decimal(7,6) would need precision 46, which
+    Spark resolves by ROUNDING to scale 6 (allowPrecisionLoss) while
+    DuckDB keeps the exact wider type — the narrower cast keeps the
+    product inside 38 digits so BOTH engines compute it exactly (and
+    ANSI mode fails loudly if a corpus ever overflows 20 integer
+    digits, rather than silently rounding the threshold)."""
     for t in ("lineitem", "supplier"):
         _t(spark, sf_dir, t).createOrReplaceTempView(f"q11_{t}")
     return spark.sql(
@@ -108,7 +115,8 @@ def q11_part_value_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
           GROUP BY l_partkey)
         SELECT l_partkey, CAST(pv AS DOUBLE) AS part_value
         FROM v
-        WHERE pv > (SELECT SUM(pv) FROM v) * CAST(0.001 AS DECIMAL(7,6))
+        WHERE pv > (SELECT CAST(SUM(pv) AS DECIMAL(28,8)) FROM v)
+                   * CAST(0.001 AS DECIMAL(7,6))
         """
     )
 
@@ -311,21 +319,15 @@ def q22_dormant_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # blocked exact pair generation + min-label propagation.
 # ---------------------------------------------------------------------------
 
-_DOT = (
-    "list_reduce(list_transform(list_zip({a}, {b}), "
-    "x -> x[1]::DOUBLE * x[2]::DOUBLE), (acc, v) -> acc + v)"
-)
-
-
 @register(
     "embedding_components",
     oracle=f"""
     WITH pairs AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b
       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-      WHERE {_DOT.format(a='a.embedding', b='b.embedding')}
-            / (sqrt({_DOT.format(a='a.embedding', b='a.embedding')})
-               * sqrt({_DOT.format(a='b.embedding', b='b.embedding')}))
+      WHERE {_DOT_SQL.format(a='a.embedding', b='b.embedding')}
+            / (sqrt({_DOT_SQL.format(a='a.embedding', b='a.embedding')})
+               * sqrt({_DOT_SQL.format(a='b.embedding', b='b.embedding')}))
             >= 0.35),
     sym AS (SELECT id_a AS u, id_b AS v FROM pairs
             UNION SELECT id_b, id_a FROM pairs),
@@ -406,58 +408,14 @@ def q_embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user hourly gap-fill with forward fill: densify each user's
-    series to every hour between their first and last event, carrying
-    the last observed hourly sum across silent hours (``is_gap`` marks
-    synthesized rows). The dense axis comes from ``sequence()`` +
-    ``explode`` — rows generated executor-side, proportional to each
-    user's own time span, never a driver loop or a global calendar
-    cross-join. The fill is ``last(v, ignorenulls=true)`` over an
-    UNBOUNDED PRECEDING row frame: one shuffle by user, no self-join.
-    First-hour rows always have an observation (the span starts at the
-    user's first event), so v_filled is never null. Hour sums are exact
-    decimal before the final double cast."""
-    from pyspark.sql import Window
+    """Per-user hourly gap-fill with forward fill — delegates to
+    :func:`operators.temporal.gapfill_forward_fill` (scale notes and
+    the replay property test live with the operator); this registration
+    pins the hourly/user instantiation against the DuckDB oracle."""
+    from bcg_contacts_data_pipeline_spark.operators.temporal import (
+        gapfill_forward_fill,
+    )
 
-    e = _events(spark, sf_dir)
-    hourly = (
-        e.groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("h"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(18,6)")).alias("v"),
-        )
-    )
-    # the dense axis descends from `hourly` itself, so its columns get
-    # fresh names — a same-name self-join would be ambiguous to resolve
-    hours = (
-        hourly.groupBy("user_id")
-        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
-        .select(
-            F.col("user_id").alias("g_user"),
-            F.explode(
-                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
-            ).alias("hour"),
-        )
-    )
-    w = (
-        Window.partitionBy("g_user")
-        .orderBy("hour")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return (
-        hours.join(
-            hourly,
-            (F.col("g_user") == hourly.user_id) & (F.col("hour") == hourly.h),
-            "left",
-        )
-        .select(
-            F.col("g_user").alias("user_id"),
-            "hour",
-            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
-            F.last(F.col("v"), ignorenulls=True)
-            .over(w)
-            .cast("double")
-            .alias("v_filled"),
-            F.col("h").isNull().alias("is_gap"),
-        )
+    return gapfill_forward_fill(
+        _events(spark, sf_dir), "user_id", "ts", "value", unit="hour"
     )

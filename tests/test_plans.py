@@ -230,16 +230,37 @@ def test_q17_subquery_decorrelated(spark):
     assert "partial_avg" in p  # the decorrelated aggregate, map-side
 
 
+def _scan_filters(plan: str) -> list[tuple[str, str]]:
+    """(DataFilters, PushedFilters) contents per FileScan line.
+
+    Each FileScan renders as one line containing bracketed
+    ``DataFilters: [...]`` and ``PushedFilters: [...]`` sections; a
+    substring search over the whole remainder of the plan would always
+    find column names via ReadSchema (which lists every column merely
+    READ), so pushdown assertions must look inside the brackets only.
+    """
+    import re
+
+    out = []
+    for line in plan.splitlines():
+        if "FileScan" not in line:
+            continue
+        # long filter lists render truncated ("..." with no closing
+        # bracket), so capture up to the next section marker instead
+        df = re.search(r"DataFilters: \[(.*?), Format:", line)
+        pf = re.search(r"PushedFilters: \[(.*?), ReadSchema:", line)
+        out.append((df.group(1) if df else "", pf.group(1) if pf else ""))
+    return out
+
+
 def test_q4_exists_becomes_semi_join(spark):
     """The correlated EXISTS must compile to a LEFT SEMI join carrying
     the non-equi ship-lag condition — no subquery node, no distinct —
-    with the quarter filter pushed to the orders scan."""
+    with the quarter filter pushed into the orders scan itself."""
     p = _plan(QUERIES["q4_order_priority"](spark, SF))
     assert "Subquery" not in p, p
     assert "LeftSemi" in p, p
-    assert "o_orderdate" in p.split("PushedFilters", 1)[-1] or (
-        "(o_orderdate" in p.split("Filter", 1)[-1]
-    ), p
+    assert any("o_orderdate" in df for df, _ in _scan_filters(p)), p
 
 
 def test_q16_not_in_becomes_anti_join(spark):
@@ -262,7 +283,10 @@ def test_q21_exists_pair_becomes_semi_plus_anti(spark):
     assert "LeftSemi" in p, p
     assert "LeftAnti" in p, p
     # the status filter must prune the orders scan before any join
-    assert "o_orderstatus" in p.split("PushedFilters", 1)[-1], p
+    assert any(
+        "o_orderstatus" in df and "= F" in df
+        for df, _ in _scan_filters(p)
+    ), p
 
 
 def test_q19_or_branches_prune_both_scans(spark):
@@ -273,14 +297,9 @@ def test_q19_or_branches_prune_both_scans(spark):
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
     assert "BroadcastHashJoin" in p, p
-    li_scan = [
-        seg for seg in p.split("FileScan parquet ") if seg.startswith("[l_")
-    ]
-    part_scan = [
-        seg for seg in p.split("FileScan parquet ") if seg.startswith("[p_")
-    ]
-    assert li_scan and "l_quantity" in li_scan[0].split("DataFilters", 1)[-1], p
-    assert part_scan and "p_brand" in part_scan[0].split("DataFilters", 1)[-1], p
+    filters = _scan_filters(p)
+    assert any("l_quantity#" in df for df, _ in filters), p
+    assert any("p_brand" in df and "p_size" in df for df, _ in filters), p
 
 
 def test_q13_outer_join_preserved(spark):
