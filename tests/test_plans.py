@@ -315,3 +315,25 @@ def test_q13_outer_join_preserved(spark):
         if seg.startswith("[c_")
     ]
     assert cust_scan and "o_orderpriority" not in cust_scan[0], p
+
+
+def test_q15_single_fact_scan(spark):
+    """The argmax-over-view must NOT execute the revenue aggregation
+    twice: the per-supplier aggregate is pinned, so exactly one
+    lineitem scan appears in the plan (the textbook CTE form runs the
+    fact scan once per view reference — verified unreused even by AQE)."""
+    p = _plan(QUERIES["q15_top_supplier"](spark, SF))
+    # both consumers must read the cache, not the file
+    assert p.count("InMemoryTableScan") >= 2, p
+    # an InMemoryRelation prints its ONE build plan at every reference,
+    # so the same FileScan line (same exprIds) may appear repeatedly;
+    # what must not exist is a SECOND DISTINCT lineitem scan (different
+    # exprIds = an uncached re-execution, the unreused-CTE shape)
+    import re
+
+    ids = {
+        re.search(r"\[l_suppkey#(\d+)L", line).group(1)
+        for line in p.splitlines()
+        if "FileScan" in line and "lineitem" in line
+    }
+    assert len(ids) == 1, p
