@@ -86,38 +86,42 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q11_part_value_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q11 shape: HAVING against an UNCORRELATED scalar aggregate
-    subquery — per-part inventory value within one nation's suppliers,
-    kept only when it exceeds 0.1% of that nation's total (lineitem
-    value stands in for partsupp, which the driver schema lacks).
-    Catalyst plans the scalar subquery as its own stage whose single-row
-    result feeds the filter; with CTE/exchange reuse the per-part
-    aggregate is shared between the outer query and the total, so the
-    expensive join+agg runs once, not twice. All money math is exact
-    decimal — including the 0.001 multiplier (a decimal literal, not a
-    double). The total is cast to DECIMAL(28,8) before the multiply:
-    SUM's decimal(38,8) x decimal(7,6) would need precision 46, which
-    Spark resolves by ROUNDING to scale 6 (allowPrecisionLoss) while
-    DuckDB keeps the exact wider type — the narrower cast keeps the
-    product inside 38 digits so BOTH engines compute it exactly (and
-    ANSI mode fails loudly if a corpus ever overflows 20 integer
-    digits, rather than silently rounding the threshold)."""
-    for t in ("lineitem", "supplier"):
-        _t(spark, sf_dir, t).createOrReplaceTempView(f"q11_{t}")
-    return spark.sql(
-        """
-        WITH v AS (
-          SELECT l_partkey,
-                 SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-                     * CAST(l_quantity AS DECIMAL(18,4))) AS pv
-          FROM q11_lineitem JOIN q11_supplier ON s_suppkey = l_suppkey
-          WHERE s_nationkey = 7
-          GROUP BY l_partkey)
-        SELECT l_partkey, CAST(pv AS DOUBLE) AS part_value
-        FROM v
-        WHERE pv > (SELECT CAST(SUM(pv) AS DECIMAL(28,8)) FROM v)
-                   * CAST(0.001 AS DECIMAL(7,6))
-        """
+    """TPC-H Q11 shape: HAVING against a global-total threshold —
+    per-part inventory value within one nation's suppliers, kept only
+    when it exceeds 0.1% of that nation's total (lineitem value stands
+    in for partsupp, which the driver schema lacks). Written as ONE
+    aggregation rather than the textbook CTE-referenced-twice SQL: that
+    form executes the join+agg (and both scans under it) twice — the
+    canonically identical exchanges go unreused by both physical
+    planning and AQE (same verified finding as q15). The per-part
+    aggregate is pinned (one row per part — the small frame), the total
+    is a partial-sum gather over it, and the threshold filter compares
+    against the broadcast 1-row total. One lineitem scan total,
+    plan-asserted. Decimal discipline: the total is cast to
+    DECIMAL(28,8) before the 0.001 multiply so the product stays inside
+    38 digits — Spark would otherwise ROUND the threshold to scale 6
+    (allowPrecisionLoss) while DuckDB keeps the exact wider type; with
+    the cast both engines compute it exactly (and ANSI fails loudly on
+    a corpus overflowing 20 integer digits instead of silently
+    rounding)."""
+    from bcg_contacts_data_pipeline_spark.operators.pins import pin
+
+    li = _t(spark, sf_dir, "lineitem")
+    su = _t(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 7)
+    d = lambda col: F.col(col).cast("decimal(18,4)")  # noqa: E731
+    v = pin(
+        li.join(su, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(d("l_extendedprice") * d("l_quantity")).alias("pv")),
+        None,
+    )
+    tot = v.agg(F.sum("pv").cast("decimal(28,8)").alias("__tot"))
+    return (
+        v.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("pv") > F.col("__tot") * F.expr("CAST(0.001 AS DECIMAL(7,6))")
+        )
+        .select("l_partkey", F.col("pv").cast("double").alias("part_value"))
     )
 
 

@@ -337,3 +337,19 @@ def test_q15_single_fact_scan(spark):
         if "FileScan" in line and "lineitem" in line
     }
     assert len(ids) == 1, p
+
+
+def test_q11_single_fact_scan(spark):
+    """The threshold form must not re-execute the join+agg for the
+    total: one distinct lineitem scan (same pinned-aggregate pattern,
+    and the same verified non-reuse rationale, as q15)."""
+    import re
+
+    p = _plan(QUERIES["q11_part_value_threshold"](spark, SF))
+    assert p.count("InMemoryTableScan") >= 2, p
+    ids = {
+        re.search(r"\[l_partkey#(\d+)L", line).group(1)
+        for line in p.splitlines()
+        if "FileScan" in line and "lineitem" in line
+    }
+    assert len(ids) == 1, p
