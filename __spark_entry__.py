@@ -25,7 +25,7 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["contacts_pipeline_e2e"](spark, "/root/testdata/sf0.001")
 
 
-def _certification_rounds() -> dict[str, int]:
+def _certification_rounds(root: str | None = None) -> dict[str, int]:
     """Latest driver round that oracle-certified each query name.
 
     The driver's correctness check only covers the first 50 ``queries()``
@@ -38,7 +38,7 @@ def _certification_rounds() -> dict[str, int]:
     import json
     import re
 
-    here = os.path.dirname(os.path.abspath(__file__))
+    here = root or os.path.dirname(os.path.abspath(__file__))
     last: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
@@ -51,7 +51,17 @@ def _certification_rounds() -> dict[str, int]:
         except (OSError, ValueError):
             continue
         if isinstance(data, dict):
-            for name in data:
+            for name, row in data.items():
+                # only a PASSING row certifies: a failed or errored check
+                # must keep the query at the head of the queue so the
+                # driver re-verifies it next round (r01/r03 on disk show
+                # err rows — counting those as certified would rotate a
+                # regression out of the window exactly when it needs
+                # re-checking)
+                if not isinstance(row, dict):
+                    continue
+                if row.get("err") or not row.get("rows_match"):
+                    continue
                 last[name] = max(last.get(name, 0), rnd)
     return last
 

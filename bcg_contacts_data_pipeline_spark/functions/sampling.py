@@ -93,10 +93,16 @@ def epoch_repeat(
     [1, 0]. Negative values are rejected.
     """
     for label, reps in epochs.items():
-        if reps < 0:
-            raise ValueError(f"epochs must be >= 0: {label}={reps}")
-    if default_epochs < 0:
-        raise ValueError(f"default_epochs must be >= 0: {default_epochs}")
+        if reps < 0 or reps != int(reps):
+            # fractional epochs (0.5 "half epoch") would silently fall
+            # into the integer-0 drop branch — reject them loudly
+            raise ValueError(
+                f"epochs must be non-negative integers: {label}={reps}"
+            )
+    if default_epochs < 0 or default_epochs != int(default_epochs):
+        raise ValueError(
+            f"default_epochs must be a non-negative integer: {default_epochs}"
+        )
     n = _stratum_case(stratum_col, epochs, default_epochs)
     seq = F.when(n >= 1, F.sequence(F.lit(1), n.cast("int"))).otherwise(
         F.array().cast("array<int>")

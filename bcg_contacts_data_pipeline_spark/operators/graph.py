@@ -160,8 +160,18 @@ def connected_components(
     # prev_ck is None only when max_iter=0 skipped the loop entirely —
     # then the returned labels still derive from sym and neither may be
     # freed.
-    if checkpoint == "local" and prev_ck is not None:
-        free_local_checkpoint(sym)
-        if pins is not None:
-            pins.adopt(prev_ck, free_local_checkpoint)
+    if prev_ck is not None:
+        if checkpoint == "local":
+            free_local_checkpoint(sym)
+            if pins is not None:
+                pins.adopt(prev_ck, free_local_checkpoint)
+        elif pins is not None:
+            # reliable mode: the final frame is backed by checkpoint
+            # FILES (the fault-tolerance artifact — they outlive the
+            # scope by design; spark.cleaner.referenceTracking
+            # .cleanCheckpoints governs their lifetime). Register with a
+            # no-op releaser so the caller's scope accounting — adopt
+            # here, len()/release() there — behaves identically in both
+            # modes instead of silently skipping the registration.
+            pins.adopt(prev_ck, lambda df: None)
     return labels

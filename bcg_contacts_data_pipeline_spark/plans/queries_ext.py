@@ -310,8 +310,14 @@ def q_lang_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             c, F.array(*[F.lit(q) for q in qs]), F.lit(acc)
         ).alias("__ap"),
     )
-    joined = docs.select("lang", c.alias("__v")).join(
-        F.broadcast(sk), "lang"
+    # null-safe join back: a USING join would drop a NULL-lang group,
+    # diverging from both the oracle's GROUP BY (which keeps it) and
+    # the exact twin — latent until the testdata ships NULL langs, but
+    # a harness artifact is the wrong reason for a red row
+    joined = (
+        docs.select(F.col("lang").alias("__l"), c.alias("__v"))
+        .join(F.broadcast(sk), F.col("__l").eqNullSafe(F.col("lang")))
+        .drop("__l")
     )
     ranks = joined.groupBy("lang").agg(
         F.first("n_docs").alias("n_docs"),

@@ -79,11 +79,16 @@ def main() -> None:
     # always lands in bench_full.json next to this script; the stdout
     # line self-bounds: all queries when they fit, else the slowest ones
     # that do, plus the count left out.
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"),
-        "w",
-    ) as f:
-        json.dump(payload, f)
+    # a filtered run (bench.py <query...>) must not clobber the full-map
+    # artifact the stdout line's detail pointer references
+    if not only:
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "bench_full.json"
+            ),
+            "w",
+        ) as f:
+            json.dump(payload, f)
 
     line = json.dumps(payload, separators=(",", ":"))
     budget = 1900

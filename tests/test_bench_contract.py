@@ -38,3 +38,27 @@ def test_bench_emits_contract_json():
     assert set(payload["queries"]) == {"hash_split", "error_histogram"}
     assert payload["value"] > 0
     assert abs(sum(payload["queries"].values()) - payload["value"]) < 0.01
+
+
+def test_certification_rotation_ignores_failed_rows(tmp_path):
+    """A CORRECTNESS row with err set or rows_match false must NOT count
+    as certified — the query has to stay at the head of the rotation so
+    the driver re-verifies it next round (r01/r03 on disk contain real
+    err rows; counting them would rotate a regression out of the
+    50-entry window exactly when it needs re-checking)."""
+    import json
+
+    from __spark_entry__ import _certification_rounds
+
+    (tmp_path / "CORRECTNESS_r07.json").write_text(
+        json.dumps(
+            {
+                "good": {"rows_match": True, "hash_match": True, "err": None},
+                "errored": {"rows_match": None, "err": "boom"},
+                "mismatched": {"rows_match": False, "err": None},
+                "not_a_row": "garbage",
+            }
+        )
+    )
+    last = _certification_rounds(root=str(tmp_path))
+    assert last == {"good": 7}

@@ -94,7 +94,11 @@ def test_pipeline_cli_returns_pin_count_to_baseline(spark, tmp_path):
         spark=spark,
     )
     assert rc == 0
-    assert _n_persistent_rdds(spark) == before
+    # <=, not ==: the run must add NO pins of its own, but Spark's
+    # ContextCleaner may asynchronously free UNRELATED leftovers from
+    # earlier tests (GC-able localCheckpoint blocks) while the pipeline
+    # runs — observed when test_graph precedes this file directly
+    assert _n_persistent_rdds(spark) <= before
 
 
 def test_curation_frame_scope_returns_pins_to_zero(spark):
@@ -118,4 +122,5 @@ def test_curation_frame_scope_returns_pins_to_zero(spark):
     assert len(scope) == 2
     scope.release()
     assert len(scope) == 0
-    assert _n_persistent_rdds(spark) == before
+    # <= for the same ContextCleaner-background-free reason as above
+    assert _n_persistent_rdds(spark) <= before
