@@ -1036,3 +1036,66 @@ def embedding_ann_ivf(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "score")
     )
+
+def embedding_pairs_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    threshold: float,
+    num_planes: int | str = "auto",
+    seed: int = 42,
+    target_bucket_rows: int = 4096,
+) -> DataFrame:
+    """Cosine-threshold pairs restricted to same-LSH-bucket candidates —
+    the sub-quadratic twin of ``embedding_pairs``.
+
+    Bucket = the sign bit-vector of ``num_planes`` seeded hyperplane dot
+    products (identical construction to ``embedding_ann_lsh``, so the
+    whole pipeline — signs, candidate set, exact in-bucket cosine
+    verify — is SQL-mirrorable for the oracle). Only pairs sharing the
+    full sign vector are scored: compute drops from O(N²) to
+    sum-of-bucket² while exact duplicates (identical vectors share
+    every sign bit) keep recall 1.0; near-duplicates below cosine 1
+    trade recall per plane, the standard sign-LSH dial.
+
+    Physical shape: ONE shuffle (groupBy bucket), one numpy matrix per
+    bucket inside ``applyInPandas``, only above-threshold (a < b) hits
+    leave Python. Single-frame grouping — no self-cogroup, so the
+    attribute-dedup hazard ``embedding_pairs`` documents does not
+    apply. Per-bucket score memory is O(rows²); ``lsh_num_planes``
+    bounds EXPECTED occupancy at ``target_bucket_rows`` (128 MB of
+    doubles at the 4096 default — size it down for wide corpora).
+
+    Output: (id_a, id_b) with id_a < id_b, no duplicates.
+    """
+    if num_planes == "auto":
+        num_planes = lsh_num_planes(df.count(), target_bucket_rows)
+    planes = _hyperplanes(dim, num_planes, seed)
+    v = F.col(vec_col)
+    bucket = None
+    for i, plane in enumerate(planes):
+        d = dot(v, F.array(*[F.lit(x) for x in plane]))
+        bit = F.when(d >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        bucket = term if bucket is None else bucket.bitwiseOR(term)
+    bucketed = df.select(
+        F.col(id_col).alias("__id"), v.alias("__v"), bucket.alias("__b")
+    )
+
+    def bucket_hits(key, pdf):
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype(
+                {"id_a": "int64", "id_b": "int64"}
+            )
+        arr = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+        ids = pdf["__id"].to_numpy()
+        score = _seq_scores(arr, arr)
+        i, j = np.nonzero((score >= threshold) & (ids[:, None] < ids[None, :]))
+        return pd.DataFrame({"id_a": ids[i], "id_b": ids[j]})
+
+    return bucketed.groupBy("__b").applyInPandas(
+        bucket_hits, "id_a long, id_b long"
+    )

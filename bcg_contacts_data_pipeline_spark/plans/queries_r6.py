@@ -443,3 +443,87 @@ def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gapfill_forward_fill(
         _events(spark, sf_dir), "user_id", "ts", "value", unit="hour"
     )
+
+
+def _components_ann_oracle(
+    dim: int = 64, num_planes: int = 4, threshold: float = 0.35, seed: int = 42
+) -> str:
+    """DuckDB twin of embedding_components_ann: seeded hyperplanes as
+    SQL literals (repr round-trips doubles exactly), the same sign
+    bucket, the same exact in-bucket cosine verify, closure via a
+    recursive CTE."""
+    from bcg_contacts_data_pipeline_spark.operators.similarity import (
+        _hyperplanes,
+    )
+
+    planes = _hyperplanes(dim, num_planes, seed)
+    terms = []
+    for i, plane in enumerate(planes):
+        lits = ", ".join(repr(x) for x in plane)
+        d = _DOT_SQL.format(a="embedding", b=f"[{lits}]")
+        terms.append(f"(CASE WHEN {d} >= 0 THEN {1 << i} ELSE 0 END)")
+    bucket = " + ".join(terms)
+    cos = (
+        _DOT_SQL.format(a="a.embedding", b="b.embedding")
+        + f" / (a.nrm * b.nrm)"
+    )
+    return f"""
+    WITH bk AS (
+      SELECT vec_id, embedding, {bucket} AS bucket,
+             sqrt({_DOT_SQL.format(a='embedding', b='embedding')}) AS nrm
+      FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE {cos} >= {threshold}),
+    sym AS (SELECT id_a AS u, id_b AS v FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+      WITH RECURSIVE r(node, lab) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT s.v, r.lab FROM r JOIN sym s ON s.u = r.node)
+      SELECT node, MIN(lab) AS comp FROM r GROUP BY node)
+    SELECT CAST(node AS BIGINT) AS vec_id, CAST(comp AS BIGINT) AS component,
+           CAST(COUNT(*) OVER (PARTITION BY comp) AS BIGINT)
+               AS component_size
+    FROM reach
+    """
+
+
+@register("embedding_components_ann", oracle=_components_ann_oracle())
+def q_embedding_components_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sub-quadratic twin of `embedding_components`: candidate pairs
+    come from same-sign-LSH-bucket neighbors only (exact cosine verify
+    inside the bucket), then the same min-label closure. This is the
+    exact-baseline + scale-twin pairing the profiling queries use
+    (numeric_profile / _approx): the exact form is ground truth, the
+    banded form is what runs at corpus scale, and BOTH are oracle-exact
+    because the seeded hyperplanes embed as SQL literals on the DuckDB
+    side. `num_planes` is pinned at 4 only for that literal embedding;
+    production callers use the operator's "auto" sizing
+    (`lsh_num_planes`). Missing cross-bucket edges lower recall — the
+    documented LSH trade — but both engines prune identically, so the
+    comparison stays hash-exact."""
+    from pyspark.sql import Window
+
+    from bcg_contacts_data_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+    from bcg_contacts_data_pipeline_spark.operators.similarity import (
+        embedding_pairs_lsh,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_pairs_lsh(
+        emb, "vec_id", "embedding", dim=64, threshold=0.35, num_planes=4
+    )
+    comp = connected_components(
+        pairs, "id_a", "id_b", nodes=emb, node_col="vec_id"
+    )
+    w = Window.partitionBy("comp")
+    return comp.select(
+        F.col("node").alias("vec_id"),
+        F.col("comp").alias("component"),
+        F.count(F.lit(1)).over(w).alias("component_size"),
+    )

@@ -294,3 +294,44 @@ def test_embedding_components_transitive_closure(spark):
     comp = connected_components(pairs, "id_a", "id_b", nodes=df, node_col="vec_id")
     labels = {r.node: r.comp for r in comp.collect()}
     assert labels == {1: 1, 2: 1, 3: 1, 9: 9}
+
+
+def test_ann_components_refine_exact_components(spark):
+    """Every LSH-banded edge is also an exact edge (same threshold,
+    bucket restriction only PRUNES pairs), so the ANN clustering must be
+    a REFINEMENT of the exact clustering: each ANN component sits wholly
+    inside one exact component. Identical vectors share every sign bit,
+    so exact-duplicate pairs survive any plane count."""
+    from bcg_contacts_data_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+    from bcg_contacts_data_pipeline_spark.operators.similarity import (
+        embedding_pairs,
+        embedding_pairs_lsh,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {
+        r.node: r.comp
+        for r in connected_components(
+            embedding_pairs(emb, "vec_id", "embedding", 0.35),
+            nodes=emb,
+            node_col="vec_id",
+        ).collect()
+    }
+    ann = {
+        r.node: r.comp
+        for r in connected_components(
+            embedding_pairs_lsh(
+                emb, "vec_id", "embedding", dim=64, threshold=0.35, num_planes=4
+            ),
+            nodes=emb,
+            node_col="vec_id",
+        ).collect()
+    }
+    assert set(ann) == set(exact)
+    # refinement: nodes sharing an ANN label share the exact label
+    by_ann: dict = {}
+    for node, lab in ann.items():
+        by_ann.setdefault(lab, set()).add(exact[node])
+    assert all(len(v) == 1 for v in by_ann.values())
