@@ -527,3 +527,46 @@ def q_embedding_components_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("comp").alias("component"),
         F.count(F.lit(1)).over(w).alias("component_size"),
     )
+
+
+@register(
+    "q2_min_price_supplier",
+    oracle="""
+    SELECT p_partkey, p_name, s_suppkey, s_name,
+           CAST(l_extendedprice AS DOUBLE) AS min_price
+    FROM part, lineitem, supplier
+    WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey AND p_size < 10
+      AND l_extendedprice = (SELECT MIN(l2.l_extendedprice)
+                             FROM lineitem l2
+                             JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+                             WHERE l2.l_partkey = p_partkey
+                               AND s2.s_acctbal >= 0)
+    """,
+)
+def q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: a correlated scalar MIN subquery whose body is
+    itself a JOIN (cheapest-offer-per-part over qualified suppliers —
+    acctbal >= 0 stands in for the region restriction, lineitem price
+    for partsupp supplycost). This is the decorrelation case q17
+    doesn't cover: Catalyst must pull the two-table subquery into a
+    grouped aggregate OVER THE JOIN and probe it back by p_partkey —
+    no per-row subquery execution survives (plan-asserted). Price
+    values are exact doubles from the source (no arithmetic), so the
+    equality probe is engine-deterministic; ties return every tied
+    (part, supplier) row on both engines."""
+    for t in ("part", "lineitem", "supplier"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"q2_{t}")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_name, s_suppkey, s_name,
+               CAST(l_extendedprice AS DOUBLE) AS min_price
+        FROM q2_part, q2_lineitem, q2_supplier
+        WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey AND p_size < 10
+          AND l_extendedprice = (SELECT MIN(l2.l_extendedprice)
+                                 FROM q2_lineitem l2
+                                 JOIN q2_supplier s2
+                                   ON s2.s_suppkey = l2.l_suppkey
+                                 WHERE l2.l_partkey = p_partkey
+                                   AND s2.s_acctbal >= 0)
+        """
+    )

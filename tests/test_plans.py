@@ -353,3 +353,12 @@ def test_q11_single_fact_scan(spark):
         if "FileScan" in line and "lineitem" in line
     }
     assert len(ids) == 1, p
+
+
+def test_q2_join_subquery_decorrelated(spark):
+    """The correlated MIN-over-a-JOIN subquery must be rewritten to a
+    grouped aggregate over the join, probed back by p_partkey — no
+    per-row subquery node survives into the physical plan."""
+    p = _plan(QUERIES["q2_min_price_supplier"](spark, SF))
+    assert "Subquery" not in p, p
+    assert "partial_min" in p, p  # decorrelated aggregate, map side
