@@ -183,6 +183,7 @@ def gapfill_forward_fill(
     ts_col: str,
     value_col: str,
     unit: str = "hour",
+    pins=None,
 ) -> DataFrame:
     """Densify each key's series to every ``unit`` between its first and
     last observation, carrying the last observed per-unit sum across
@@ -198,17 +199,28 @@ def gapfill_forward_fill(
     ``v_filled`` is never null. Per-unit sums are exact decimal before
     the final double cast, so the carried value is engine-deterministic.
 
+    The per-unit aggregate feeds TWO consumers (the dense axis and the
+    join probe), and identical exchanges are not deduplicated across
+    references on this engine (the verified q15/q11 finding) — so it is
+    pinned: the RAW events table is scanned exactly once, and what
+    persists is the aggregated frame (one row per key-period), not the
+    input. Pass a ``PinScope`` to release it after your sinks run;
+    ``pins=None`` keeps the one-shot session-lifetime contract.
+
     Output: (<key_col>, <unit>, n_events, v_filled, is_gap).
     """
+    from bcg_contacts_data_pipeline_spark.operators.pins import pin
+
     step = F.expr(f"INTERVAL 1 {unit.upper()}")
-    agg = (
+    agg = pin(
         df.groupBy(
             key_col, F.date_trunc(unit, F.col(ts_col)).alias("__t")
         )
         .agg(
             F.count(F.lit(1)).alias("__n"),
             F.sum(F.col(value_col).cast("decimal(18,6)")).alias("__v"),
-        )
+        ),
+        pins,
     )
     # the dense axis descends from `agg` itself, so its columns get
     # fresh names — a same-name self-join would be ambiguous to resolve

@@ -362,3 +362,19 @@ def test_q2_join_subquery_decorrelated(spark):
     p = _plan(QUERIES["q2_min_price_supplier"](spark, SF))
     assert "Subquery" not in p, p
     assert "partial_min" in p, p  # decorrelated aggregate, map side
+
+
+def test_gapfill_single_raw_scan(spark):
+    """The per-unit aggregate feeds the dense axis AND the join probe;
+    it must be pinned so the raw events table is scanned once (the
+    q15/q11 non-reuse finding applied to the operator)."""
+    import re
+
+    p = _plan(QUERIES["events_gapfill"](spark, SF))
+    assert p.count("InMemoryTableScan") >= 2, p
+    ids = {
+        re.search(r"#(\d+)L?", line).group(1)
+        for line in p.splitlines()
+        if "FileScan" in line and "events" in line
+    }
+    assert len(ids) == 1, p

@@ -57,7 +57,10 @@ BUDGET = {
     "funnel_conversion": 2,
     "events_hourly": 2,  # distinct-agg expand is two-phase
     "sessionize": 1,
-    "events_gapfill": 2,  # hourly agg + the by-user fill window
+    # pinned hourly agg (one raw-table scan) + dense-axis agg + fill
+    # window: one MORE small-frame shuffle than the unpinned form, one
+    # FEWER full-table scan+agg — the right trade at scale
+    "events_gapfill": 3,
     "cdc_upsert_orders": 1,
     "pack_shards": 3,
 }
