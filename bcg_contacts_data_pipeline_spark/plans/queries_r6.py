@@ -570,3 +570,80 @@ def q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    AND s2.s_acctbal >= 0)
         """
     )
+
+
+@register(
+    "q20_heavy_shippers",
+    oracle="""
+    SELECT s_suppkey, s_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE 'blue%'
+      GROUP BY l_suppkey
+      HAVING SUM(l_quantity) > 2000)
+    """,
+)
+def q20_heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: IN over an AGGREGATED subquery with its own
+    join — suppliers who shipped more than a volume threshold of
+    'blue%' parts (the prefix LIKE stands in for the forest% part
+    filter; the volume HAVING for the 50%-of-availqty correlation the
+    driver schema can't express without partsupp). The plan feature:
+    the IN compiles to a LEFT SEMI join whose build side is itself a
+    join + grouped aggregate + HAVING — the semi probe runs against an
+    aggregate, not a table — and the prefix LIKE reaches the part scan
+    as a StartsWith pushdown. Quantities are integer-valued doubles,
+    so the HAVING sum is order-exact on both engines."""
+    for t in ("supplier", "lineitem", "part"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"q20_{t}")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+        FROM q20_supplier
+        WHERE s_suppkey IN (
+          SELECT l_suppkey
+          FROM q20_lineitem JOIN q20_part ON p_partkey = l_partkey
+          WHERE p_name LIKE 'blue%'
+          GROUP BY l_suppkey
+          HAVING SUM(l_quantity) > 2000)
+        """
+    )
+
+
+@register(
+    "variant_props_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS k_sum,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS k_max
+    FROM events GROUP BY 1
+    """,
+)
+def q_variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCHEMALESS twin of json_props_stats: Spark 4 VariantType.
+    `parse_json` ingests the payload once into the binary variant
+    encoding — no declared struct, so heterogeneous/ragged payloads
+    (the reality of scraped event streams) don't need a unioned schema
+    up front — and `variant_get(v, '$.k', 'bigint')` does typed,
+    shredded path access per field. Against `from_json` with a declared
+    schema (json_props_stats), variant trades schema rigidity for
+    per-field extraction cost; both parse once per row inside the
+    projection, stay JVM-side, and aggregate identically. Same oracle
+    surface as the declared-schema twin, so the two queries
+    cross-check each other through DuckDB."""
+    ev = _events(spark, sf_dir)
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("k_sum"),
+            F.max("k").alias("k_max"),
+        )
+    )

@@ -378,3 +378,23 @@ def test_gapfill_single_raw_scan(spark):
         if "FileScan" in line and "events" in line
     }
     assert len(ids) == 1, p
+
+
+def test_q20_semi_over_aggregate_with_pushed_prefix(spark):
+    """The IN-over-aggregate must compile to a LEFT SEMI whose build
+    side is the join+agg+HAVING — no subquery node — with the prefix
+    LIKE reaching the part scan as a StartsWith pushdown."""
+    p = _plan(QUERIES["q20_heavy_shippers"](spark, SF))
+    assert "Subquery" not in p, p
+    assert "LeftSemi" in p, p
+    assert any(
+        "StartsWith(p_name,blue)" in pf for _, pf in _scan_filters(p)
+    ), p
+
+
+def test_variant_stats_stays_jvm_side(spark):
+    """VariantType path access must not fall back to Python: no
+    BatchEvalPython, single events scan, one aggregation."""
+    p = _plan(QUERIES["variant_props_stats"](spark, SF))
+    assert "BatchEvalPython" not in p, p
+    assert p.count("FileScan") == 1, p
