@@ -1,0 +1,87 @@
+"""Generate PLANS.md: one row per registered batch query with the plan
+facts that matter at 100 TB — distinct file scans, shuffle exchanges,
+broadcast joins/exchanges, cached-frame reads, and any Python row-eval
+nodes (should be zero outside the Arrow-batched operators).
+
+Streaming queries are skipped (building them executes the stream).
+Run: python tools/plan_report.py  (rewrites PLANS.md at the repo root)
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+SHUFFLE = re.compile(
+    r"Exchange (hashpartitioning|rangepartitioning|SinglePartition)"
+)
+
+
+def main() -> None:
+    from bcg_contacts_data_pipeline_spark.plans.queries import QUERIES
+    from bcg_contacts_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("plan-report")
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = "/root/testdata/sf0.001"
+
+    rows = []
+    for name, fn in QUERIES.items():
+        if name.startswith("stream_"):
+            rows.append((name, "—", "—", "—", "—", "streaming (executes on build)"))
+            continue
+        try:
+            p = fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
+        except Exception as ex:  # pragma: no cover - report tool
+            rows.append((name, "?", "?", "?", "?", f"plan error: {ex}"[:60]))
+            continue
+        scans: dict[str, set] = {}
+        for line in p.splitlines():
+            t = re.search(r"/(\w+)\.parquet", line)
+            if "FileScan" in line and t:
+                sig = tuple(re.findall(r"#\d+", line.split("Batched")[0]))
+                scans.setdefault(t.group(1), set()).add(sig)
+        n_scans = sum(len(v) for v in scans.values())
+        n_shuffle = len(SHUFFLE.findall(p))
+        n_bcast = p.count("BroadcastHashJoin")
+        py = p.count("BatchEvalPython")
+        arrow = (
+            p.count("FlatMapGroupsInPandas")
+            + p.count("FlatMapCoGroupsInPandas")
+            + p.count("MapInPandas")
+            + p.count("ArrowEvalPython")
+        )
+        note = []
+        if py:
+            note.append(f"ROW-WISE PYTHON x{py}")
+        if arrow:
+            note.append(f"arrow-batched x{arrow}")
+        if "InMemoryTableScan" in p:
+            note.append("pinned reuse")
+        rows.append(
+            (name, str(n_scans), str(n_shuffle), str(n_bcast), str(py), ", ".join(note))
+        )
+        spark.catalog.clearCache()
+
+    with open("/root/repo/PLANS.md", "w") as f:
+        f.write(
+            "# PLANS — whole-board physical-plan facts (generated)\n\n"
+            "`python tools/plan_report.py` regenerates this file at "
+            "sf0.001. Columns: distinct file scans (per-table distinct "
+            "scan signatures summed), shuffle exchanges "
+            "(hash/range/single — broadcasts excluded), broadcast hash "
+            "joins, row-wise Python eval nodes (the slow path — zero "
+            "everywhere; Arrow-batched pandas operators are listed in "
+            "the notes instead), notes.\n\n"
+            "| query | scans | shuffles | bcast joins | py rows | notes |\n"
+            "|---|---|---|---|---|---|\n"
+        )
+        for r in rows:
+            f.write("| " + " | ".join(r) + " |\n")
+    print(f"wrote PLANS.md ({len(rows)} queries)")
+
+
+if __name__ == "__main__":
+    main()
