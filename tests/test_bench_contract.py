@@ -62,3 +62,22 @@ def test_certification_rotation_ignores_failed_rows(tmp_path):
     )
     last = _certification_rounds(root=str(tmp_path))
     assert last == {"good": 7}
+
+
+def test_every_query_has_oracle_and_unique_columns(spark):
+    """Driver-contract structure: every queries() entry carries an
+    oracle_sql() twin (none of the current board is rows-only), and no
+    batch query emits duplicate column names — the driver's compare
+    sorts columns by name before hashing, so a duplicate silently
+    corrupts the comparison rather than failing it."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    os_ = entry.oracle_sql()
+    assert set(qs) == set(os_), set(qs) ^ set(os_)
+    for name, fn in qs.items():
+        if name.startswith("stream_"):
+            continue  # building a streaming query executes it
+        cols = fn(spark, "/root/testdata/sf0.001").columns
+        assert len(cols) == len(set(cols)), (name, cols)
+        spark.catalog.clearCache()
