@@ -144,10 +144,17 @@ def ngram_jaccard_pairs(
     - the join key is xxhash64(shingle), 8 bytes instead of a string
       (collisions would need two shingles of one corpus to share a 64-bit
       hash — negligible next to the corpus sizes this verifies);
-    - the shingle frame feeds three consumers, but is deliberately NOT
-      persisted: both self-join sides compile to one ReusedExchange, and
-      a persist() would serialize a materialization barrier in front of
-      the pipeline (measured ~2x slower single-shot).
+    - the shingle frame feeds three consumers and is deliberately NOT
+      persisted. NOT because of exchange reuse — re-verified round 6:
+      the executed plan contains ZERO ReusedExchange nodes, each
+      consumer recomputes the explode (the same non-dedup finding as
+      q15/q11) — but because the measured trade still favors
+      recomputation (1.41 s vs 1.57 s persisted at sf0.1): the explode
+      is a narrow projection while a persist materializes the EXPLODED
+      frame, which is strictly larger than its input, and serializes a
+      barrier in front of the join. The q15/q11 pin pattern applies to
+      SMALL aggregate outputs consumed twice; this is the opposite
+      shape (a large intermediate), where re-scan wins.
     """
     shingles = shingle_hash_frame(df, id_col, text, n)
     if max_df is not None:
