@@ -57,10 +57,17 @@ def _certification_rounds(root: str | None = None) -> dict[str, int]:
                 # driver re-verifies it next round (r01/r03 on disk show
                 # err rows — counting those as certified would rotate a
                 # regression out of the window exactly when it needs
-                # re-checking)
+                # re-checking). hash_match=False blocks too: equal
+                # cardinality with mismatched content is still a failure.
+                # An absent/None hash_match (a rows-only weaker check)
+                # certifies — rows-only is the strongest check that query
+                # can get, so re-queueing it forever would just burn
+                # window slots.
                 if not isinstance(row, dict):
                     continue
                 if row.get("err") or not row.get("rows_match"):
+                    continue
+                if row.get("hash_match") is False:
                     continue
                 last[name] = max(last.get(name, 0), rnd)
     return last

@@ -211,6 +211,16 @@ def gapfill_forward_fill(
     """
     from bcg_contacts_data_pipeline_spark.operators.pins import pin
 
+    # `unit` is interpolated into an INTERVAL literal and becomes an
+    # output column name — reject anything outside the supported set
+    # loudly (epoch_repeat's style) instead of surfacing a Catalyst
+    # parse error (or worse, a SQL-injection surface for a library API)
+    allowed = {"hour", "day", "week", "month"}
+    if unit not in allowed:
+        raise ValueError(
+            f"gapfill_forward_fill: unit must be one of {sorted(allowed)}, "
+            f"got {unit!r}"
+        )
     step = F.expr(f"INTERVAL 1 {unit.upper()}")
     agg = pin(
         df.groupBy(

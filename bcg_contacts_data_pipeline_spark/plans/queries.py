@@ -2033,12 +2033,14 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_components",
     oracle="""
-    WITH sh AS (
+    WITH sh_all AS (
       SELECT doc_id,
              unnest(list_distinct([lower(t[i]) || ' ' || lower(t[i+1]) || ' ' || lower(t[i+2])
                     for i in range(1, greatest(len(t)-1, 1))])) AS s
       FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
             FROM documents WHERE length(trim(text)) > 0)),
+    hot AS (SELECT s FROM sh_all GROUP BY s HAVING COUNT(*) > 100),
+    sh AS (SELECT * FROM sh_all WHERE s NOT IN (SELECT s FROM hot)),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
     shared AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
@@ -2065,7 +2067,15 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup clusters: ngram-Jaccard pairs (>= 0.2) closed
     under connectivity via iterated min-label propagation. The oracle
     recomputes the same closure with a recursive CTE — every doc gets its
-    component (min doc_id) and the component size."""
+    component (min doc_id) and the component size.
+
+    This is the production cluster view, so pair generation is the
+    scale-safe capped form (``max_df=100``, mirrored in the oracle's
+    ``hot`` CTE): a stop-shingle appearing in f documents would otherwise
+    contribute f² rows to the inverted-index self-join before the Jaccard
+    filter. The uncapped exact baseline remains the standalone
+    ``ngram_jaccard`` query; bounded-pair behaviour through this cluster
+    query is asserted in tests/test_skew.py."""
     from pyspark.sql import Window
 
     from bcg_contacts_data_pipeline_spark.operators.graph import (
@@ -2076,7 +2086,9 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.2, max_df=100
+    )
     comp = connected_components(
         pairs, "id_a", "id_b", nodes=docs, node_col="doc_id"
     )
@@ -2433,3 +2445,4 @@ def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 # everything it needs is defined above this line).
 from bcg_contacts_data_pipeline_spark.plans import queries_ext  # noqa: E402,F401
 from bcg_contacts_data_pipeline_spark.plans import queries_r6  # noqa: E402,F401
+from bcg_contacts_data_pipeline_spark.plans import queries_r7  # noqa: E402,F401

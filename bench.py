@@ -22,6 +22,21 @@ from bcg_contacts_data_pipeline_spark.session import get_spark  # noqa: E402
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     only = sys.argv[1:]
+
+    # Prior round's full per-query map (committed bench_full.json) — read
+    # BEFORE this run overwrites it. Used by the isolation pass below to
+    # separate real regressions from host noise.
+    here = os.path.dirname(os.path.abspath(__file__))
+    full_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_FULL", os.path.join(here, "bench_full.json")
+    )
+    prior: dict[str, float] = {}
+    try:
+        with open(full_path) as f:
+            prior = json.load(f).get("queries", {})
+    except (OSError, ValueError):
+        pass
+
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -73,6 +88,47 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
 
+    # Isolation pass: this host swings per-query wall times ±30% (one 9×
+    # outlier on record), so a full-run delta alone can't distinguish a
+    # regression from co-tenant noise. Any query whose full-run number
+    # moved >40% vs the prior round's bench_full.json is re-measured
+    # cold-ish: min of 3 back-to-back runs after a cache clear. The
+    # artifact records full-run, isolated, and prior side by side, so a
+    # round-over-round delta is adjudicated machine-readably instead of
+    # in triage prose. Bounded: at most the 10 largest movers re-run.
+    if prior:
+        movers = [
+            n
+            for n, t in timings.items()
+            if n in prior
+            and prior[n] > 0
+            and abs(t - prior[n]) / prior[n] > 0.40
+        ]
+        movers.sort(key=lambda n: timings[n], reverse=True)
+        isolated: dict[str, dict[str, float]] = {}
+        for name in movers[:10]:
+            best = None
+            for _ in range(3):
+                spark.catalog.clearCache()
+                start = time.perf_counter()
+                QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                elapsed = time.perf_counter() - start
+                best = elapsed if best is None or elapsed < best else best
+            isolated[name] = {
+                "full_run": timings[name],
+                "isolated_min3": round(best, 3),
+                "prior": prior[name],
+            }
+            print(
+                f"# isolated {name}: full={timings[name]:.3f}s "
+                f"min3={best:.3f}s prior={prior[name]:.3f}s",
+                file=sys.stderr,
+            )
+        if isolated:
+            payload["isolated"] = isolated
+
     # The driver keeps only the LAST 2000 chars of stdout and parses the
     # tail line — with 70+ queries the full per-query map outgrew that
     # window and `parsed` came back null (round-5 flag). The full map
@@ -82,16 +138,16 @@ def main() -> None:
     # a filtered run (bench.py <query...>) must not clobber the full-map
     # artifact the stdout line's detail pointer references
     if not only:
-        with open(
-            os.path.join(
-                os.path.dirname(os.path.abspath(__file__)), "bench_full.json"
-            ),
-            "w",
-        ) as f:
+        with open(full_path, "w") as f:
             json.dump(payload, f)
 
     line = json.dumps(payload, separators=(",", ":"))
     budget = 1900
+    if len(line) > budget and "isolated" in payload:
+        # the full isolation triage lives in bench_full.json; the stdout
+        # line keeps a count so the driver sees the pass ran
+        payload["isolated_n"] = len(payload.pop("isolated"))
+        line = json.dumps(payload, separators=(",", ":"))
     if len(line) > budget:
         by_cost = sorted(timings, key=timings.get, reverse=True)
         kept: dict[str, float] = {}

@@ -56,12 +56,19 @@ def test_certification_rotation_ignores_failed_rows(tmp_path):
                 "good": {"rows_match": True, "hash_match": True, "err": None},
                 "errored": {"rows_match": None, "err": "boom"},
                 "mismatched": {"rows_match": False, "err": None},
+                # equal cardinality, mismatched CONTENT: must not certify
+                "hash_mismatched": {
+                    "rows_match": True, "hash_match": False, "err": None,
+                },
+                # rows-only weaker check (no hash recorded): certifies —
+                # rows-only is the strongest check that query can get
+                "rows_only": {"rows_match": True, "hash_match": None, "err": None},
                 "not_a_row": "garbage",
             }
         )
     )
     last = _certification_rounds(root=str(tmp_path))
-    assert last == {"good": 7}
+    assert last == {"good": 7, "rows_only": 7}
 
 
 def test_every_query_has_oracle_and_unique_columns(spark):
@@ -81,3 +88,43 @@ def test_every_query_has_oracle_and_unique_columns(spark):
         cols = fn(spark, "/root/testdata/sf0.001").columns
         assert len(cols) == len(set(cols)), (name, cols)
         spark.catalog.clearCache()
+
+
+def test_bench_isolation_pass_adjudicates_big_deltas(tmp_path):
+    """Round-6 verdict: a +66% full-run delta was triaged in prose
+    because the bench artifact records only noisy full-run numbers. Now
+    any query whose wall time moved >40% vs the prior round's
+    bench_full.json is re-measured (min of 3) in the same run and both
+    numbers land in the artifact. Simulated here with a prior file
+    claiming hash_split used to take 1000x longer."""
+    prior = {
+        "metric": "total_query_wall_seconds",
+        "queries": {"hash_split": 500.0, "error_histogram": 0.001},
+    }
+    full = tmp_path / "bench_full.json"
+    full.write_text(json.dumps(prior))
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_CPUS="4",
+        SPARK_GRAFT_BENCH_RUNS="1",
+        SPARK_GRAFT_BENCH_FULL=str(full),
+    )
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"),
+         "hash_split", "error_histogram"],
+        capture_output=True, text=True, timeout=300, env=env, cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    payload = json.loads(
+        [l for l in proc.stdout.splitlines() if l.startswith("{")][0]
+    )
+    iso = payload["isolated"]
+    # both queries moved >40% vs the fake prior -> both adjudicated
+    assert set(iso) == {"hash_split", "error_histogram"}
+    for name, row in iso.items():
+        assert set(row) == {"full_run", "isolated_min3", "prior"}
+        assert row["prior"] == prior["queries"][name]
+        assert row["isolated_min3"] > 0
+    # a filtered (argv) run must NOT overwrite the full-map artifact
+    assert json.loads(full.read_text()) == prior

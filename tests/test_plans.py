@@ -332,9 +332,10 @@ def test_q15_single_fact_scan(spark):
     import re
 
     ids = {
-        re.search(r"\[l_suppkey#(\d+)L", line).group(1)
+        m.group(1)
         for line in p.splitlines()
         if "FileScan" in line and "lineitem" in line
+        and (m := re.search(r"\[l_suppkey#(\d+)L", line))
     }
     assert len(ids) == 1, p
 
@@ -348,9 +349,10 @@ def test_q11_single_fact_scan(spark):
     p = _plan(QUERIES["q11_part_value_threshold"](spark, SF))
     assert p.count("InMemoryTableScan") >= 2, p
     ids = {
-        re.search(r"\[l_partkey#(\d+)L", line).group(1)
+        m.group(1)
         for line in p.splitlines()
         if "FileScan" in line and "lineitem" in line
+        and (m := re.search(r"\[l_partkey#(\d+)L", line))
     }
     assert len(ids) == 1, p
 
@@ -398,3 +400,82 @@ def test_variant_stats_stays_jvm_side(spark):
     p = _plan(QUERIES["variant_props_stats"](spark, SF))
     assert "BatchEvalPython" not in p, p
     assert p.count("FileScan") == 1, p
+
+
+def test_q12_case_agg_single_shuffle(spark):
+    """Q12's two CASE-conditional SUMs must compute in ONE grouped
+    aggregation: exactly one data shuffle (the groupBy's), partial
+    aggregation upstream of it, and no self-join/double fact scan (the
+    naive two-query form). The lineitem-orders join broadcasts at this
+    SF, so every Exchange in the plan belongs to the aggregation."""
+    p = _plan(QUERIES["q12_priority_shipping"](spark, SF))
+    import re
+
+    data_exchanges = [
+        line for line in p.splitlines()
+        if re.search(r"\bExchange hashpartitioning", line)
+    ]
+    assert len(data_exchanges) == 1, p
+    assert "partial_sum" in p, p
+    assert p.count("FileScan") == 2, p  # one lineitem, one orders
+
+
+def test_q14_case_agg_no_extra_nodes(spark):
+    """Q14's CASE-guarded numerator must ride the same scalar aggregate
+    as the denominator: one SinglePartition exchange, partial_sum map-
+    side, part side broadcast, and the ship-month filter pushed to the
+    lineitem scan."""
+    p = _plan(QUERIES["q14_promo_revenue"](spark, SF))
+    assert p.count("Exchange SinglePartition") == 1, p
+    assert "Exchange hashpartitioning" not in p, p
+    assert "partial_sum" in p, p
+    assert "BroadcastHashJoin" in p, p
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in p, p
+
+
+def test_q10_limit_pushed_into_take_ordered(spark):
+    """Q10's ORDER BY + LIMIT 20 must compile to TakeOrderedAndProject
+    (per-partition 20-row heaps merged on the driver), NOT a global
+    Sort feeding a Limit — at 100 TB the aggregate output is millions
+    of customer rows and a full sort shuffle for a 20-row answer is the
+    classic anti-plan."""
+    p = _plan(QUERIES["q10_returned_items"](spark, SF))
+    assert "TakeOrderedAndProject" in p, p
+    # no global sort node outside the top-k operator
+    assert "Sort [revenue" not in p, p
+
+
+def test_plans_md_not_drifted(spark):
+    """PLANS.md is a generated fact sheet; nothing forced it to track
+    the code until now. Regenerate the row for a pinned sample of
+    queries (cheap — plans only, nothing executes) and diff the
+    scans/shuffles/bcast/py-rows columns against the committed file.
+    On mismatch: run `python tools/plan_report.py` and commit the
+    regenerated PLANS.md alongside the plan change."""
+    import re
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from plan_report import plan_row
+
+    committed = {}
+    with open("/root/repo/PLANS.md") as f:
+        for line in f:
+            m = re.match(r"\| (\w+) \| (\S+) \| (\S+) \| (\S+) \| (\S+) \|", line)
+            if m:
+                committed[m.group(1)] = m.groups()[1:5]
+
+    pinned = [
+        "q1_pricing_summary", "dedup_merge", "enrich_2of3",
+        "contacts_pipeline_e2e", "neardup_prune", "ngram_jaccard",
+        "events_gapfill", "pack_shards", "topk_parts_per_brand",
+        "q10_returned_items", "q12_priority_shipping", "q14_promo_revenue",
+        "variant_nested_extract",
+    ]
+    drifted = {}
+    for name in pinned:
+        assert name in committed, f"{name} missing from PLANS.md — regenerate it"
+        row = plan_row(spark, name, QUERIES[name], SF)
+        if row[1:5] != committed[name]:
+            drifted[name] = {"committed": committed[name], "actual": row[1:5]}
+    assert not drifted, f"PLANS.md drifted — rerun tools/plan_report.py: {drifted}"

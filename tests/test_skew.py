@@ -233,6 +233,40 @@ def test_ngram_df_cap_bounds_hot_shingle_pairs(spark):
     assert "LeftAnti" in plan, plan
 
 
+def test_dedup_components_pair_generation_is_capped(spark, tmp_path):
+    """The production cluster query (dedup_components) must inherit the
+    posting-list cap — round 6 left its pair generator uncapped, so a
+    stop-shingle in f docs contributed f² join rows before the Jaccard
+    filter even though the standalone neardup_prune was already capped.
+    Driven END-TO-END through the registered query on a CAP-SENSITIVE
+    corpus (the output discriminates capped from uncapped, so no plan
+    inspection is needed — the final executed plan is checkpoint-
+    truncated by connected_components anyway and can't show the
+    LeftAnti; the plan-level anti-join pin lives in the test above)."""
+    from bcg_contacts_data_pipeline_spark.plans.queries import QUERIES
+
+    # Hot cohort: 150 docs, each "h1 h2 h3 h4 uX" -> shingles
+    # (h1 h2 h3), (h2 h3 h4), (h3 h4 uX): two shingles shared by all
+    # 150 docs (df=150 > 100 -> capped away), one unique. Uncapped,
+    # every hot pair shares 2 of 4 shingles -> Jaccard 2/(3+3-2)=0.5
+    # >= 0.2 -> one giant 150-doc component. Capped, each hot doc keeps
+    # only its unique shingle -> all singletons.
+    rows = [(i, f"h1 h2 h3 h4 u{i}") for i in range(150)] + [
+        (200, "z1 z2 z3 z4"),  # rare near-dup pair, shingles df=2
+        (201, "z1 z2 z3 z4"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "documents.parquet")
+    docs.write.parquet(path)
+
+    out = QUERIES["dedup_components"](spark, str(tmp_path))
+    got = {r["doc_id"]: (r["component"], r["component_size"]) for r in out.collect()}
+    # capped: hot docs are singletons; rare pair clusters as (200, size 2)
+    for i in range(150):
+        assert got[i] == (i, 1), (i, got[i])
+    assert got[200] == (200, 2) and got[201] == (200, 2)
+
+
 def test_merge_empty_keys_hot_group_partial_aggregation(spark):
     """merge_empty_keys=True funnels every keyless row into ONE group —
     a hot aggregation key that AQE cannot split (skew-split applies to

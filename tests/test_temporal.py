@@ -155,3 +155,23 @@ def test_events_gapfill_shape_on_sf0001(spark):
                 assert r.n_events == 0
                 assert r.v_filled is not None
     assert some_gap, "fixture produced no gaps — test is vacuous"
+
+
+def test_gapfill_rejects_unknown_unit(spark):
+    """`unit` is interpolated into an INTERVAL literal and used as an
+    output column name, so an unsupported value must fail loudly as a
+    ValueError at plan-build time, not as an obscure Catalyst parse
+    error (or a SQL-injection surface for a library API)."""
+    import pytest
+
+    from bcg_contacts_data_pipeline_spark.operators.temporal import (
+        gapfill_forward_fill,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1.0)], "k int, ts_s string, v double"
+    ).select("k", F.to_timestamp("ts_s").alias("ts"), "v")
+    with pytest.raises(ValueError, match="unit must be one of"):
+        gapfill_forward_fill(df, "k", "ts", "v", unit="fortnight")
+    with pytest.raises(ValueError, match="unit must be one of"):
+        gapfill_forward_fill(df, "k", "ts", "v", unit="1 HOUR'); DROP --")

@@ -19,6 +19,45 @@ SHUFFLE = re.compile(
 )
 
 
+def plan_row(spark, name, fn, sf) -> tuple:
+    """One PLANS.md row for a registered query: (name, scans, shuffles,
+    bcast joins, py rows, notes) — all strings. Shared with the drift
+    test (tests/test_plans.py) so the committed fact sheet can't
+    silently diverge from the code it documents."""
+    if name.startswith("stream_"):
+        return (name, "—", "—", "—", "—", "streaming (executes on build)")
+    try:
+        p = fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
+    except Exception as ex:  # pragma: no cover - report tool
+        return (name, "?", "?", "?", "?", f"plan error: {ex}"[:60])
+    finally:
+        spark.catalog.clearCache()
+    scans: dict[str, set] = {}
+    for line in p.splitlines():
+        t = re.search(r"/(\w+)\.parquet", line)
+        if "FileScan" in line and t:
+            sig = tuple(re.findall(r"#\d+", line.split("Batched")[0]))
+            scans.setdefault(t.group(1), set()).add(sig)
+    n_scans = sum(len(v) for v in scans.values())
+    n_shuffle = len(SHUFFLE.findall(p))
+    n_bcast = p.count("BroadcastHashJoin")
+    py = p.count("BatchEvalPython")
+    arrow = (
+        p.count("FlatMapGroupsInPandas")
+        + p.count("FlatMapCoGroupsInPandas")
+        + p.count("MapInPandas")
+        + p.count("ArrowEvalPython")
+    )
+    note = []
+    if py:
+        note.append(f"ROW-WISE PYTHON x{py}")
+    if arrow:
+        note.append(f"arrow-batched x{arrow}")
+    if "InMemoryTableScan" in p:
+        note.append("pinned reuse")
+    return (name, str(n_scans), str(n_shuffle), str(n_bcast), str(py), ", ".join(note))
+
+
 def main() -> None:
     from bcg_contacts_data_pipeline_spark.plans.queries import QUERIES
     from bcg_contacts_data_pipeline_spark.session import get_spark
@@ -27,43 +66,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     sf = "/root/testdata/sf0.001"
 
-    rows = []
-    for name, fn in QUERIES.items():
-        if name.startswith("stream_"):
-            rows.append((name, "—", "—", "—", "—", "streaming (executes on build)"))
-            continue
-        try:
-            p = fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
-        except Exception as ex:  # pragma: no cover - report tool
-            rows.append((name, "?", "?", "?", "?", f"plan error: {ex}"[:60]))
-            continue
-        scans: dict[str, set] = {}
-        for line in p.splitlines():
-            t = re.search(r"/(\w+)\.parquet", line)
-            if "FileScan" in line and t:
-                sig = tuple(re.findall(r"#\d+", line.split("Batched")[0]))
-                scans.setdefault(t.group(1), set()).add(sig)
-        n_scans = sum(len(v) for v in scans.values())
-        n_shuffle = len(SHUFFLE.findall(p))
-        n_bcast = p.count("BroadcastHashJoin")
-        py = p.count("BatchEvalPython")
-        arrow = (
-            p.count("FlatMapGroupsInPandas")
-            + p.count("FlatMapCoGroupsInPandas")
-            + p.count("MapInPandas")
-            + p.count("ArrowEvalPython")
-        )
-        note = []
-        if py:
-            note.append(f"ROW-WISE PYTHON x{py}")
-        if arrow:
-            note.append(f"arrow-batched x{arrow}")
-        if "InMemoryTableScan" in p:
-            note.append("pinned reuse")
-        rows.append(
-            (name, str(n_scans), str(n_shuffle), str(n_bcast), str(py), ", ".join(note))
-        )
-        spark.catalog.clearCache()
+    rows = [plan_row(spark, name, fn, sf) for name, fn in QUERIES.items()]
 
     with open("/root/repo/PLANS.md", "w") as f:
         f.write(
