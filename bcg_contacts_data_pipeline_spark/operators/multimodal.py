@@ -13,28 +13,31 @@ Design rules (the parts that matter at 100 TB):
   per-batch memory for wide binary payloads.
 - Metadata extraction yields a SMALL projection (drop the payload as early
   as the plan allows) so downstream joins/aggs never shuffle blobs.
-- Decoders are pluggable: the real decoder is gated behind an import-try
-  (PIL / soundfile / av are not in this container); the default is a
-  deterministic fake derived from the payload bytes, which keeps every
-  pipeline stage testable and oracle-checkable. The fake's arithmetic is
-  intentionally SQL-expressible (hex-char ascii math) so DuckDB can verify
-  the full mapInPandas round trip.
+- IMAGE decode is REAL: ``parse_image_meta`` reads PNG IHDR, JPEG SOF,
+  and WebP-VP8L headers with stdlib ``struct`` — no imaging library
+  needed for metadata, which is what a 100 TB curation pass actually
+  extracts (pixel decode belongs to the training loader, not the
+  curation engine). The test fixture (``synthesize_image_payload``)
+  emits GENUINE minimal image bytes (valid zlib-compressed PNG; JFIF
+  JPEG with a real SOF0 segment; RIFF/VP8L WebP) whose dimensions are
+  derived from the text column with SQL-expressible arithmetic, so a
+  DuckDB oracle can verify the synthesize->encode->parse round trip
+  end to end.
+- AUDIO/VIDEO decoders remain deterministic fakes (soundfile / av are
+  not in this container and their containers aren't parseable in a few
+  stdlib lines); the fakes' arithmetic is SQL-expressible (hex-char
+  ascii math) so the mapInPandas plumbing stays oracle-checkable.
 """
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-try:  # pragma: no cover - PIL is not installed in the test container
-    from PIL import Image  # noqa: F401
-
-    _HAVE_PIL = True
-except ImportError:
-    _HAVE_PIL = False
 
 
 # ---------------------------------------------------------------------------
@@ -51,45 +54,166 @@ def with_fake_payload(df: DataFrame, text_col: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Image decode
+# Image synthesis (real bytes) + image header parse (real parse)
 # ---------------------------------------------------------------------------
 
 IMAGE_META_SCHEMA = (
     "doc_id bigint, n_bytes int, width int, height int, format string"
 )
 
-_FORMATS = ["png", "jpeg", "webp"]
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
-def _fake_image_meta(b: bytes) -> tuple[int, int, str]:
-    """Deterministic stand-in for a real image header parse. Uses ascii
-    codes of the payload's first hex chars so a SQL oracle can reproduce it
-    exactly (ascii(substr(hex,1,1)) etc.)."""
-    h = b.hex()
-    width = 16 + ord(h[0]) + 2 * ord(h[1])
-    height = 16 + ord(h[2]) + 2 * ord(h[3])
-    fmt = _FORMATS[(ord(h[4]) + ord(h[5])) % 3]
-    return width, height, fmt
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def png_bytes(width: int, height: int) -> bytes:
+    """A COMPLETE, spec-valid grayscale PNG: signature, IHDR, one IDAT
+    holding zlib-compressed scanlines (filter byte 0 + `width` zero
+    pixels per row), IEND — every chunk CRC'd. Any conformant PNG
+    decoder reads this back as a width x height black image."""
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = (b"\x00" + bytes(width)) * height
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def jpeg_bytes(width: int, height: int) -> bytes:
+    """A JFIF JPEG header stream: SOI, APP0 (JFIF 1.1), a real SOF0
+    frame segment carrying (precision=8, height, width, 1 grayscale
+    component), EOI. No entropy-coded scan — header-complete is what a
+    metadata pass reads; pixel decode is the training loader's job."""
+    app0 = (
+        b"\xff\xe0"
+        + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00"
+        + struct.pack(">HHBB", 1, 1, 0, 0)
+    )
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 11)
+        + b"\x08"
+        + struct.pack(">HH", height, width)
+        + b"\x01\x01\x11\x00"
+    )
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def webp_bytes(width: int, height: int) -> bytes:
+    """A RIFF/WEBP container with a VP8L chunk header: the lossless
+    signature byte 0x2F then 14-bit (width-1), 14-bit (height-1),
+    alpha and version bits — little-endian, exactly as libwebp lays
+    them out. Dimension-complete; no lossless bitstream follows."""
+    if not (1 <= width <= 1 << 14 and 1 <= height <= 1 << 14):
+        raise ValueError("VP8L dimensions are 14-bit")
+    bits = (width - 1) | ((height - 1) << 14)
+    vp8l = b"\x2f" + struct.pack("<I", bits)
+    riff_payload = b"WEBP" + b"VP8L" + struct.pack("<I", len(vp8l)) + vp8l
+    if len(vp8l) % 2:
+        riff_payload += b"\x00"  # RIFF chunks are 2-byte aligned
+    return b"RIFF" + struct.pack("<I", len(riff_payload)) + riff_payload
+
+
+def parse_image_meta(b: bytes) -> tuple[int, int, str]:
+    """Real image-header parse, stdlib only: PNG IHDR (with CRC check),
+    JPEG marker walk to the SOF segment, WebP RIFF/VP8L bit unpack.
+    Raises ValueError on anything unrecognized — silent garbage is how
+    corrupt scrape payloads poison a corpus."""
+    if b[:8] == _PNG_SIG:
+        if b[12:16] != b"IHDR":
+            raise ValueError("PNG missing IHDR")
+        (crc,) = struct.unpack(">I", b[29:33])
+        if crc != zlib.crc32(b[12:29]) & 0xFFFFFFFF:
+            raise ValueError("PNG IHDR CRC mismatch")
+        w, h = struct.unpack(">II", b[16:24])
+        return w, h, "png"
+    if b[:2] == b"\xff\xd8":
+        i = 2
+        while i + 4 <= len(b):
+            if b[i] != 0xFF:
+                raise ValueError("JPEG marker stream desynced")
+            marker = b[i + 1]
+            if marker == 0xD9:  # EOI before any SOF
+                break
+            if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+                i += 2  # standalone markers carry no length
+                continue
+            (seglen,) = struct.unpack(">H", b[i + 2 : i + 4])
+            # SOF0-SOF15 minus the non-frame C-class markers (DHT/JPG/DAC)
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                return w, h, "jpeg"
+            i += 2 + seglen
+        raise ValueError("no SOF marker in JPEG stream")
+    if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+        if b[12:16] == b"VP8L" and len(b) >= 25 and b[20] == 0x2F:
+            bits = int.from_bytes(b[21:25], "little")
+            return (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1, "webp"
+        raise ValueError("unsupported WEBP variant")
+    raise ValueError("unrecognized image container")
+
+
+IMAGE_PAYLOAD_SCHEMA = "doc_id bigint, payload binary"
+
+
+def synthesize_image_payload(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Fixture path: derive (width, height, format) from the text column
+    with SQL-expressible arithmetic, then emit GENUINE image bytes for
+    those dimensions. The oracle twin recomputes the dimensions from
+    ``length(text)`` directly; Spark must round-trip them through real
+    encode + real parse to agree:
+
+        width  = 16 + length(text) % 64
+        height = 16 + (length(text) * 7) % 64
+        format = ['png','jpeg','webp'][length(text) % 3]
+
+    mapInPandas (not a JVM expression) because PNG needs zlib — it's a
+    fixture synthesizer; production pipelines read binary columns
+    straight from parquet."""
+
+    synth = {0: png_bytes, 1: jpeg_bytes, 2: webp_bytes}
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            lens = [len(t) for t in pdf[text_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "payload": [
+                        synth[n % 3](16 + n % 64, 16 + (n * 7) % 64)
+                        for n in lens
+                    ],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        batches, IMAGE_PAYLOAD_SCHEMA
+    )
 
 
 def decode_image_meta(
     df: DataFrame, id_col: str, payload_col: str = "payload"
 ) -> DataFrame:
-    """payload binary -> (doc_id, n_bytes, width, height, format).
-
-    Real-decode path (PIL) raises until the dependency is provisioned; the
-    Spark-side plumbing (schema, Arrow batching, payload pruning) is
-    identical for both paths.
-    """
+    """payload binary -> (doc_id, n_bytes, width, height, format) by
+    actually parsing the bytes (``parse_image_meta``). Arrow-batched
+    mapInPandas; the payload is pruned from the output so downstream
+    plan stages never shuffle blobs."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if _HAVE_PIL:  # pragma: no cover
-                raise NotImplementedError(
-                    "real image decode not wired: install path exists but "
-                    "this build ships the deterministic fake only"
-                )
-            metas = [_fake_image_meta(b) for b in pdf[payload_col]]
+            metas = [parse_image_meta(b) for b in pdf[payload_col]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),

@@ -1212,37 +1212,50 @@ def q_stream_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Multimodal binary columns (beyond-reference; mapInPandas plumbing with a
-# deterministic fake decoder whose arithmetic a SQL oracle can replicate).
+# Multimodal binary columns (beyond-reference). IMAGE metadata is a REAL
+# header parse over real synthesized bytes (PNG/JPEG/WebP, see
+# operators/multimodal.py); audio/video decode remains the documented
+# deterministic fake (no soundfile/av in this container) whose arithmetic
+# a SQL oracle can replicate.
 # ---------------------------------------------------------------------------
 
-# payload = unhex(repeat(md5(text), 1 + length(text) % 8)): 16..128 bytes.
-# The fake decoders read hex chars of the payload, which equal md5(text)'s
-# chars, so the oracle works from md5(text) directly.
+# Fake-decoder payload = unhex(repeat(md5(text), 1 + length(text) % 8)):
+# 16..128 bytes. The fake decoders read hex chars of the payload, which
+# equal md5(text)'s chars, so the oracle works from md5(text) directly.
 _MD5 = "md5(text)"
 _A = "ascii(substr(md5(text), {i}, 1))"
 
 
 @register(
     "media_image_meta",
-    oracle=f"""
+    oracle="""
     SELECT doc_id,
-           CAST(16 * (1 + length(text) % 8) AS INT) AS n_bytes,
-           CAST(16 + {_A.format(i=1)} + 2 * {_A.format(i=2)} AS INT) AS width,
-           CAST(16 + {_A.format(i=3)} + 2 * {_A.format(i=4)} AS INT) AS height,
-           CASE ({_A.format(i=5)} + {_A.format(i=6)}) % 3
+           CAST(16 + length(text) % 64 AS INT) AS width,
+           CAST(16 + (length(text) * 7) % 64 AS INT) AS height,
+           CASE length(text) % 3
                 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp'
            END AS format
     FROM documents
     """,
 )
 def q_media_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary image column -> typed metadata via Arrow-batched mapInPandas
-    (payload synthesized JVM-side, decoded by the deterministic fake)."""
+    """Binary image column -> typed metadata by REAL header parsing:
+    the fixture synthesizes genuine PNG / JFIF-JPEG / RIFF-VP8L bytes
+    with dimensions derived from ``length(text)``, and the decode stage
+    reads them back from the actual IHDR / SOF0 / VP8L headers
+    (operators/multimodal.py:parse_image_meta — stdlib struct+zlib, no
+    imaging library). The oracle recomputes the dimensions from the
+    text length, so a hash match proves the encode->parse round trip.
+    n_bytes is dropped from the query surface: PNG's IDAT length is a
+    zlib artifact no SQL oracle should re-derive (covered by unit
+    tests instead)."""
     from bcg_contacts_data_pipeline_spark.operators import multimodal as M
 
     docs = _t(spark, sf_dir, "documents")
-    return M.decode_image_meta(M.with_fake_payload(docs, "text"), "doc_id")
+    payload = M.synthesize_image_payload(docs, "doc_id", "text")
+    return M.decode_image_meta(payload, "doc_id").select(
+        "doc_id", "width", "height", "format"
+    )
 
 
 @register(

@@ -24,18 +24,72 @@ def test_payload_is_md5_repeat(spark, docs):
     assert 16 <= len(row.payload) <= 128
 
 
+def test_image_roundtrip_real_bytes():
+    """Every synthesizer's output parses back to its own dimensions —
+    driver-side, no Spark, the core encode->parse contract."""
+    for w, h in [(1, 1), (16, 79), (64, 16), (640, 480), (16383, 1)]:
+        for fmt, synth in (
+            ("png", M.png_bytes),
+            ("jpeg", M.jpeg_bytes),
+            ("webp", M.webp_bytes),
+        ):
+            if fmt != "webp" and (w > 65535 or h > 65535):
+                continue
+            assert M.parse_image_meta(synth(w, h)) == (w, h, fmt)
+
+
+def test_png_is_spec_valid():
+    """The PNG fixture is a COMPLETE image, not just a header: IDAT
+    inflates to exactly height filtered scanlines of width zero-pixels,
+    and every chunk CRC verifies."""
+    import struct
+    import zlib
+
+    b = M.png_bytes(23, 7)
+    assert b[:8] == b"\x89PNG\r\n\x1a\n"
+    pos, chunks = 8, []
+    while pos < len(b):
+        (ln,) = struct.unpack(">I", b[pos : pos + 4])
+        tag = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack(">I", b[pos + 8 + ln : pos + 12 + ln])
+        assert crc == zlib.crc32(tag + data) & 0xFFFFFFFF, tag
+        chunks.append((tag, data))
+        pos += 12 + ln
+    assert [t for t, _ in chunks] == [b"IHDR", b"IDAT", b"IEND"]
+    raw = zlib.decompress(chunks[1][1])
+    assert raw == (b"\x00" + bytes(23)) * 7
+
+
+def test_parse_rejects_garbage_and_corruption():
+    with pytest.raises(ValueError, match="unrecognized"):
+        M.parse_image_meta(b"\x00" * 64)
+    # corrupt the IHDR CRC: silent garbage must not pass
+    png = bytearray(M.png_bytes(8, 8))
+    png[30] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        M.parse_image_meta(bytes(png))
+    # JPEG with no SOF segment
+    with pytest.raises(ValueError, match="SOF"):
+        M.parse_image_meta(b"\xff\xd8\xff\xd9")
+
+
 def test_image_meta_schema_and_values(spark, docs):
-    out = M.decode_image_meta(M.with_fake_payload(docs, "text"), "doc_id")
+    out = M.decode_image_meta(
+        M.synthesize_image_payload(docs, "doc_id", "text"), "doc_id"
+    )
     assert out.schema.simpleString() == (
         "struct<doc_id:bigint,n_bytes:int,width:int,height:int,format:string>"
     )
     rows = out.collect()
     assert len(rows) == docs.count()
-    for r in rows[:20]:
-        assert 16 <= r.n_bytes <= 128 and r.n_bytes % 16 == 0
-        assert r.format in ("png", "jpeg", "webp")
-        # hex chars are 0-9a-f: ascii 48..57 / 97..102
-        assert 16 + 48 + 2 * 48 <= r.width <= 16 + 102 + 2 * 102
+    texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    for r in rows[:50]:
+        n = len(texts[r.doc_id])
+        assert r.width == 16 + n % 64
+        assert r.height == 16 + (n * 7) % 64
+        assert r.format == ["png", "jpeg", "webp"][n % 3]
+        assert r.n_bytes > 0
 
 
 def test_frame_sample_fanout_and_bytes(spark, docs):
