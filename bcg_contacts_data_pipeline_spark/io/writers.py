@@ -55,14 +55,30 @@ def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append") -> Non
 
 
 def write_columnar(
-    df: DataFrame, path: str, fmt: str = "parquet", partition_by: list[str] | None = None
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    partition_by: list[str] | None = None,
+    sort_within: list[str] | None = None,
 ) -> None:
     """Columnar lake sink (parquet or orc) with optional hive-style
     partitioning — the scale path for intermediate/curated datasets.
     Partition columns become directories, so downstream readers get
-    partition pruning for free on those predicates."""
+    partition pruning for free on those predicates.
+
+    ``sort_within`` clusters rows by the given columns INSIDE each
+    output file (``sortWithinPartitions`` — no global sort, no extra
+    shuffle): parquet/orc footers then carry tight non-overlapping
+    min/max stats per row group, so selective point/range reads on
+    those columns skip whole row groups instead of decoding them — the
+    second data-skipping lever after directory-level pruning, and the
+    one that matters for high-cardinality columns that can't be
+    partition keys (asserted against real footers in tests/test_io.py).
+    """
     if fmt not in ("parquet", "orc"):
         raise ValueError(f"columnar formats are parquet|orc, got {fmt!r}")
+    if sort_within:
+        df = df.sortWithinPartitions(*sort_within)
     w = df.write.mode("overwrite").format(fmt)
     if partition_by:
         w = w.partitionBy(*partition_by)

@@ -281,3 +281,198 @@ def variant_nested_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("missing_k").alias("n_missing_nonnull"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 dimension build — the incremental-warehouse shape cdc.upsert_latest
+# (type 1) doesn't cover: full version history with validity intervals.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scd2_order_status",
+    oracle="""
+    WITH ordered AS (
+      SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus,
+             row_number() OVER w AS rn,
+             lag(o_orderstatus) OVER w AS prev
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+    kept AS (
+      SELECT * FROM ordered
+      WHERE rn = 1 OR o_orderstatus IS DISTINCT FROM prev)
+    SELECT o_custkey,
+           CAST(row_number() OVER w2 AS INT) AS version,
+           o_orderstatus,
+           o_orderdate AS effective_from,
+           lead(o_orderdate) OVER w2 AS effective_to,
+           (lead(o_orderdate) OVER w2 IS NULL) AS is_current
+    FROM kept
+    WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def scd2_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing dimension built from a change log: per
+    customer, the history of order-status transitions with
+    effective_from/effective_to validity intervals and is_current —
+    heartbeat events restating the previous status are collapsed (the
+    SCD2 contract: a version means something CHANGED). One hash
+    shuffle + one sort; the collapse filter, renumber and lead() all
+    ride the same sorted partition (plan-asserted). o_orderkey breaks
+    same-day ties deterministically on both engines."""
+    from bcg_contacts_data_pipeline_spark.operators.cdc import scd2_history
+
+    o = _t(spark, sf_dir, "orders")
+    return scd2_history(
+        o,
+        keys=["o_custkey"],
+        ts_col="o_orderdate",
+        attr_cols=["o_orderstatus"],
+        tiebreak="o_orderkey",
+    ).select(
+        "o_custkey", "version", "o_orderstatus",
+        "effective_from", "effective_to", "is_current",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup graph introspection: degree distribution of the capped pair
+# graph — the health metric a dedup operator watches (a fat tail says the
+# cap/threshold is wrong before the CC join melts down).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "neardup_degree_hist",
+    oracle="""
+    WITH sh_all AS (
+      SELECT doc_id,
+             unnest(list_distinct([lower(t[i]) || ' ' || lower(t[i+1]) || ' ' || lower(t[i+2])
+                    for i in range(1, greatest(len(t)-1, 1))])) AS s
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents WHERE length(trim(text)) > 0)),
+    hot AS (SELECT s FROM sh_all GROUP BY s HAVING COUNT(*) > 100),
+    sh AS (SELECT * FROM sh_all WHERE s NOT IN (SELECT s FROM hot)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    edges AS (
+      SELECT id_a, id_b FROM shared
+      JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.2),
+    deg AS (
+      SELECT d.doc_id,
+             COALESCE(e.cnt, 0) AS degree
+      FROM documents d
+      LEFT JOIN (
+        SELECT node, COUNT(*) AS cnt FROM (
+          SELECT id_a AS node FROM edges
+          UNION ALL SELECT id_b FROM edges) sym
+        GROUP BY node) e ON e.node = d.doc_id)
+    SELECT CAST(degree AS BIGINT) AS degree,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM deg GROUP BY degree
+    """,
+)
+def neardup_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the (capped, threshold 0.2) near-dup pair
+    graph, zero-degree docs included — the operational dashboard for a
+    dedup pass: the mass at degree 0 is the unique corpus, the tail
+    width predicts component sizes, and a sudden fat tail is the first
+    sign a stop-shingle slipped the cap. Pairs come from the same
+    capped generator as dedup_components; degrees are one union+agg
+    over the pair list (each edge contributes to both endpoints), then
+    a count-of-counts — the Q13 shape over a derived graph."""
+    from bcg_contacts_data_pipeline_spark.operators.similarity import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.2, max_df=100
+    )
+    deg = (
+        pairs.select(F.col("id_a").alias("node"))
+        .unionByName(pairs.select(F.col("id_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(deg, docs["doc_id"] == deg["node"], "left")
+        .select(F.coalesce(F.col("cnt"), F.lit(0)).alias("degree"))
+        .groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-rate anomaly detection: z-score of hourly volume vs the type's
+# own history, engine-exact via integer sums (no stddev_samp — its
+# accumulation order differs between engines).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_rate_anomaly",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2),
+    stats AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_hours,
+             CAST(SUM(cnt) AS BIGINT) AS s1,
+             CAST(SUM(cnt * cnt) AS BIGINT) AS s2
+      FROM hourly GROUP BY 1)
+    SELECT h.event_type, h.hour, h.cnt,
+           CAST((CAST(h.cnt AS DOUBLE) - CAST(s.s1 AS DOUBLE) / CAST(s.n_hours AS DOUBLE))
+                / sqrt((CAST(s.s2 AS DOUBLE) - CAST(s.s1 AS DOUBLE) * CAST(s.s1 AS DOUBLE) / CAST(s.n_hours AS DOUBLE))
+                       / CAST(s.n_hours - 1 AS DOUBLE)) AS DOUBLE) AS z
+    FROM hourly h JOIN stats s ON s.event_type = h.event_type
+    WHERE s.n_hours > 1
+      AND CAST(s.s2 AS DOUBLE) - CAST(s.s1 AS DOUBLE) * CAST(s.s1 AS DOUBLE) / CAST(s.n_hours AS DOUBLE) > 0
+      AND abs((CAST(h.cnt AS DOUBLE) - CAST(s.s1 AS DOUBLE) / CAST(s.n_hours AS DOUBLE))
+              / sqrt((CAST(s.s2 AS DOUBLE) - CAST(s.s1 AS DOUBLE) * CAST(s.s1 AS DOUBLE) / CAST(s.n_hours AS DOUBLE))
+                     / CAST(s.n_hours - 1 AS DOUBLE))) > 2.0
+    """,
+)
+def event_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: hours where an event type's count sits
+    more than 2 sample standard deviations from that type's own hourly
+    mean. The z-score is computed from EXACT integer sums (n, sum,
+    sum-of-squares) with the identical IEEE expression on both engines
+    — never stddev_samp, whose accumulation order is engine-specific.
+    The hourly aggregate feeds two consumers (the per-type stats and
+    the probe side) and identical exchanges are not deduplicated across
+    references on this engine, so it is pinned — one events scan. The
+    per-type stats frame is rows = |event types|, broadcast by AQE."""
+    from bcg_contacts_data_pipeline_spark.operators.pins import pin
+
+    ev = _events(spark, sf_dir)
+    hourly = pin(
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+        ).agg(F.count(F.lit(1)).alias("cnt")),
+        None,
+    )
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("cnt").alias("s1"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("s2"),
+    )
+    s1 = F.col("s1").cast("double")
+    n = F.col("n_hours").cast("double")
+    var_num = F.col("s2").cast("double") - s1 * s1 / n
+    z = (F.col("cnt").cast("double") - s1 / n) / F.sqrt(
+        var_num / (F.col("n_hours") - 1).cast("double")
+    )
+    return (
+        hourly.join(stats, "event_type")
+        .filter((F.col("n_hours") > 1) & (var_num > 0))
+        .select("event_type", "hour", "cnt", z.alias("z"))
+        .filter(F.abs(F.col("z")) > 2.0)
+    )

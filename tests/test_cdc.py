@@ -106,3 +106,66 @@ def test_upsert_latest_null_version_fails_loudly(spark):
     )
     with pytest.raises(SparkRuntimeException, match="NULL ver"):
         upsert_latest(base, bad, ["k"], "ver").collect()
+
+
+def test_scd2_history_collapses_and_intervals(spark):
+    """SCD2 semantics on a handcrafted log: heartbeats restating the
+    same value produce NO new version; intervals chain exactly
+    (effective_to = next effective_from); the open version is
+    is_current; a NULL attribute on the first event is kept."""
+    from bcg_contacts_data_pipeline_spark.operators.cdc import scd2_history
+
+    rows = [
+        # entity 1: A -> A (heartbeat, collapsed) -> B -> B -> A
+        (1, "2024-01-01 00:00:00", 1, "A"),
+        (1, "2024-01-02 00:00:00", 2, "A"),
+        (1, "2024-01-03 00:00:00", 3, "B"),
+        (1, "2024-01-04 00:00:00", 4, "B"),
+        (1, "2024-01-05 00:00:00", 5, "A"),
+        # entity 2: starts NULL (must be kept), then X
+        (2, "2024-01-01 00:00:00", 6, None),
+        (2, "2024-01-02 00:00:00", 7, "X"),
+        # entity 3: same-ts tie broken by seq
+        (3, "2024-01-01 00:00:00", 9, "Q"),
+        (3, "2024-01-01 00:00:00", 8, "P"),
+    ]
+    df = spark.createDataFrame(
+        rows, "k int, ts_s string, seq int, status string"
+    ).select("k", F.to_timestamp("ts_s").alias("ts"), "seq", "status")
+
+    out = scd2_history(
+        df, ["k"], "ts", ["status"], tiebreak="seq"
+    ).collect()
+    hist = {}
+    for r in out:
+        hist.setdefault(r.k, []).append(r)
+    for v in hist.values():
+        v.sort(key=lambda r: r.version)
+
+    assert [r.status for r in hist[1]] == ["A", "B", "A"]
+    assert [r.version for r in hist[1]] == [1, 2, 3]
+    # intervals chain: effective_to == next effective_from
+    for a, b in zip(hist[1], hist[1][1:]):
+        assert a.effective_to == b.effective_from
+    assert hist[1][-1].is_current and hist[1][-1].effective_to is None
+    assert not hist[1][0].is_current
+
+    assert [r.status for r in hist[2]] == [None, "X"]
+    # same-ts tie: seq 8 ("P") precedes seq 9 ("Q")
+    assert [r.status for r in hist[3]] == ["P", "Q"]
+
+
+def test_scd2_no_collapse_keeps_heartbeats(spark):
+    from bcg_contacts_data_pipeline_spark.operators.cdc import scd2_history
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01", "A"), (1, "2024-01-02", "A")],
+        "k int, ts_s string, status string",
+    ).select("k", F.to_timestamp("ts_s").alias("ts"), "status")
+    assert scd2_history(df, ["k"], "ts", ["status"]).count() == 1
+    assert (
+        scd2_history(
+            df, ["k"], "ts", ["status"], collapse_unchanged=False
+        ).count()
+        == 2
+    )

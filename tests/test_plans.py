@@ -479,3 +479,30 @@ def test_plans_md_not_drifted(spark):
         if row[1:5] != committed[name]:
             drifted[name] = {"committed": committed[name], "actual": row[1:5]}
     assert not drifted, f"PLANS.md drifted — rerun tools/plan_report.py: {drifted}"
+
+
+def test_scd2_single_shuffle_and_sort(spark):
+    """The SCD2 build is windows-over-one-partitioning: collapse filter,
+    renumber, and lead() must all ride ONE hash exchange of the orders
+    scan — a second exchange or scan means the window specs diverged."""
+    p = _plan(QUERIES["scd2_order_status"](spark, SF))
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert p.count("FileScan") == 1, p
+
+
+def test_event_rate_anomaly_single_events_scan(spark):
+    """The hourly aggregate feeds two consumers (per-type stats + probe
+    side); it is pinned, so both read the cache and only one DISTINCT
+    events scan exists (the InMemoryRelation build plan reprints its
+    scan line at each reference — same exprIds, the q15 pattern)."""
+    import re
+
+    p = _plan(QUERIES["event_rate_anomaly"](spark, SF))
+    assert p.count("InMemoryTableScan") >= 2, p
+    ids = {
+        m.group(1)
+        for line in p.splitlines()
+        if "FileScan" in line and "events" in line
+        and (m := re.search(r"\[event_id#(\d+)L", line))
+    }
+    assert len(ids) <= 1, p
