@@ -1106,3 +1106,58 @@ def embedding_pairs_lsh(
     return bucketed.groupBy("__b").applyInPandas(
         bucket_hits, "id_a long, id_b long"
     )
+
+
+def fuzzy_pairs_blocked(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    blocking: list[Column],
+    max_distance: int = 1,
+    max_block: int | None = None,
+) -> DataFrame:
+    """Fuzzy record-linkage pairs: Levenshtein distance <= ``max_distance``
+    within blocking buckets — the classic contact-dedup shape the
+    reference's exact-key dedup (clean_contacts.py dedup key) cannot
+    express (a typo'd email/name never equals its twin exactly).
+
+    ``blocking`` is the scale contract: edit distance is not
+    hash-joinable, so candidate pairs come from a self-equi-join on the
+    blocking expressions (e.g. name length band + prefix) and ONLY
+    in-block pairs pay the O(len²) levenshtein, computed JVM-side by
+    Catalyst's built-in. |pairs| = sum over blocks of |B|² — bounded by
+    the blocking design, never corpus². A block key shared by B records
+    is the same quadratic hazard as a hot shingle; ``max_block`` drops
+    over-sized blocks before the join (anti-join on the tiny hot set,
+    same recipe as ``ngram_jaccard_pairs.max_df``). Recall note: a pair
+    is found only if SOME blocking expression agrees — standard
+    multi-pass linkage runs several blocking schemes and unions.
+
+    Output: (id_a, id_b, name_a, name_b, distance), id_a < id_b.
+    """
+    b_cols = [e.alias(f"__b{i}") for i, e in enumerate(blocking)]
+    base = df.select(
+        F.col(id_col).alias("__id"), F.col(text_col).alias("__name"), *b_cols
+    )
+    keys = [f"__b{i}" for i in range(len(blocking))]
+    if max_block is not None:
+        hot = (
+            base.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_block)
+            .select(*keys)
+        )
+        base = base.join(hot, keys, "left_anti")
+    a = base.select(
+        F.col("__id").alias("id_a"), F.col("__name").alias("name_a"), *keys
+    )
+    b = base.select(
+        F.col("__id").alias("id_b"), F.col("__name").alias("name_b"), *keys
+    )
+    return (
+        a.join(b, keys)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("distance", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("distance") <= max_distance)
+        .select("id_a", "id_b", "name_a", "name_b", "distance")
+    )

@@ -476,3 +476,247 @@ def event_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "hour", "cnt", z.alias("z"))
         .filter(F.abs(F.col("z")) > 2.0)
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval — the keyword-search scoring a curation pipeline
+# uses for targeted corpus slicing (find docs about X to up/down-sample).
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "vector", "stream")
+
+
+def _bm25_oracle() -> str:
+    tf = {
+        t: f"CAST(len(list_filter(toks, x -> x = '{t}')) AS DOUBLE)"
+        for t in _BM25_TERMS
+    }
+    dfsum = {
+        t: f"CAST(SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        for t in _BM25_TERMS
+    }
+    idf = {
+        t: (
+            f"((CAST(n_docs AS DOUBLE) - CAST(df_{t} AS DOUBLE) + 0.5)"
+            f" / (CAST(df_{t} AS DOUBLE) + 0.5))"
+        )
+        for t in _BM25_TERMS
+    }
+    ts = {
+        t: (
+            f"({idf[t]} * ((tf_{t} * 2.2) / (tf_{t} + 1.2 *"
+            f" (0.25 + 0.75 * (dl / (CAST(sdl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))))"
+        )
+        for t in _BM25_TERMS
+    }
+    t1, t2, t3 = (_BM25_TERMS[0], _BM25_TERMS[1], _BM25_TERMS[2])
+    return f"""
+    WITH tok AS (
+      SELECT doc_id,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+      FROM documents WHERE length(trim(text)) > 0),
+    feat AS (
+      SELECT doc_id,
+             CAST(len(toks) AS DOUBLE) AS dl,
+             {tf[t1]} AS tf_{t1},
+             {tf[t2]} AS tf_{t2},
+             {tf[t3]} AS tf_{t3}
+      FROM tok),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CAST(dl AS BIGINT)) AS BIGINT) AS sdl,
+             {dfsum[t1]} AS df_{t1},
+             {dfsum[t2]} AS df_{t2},
+             {dfsum[t3]} AS df_{t3}
+      FROM feat)
+    SELECT doc_id,
+           CAST({ts[t1]} + {ts[t2]} + {ts[t3]} AS DOUBLE) AS score
+    FROM feat, stats
+    ORDER BY score DESC, doc_id
+    LIMIT 10
+    """
+
+
+@register("bm25_topk", oracle=_bm25_oracle())
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (k1=1.2, b=0.75) top-10 for a fixed three-term query over
+    the documents table. Rational idf variant — (N - df + 0.5)/(df + 0.5)
+    without the log: the log is monotone in idf so single-term rankings
+    are identical, and dropping it keeps every arithmetic step an IEEE
+    op written in the SAME order in both engines (ln() rounding is
+    libm-specific; this board's contract is hash-exact floats).
+
+    Scale shape: per-doc features (dl, per-term tf) are a narrow
+    projection computed in two consumers — the corpus-stats aggregate
+    (one row: N, total length, per-term df) and the scoring probe. The
+    stats row broadcasts back (1-row crossJoin, the established scalar
+    -attach pattern); the top-10 compiles to TakeOrderedAndProject.
+    The feature frame is deliberately NOT persisted: it is O(corpus)
+    — at 100 TB two narrow scans beat materializing an N-row cache
+    (the q15 pin pattern applies to SMALL aggregates only)."""
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+
+    def _eq(term):
+        # NB: a default-arg lambda (lambda x, t=term: ...) would be seen
+        # by the higher-order-function binder as the 2-ary (element,
+        # index) form — close over the term instead
+        return lambda x: x == F.lit(term)
+
+    feat = docs.select(
+        "doc_id",
+        F.size(toks).cast("double").alias("dl"),
+        *[
+            F.size(F.filter(toks, _eq(t))).cast("double").alias(f"tf_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    stats = feat.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("dl").cast("bigint")).alias("sdl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    avgdl = F.col("sdl").cast("double") / F.col("n_docs").cast("double")
+    score = None
+    for t in _BM25_TERMS:
+        idf = (
+            F.col("n_docs").cast("double") - F.col(f"df_{t}").cast("double") + F.lit(0.5)
+        ) / (F.col(f"df_{t}").cast("double") + F.lit(0.5))
+        ts = idf * (
+            (F.col(f"tf_{t}") * F.lit(2.2))
+            / (
+                F.col(f"tf_{t}")
+                + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * (F.col("dl") / avgdl))
+            )
+        )
+        score = ts if score is None else score + ts
+    return (
+        feat.crossJoin(F.broadcast(stats))
+        .select("doc_id", score.alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17: correlated scalar-AVG subquery against the fact table itself
+# — decorrelated to a per-key aggregate joined back to the same fact.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    WITH brand_parts AS (
+      SELECT p_partkey FROM part WHERE p_brand = 'Brand#23'),
+    per_part AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sq,
+             CAST(COUNT(*) AS BIGINT) AS cq
+      FROM lineitem JOIN brand_parts ON p_partkey = l_partkey
+      GROUP BY l_partkey)
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                / 7.0 AS DOUBLE) AS avg_yearly,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    JOIN per_part ON per_part.l_partkey = lineitem.l_partkey
+    WHERE CAST(l_quantity AS DOUBLE) < 0.2 * (sq / CAST(cq AS DOUBLE))
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: the correlated scalar subquery
+    ``l_quantity < 0.2 * (SELECT AVG(l_quantity) ... WHERE l_partkey =
+    outer.l_partkey)`` decorrelated by hand into its efficient form — a
+    per-part aggregate of the SAME fact table joined back as the
+    threshold. The per-part frame is small (one brand's parts) so AQE
+    broadcasts the probe join; the fact is scanned twice, which at
+    100 TB beats materializing an O(parts) cache nobody else reads.
+    The average is computed as one double division from a decimal-exact
+    sum and an exact count (identical in the oracle), so the strict
+    `<` threshold comparison is engine-deterministic even at the
+    boundary."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    brand = p.filter(F.col("p_brand") == "Brand#23").select("p_partkey")
+    per_part = (
+        li.join(F.broadcast(brand), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sq"),
+            F.count(F.lit(1)).alias("cq"),
+        )
+        .select(F.col("l_partkey").alias("pk"), "sq", "cq")
+    )
+    return (
+        li.join(per_part, F.col("pk") == F.col("l_partkey"))
+        .filter(
+            F.col("l_quantity").cast("double")
+            < F.lit(0.2) * (F.col("sq") / F.col("cq").cast("double"))
+        )
+        .agg(
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0))
+            .cast("double")
+            .alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy record linkage: Levenshtein within blocking buckets — the
+# typo-tolerant contact dedup the reference's exact dedup key can't do.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fuzzy_contact_pairs",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey, c_name,
+             length(c_name) AS blen, substr(c_name, 1, 13) AS bpre
+      FROM customer WHERE c_custkey % 10 = 0)
+    SELECT CAST(a.distance AS INT) AS distance,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM (
+      SELECT levenshtein(x.c_name, y.c_name) AS distance
+      FROM c x JOIN c y
+        ON x.blen = y.blen AND x.bpre = y.bpre
+       AND x.c_custkey < y.c_custkey) a
+    WHERE a.distance <= 1
+    GROUP BY 1
+    """,
+)
+def fuzzy_contact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-tolerant duplicate-contact candidates: names within edit
+    distance 1 of each other, candidates generated by blocking on
+    (name length, 13-char prefix) so only in-block pairs pay the
+    Levenshtein — the record-linkage shape exact dedup keys miss.
+    Both engines run the same classic unit-cost Levenshtein
+    (Catalyst built-in vs DuckDB built-in); rolled up to a per-distance
+    pair count so the oracle compares linkage volume, not a blob of
+    pairs."""
+    from bcg_contacts_data_pipeline_spark.operators.similarity import (
+        fuzzy_pairs_blocked,
+    )
+
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 10 == 0)
+    pairs = fuzzy_pairs_blocked(
+        c,
+        "c_custkey",
+        "c_name",
+        blocking=[
+            F.length("c_name"),
+            F.substring("c_name", 1, 13),
+        ],
+        max_distance=1,
+    )
+    return pairs.groupBy(F.col("distance").cast("int").alias("distance")).agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )

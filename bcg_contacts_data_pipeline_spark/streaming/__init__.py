@@ -8,7 +8,9 @@ from bcg_contacts_data_pipeline_spark.streaming.ops import (
     windowed_agg,
 )
 from bcg_contacts_data_pipeline_spark.streaming.runner import (
+    idempotent_batch_writer,
     run_available_now,
+    run_foreach_batch,
     run_to_files,
 )
 from bcg_contacts_data_pipeline_spark.streaming.sources import (
@@ -21,7 +23,9 @@ __all__ = [
     "dedup_within_watermark",
     "events_stream",
     "file_stream",
+    "idempotent_batch_writer",
     "run_available_now",
+    "run_foreach_batch",
     "run_to_files",
     "running_user_stats",
     "running_user_stats_tws",

@@ -122,3 +122,52 @@ def run_to_files(
             )
     finally:
         q.stop()
+
+
+def idempotent_batch_writer(path: str, fmt: str = "parquet"):
+    """foreachBatch function for exactly-once file output: each
+    micro-batch overwrites its OWN directory (``path/batch_id=<id>``),
+    so a redelivered batch (foreachBatch's contract is at-least-once —
+    a crash between the sink write and the commit-log write replays the
+    batch) replaces its previous output instead of appending
+    duplicates. Readers load ``path`` with hive partition discovery and
+    see each batch exactly once. The same replace-by-batch_id recipe is
+    how foreachBatch feeds sinks with no native streaming writer —
+    JDBC upserts (compose with cdc.upsert_latest), REST, search
+    indexes."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").format(fmt).save(
+            f"{path}/batch_id={batch_id}"
+        )
+
+    return write
+
+
+def run_foreach_batch(
+    stream_df: DataFrame,
+    batch_fn,
+    checkpoint: str,
+    output_mode: str = "update",
+    timeout_s: int = 300,
+) -> None:
+    """Drain a stream under AvailableNow through ``foreachBatch`` — the
+    escape hatch for sinks Structured Streaming has no native writer
+    for. Exactly-once only when ``batch_fn`` is idempotent per batch_id
+    (see ``idempotent_batch_writer``); the checkpoint's commit log
+    guarantees a batch is never SKIPPED, idempotency guarantees a
+    replayed batch is never DOUBLED."""
+    q = (
+        stream_df.writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(timeout_s):
+            raise TimeoutError(
+                f"foreachBatch stream did not drain within {timeout_s}s"
+            )
+    finally:
+        q.stop()

@@ -286,3 +286,92 @@ def test_sort_within_gives_skippable_row_groups(spark, tmp_path):
         for (a_min, a_max), (b_min, b_max) in zip(ranges, ranges[1:]):
             assert a_min <= a_max <= b_min <= b_max, ranges
     assert multi, "expected at least one file with several row groups"
+
+
+def test_zorder_key_properties():
+    """Morton key unit math (driver-side, via a tiny local frame):
+    interleave of (x=0b11, y=0b00) with 2 bits = 0b0101; argument
+    validation is loud."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from bcg_contacts_data_pipeline_spark.io.layout import zorder_key
+
+    with pytest.raises(ValueError, match=">= 2 columns"):
+        zorder_key(["x"])
+    with pytest.raises(ValueError, match="> 63 key bits"):
+        zorder_key(["x", "y", "z", "w"], bits=16)
+
+
+def test_zorder_interleave_and_both_columns_skippable(spark, tmp_path):
+    """(1) the key really interleaves bits; (2) a z-ordered write gives
+    BOTH columns bounded row-group ranges — the multi-column skipping
+    property a single-column sort can't provide. Compared against real
+    parquet footers: for every row group, each zorder column's
+    (max - min) spread must be far below the full domain."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from bcg_contacts_data_pipeline_spark.io.layout import (
+        write_zordered,
+        zorder_key,
+    )
+
+    tiny = spark.createDataFrame(
+        [(3, 0), (0, 3), (3, 3), (2, 1)], "x long, y long"
+    ).select("x", "y", zorder_key(["x", "y"], bits=2).alias("k"))
+    got = {(r.x, r.y): r.k for r in tiny.collect()}
+    # x in bit positions 0,2; y in 1,3
+    assert got[(3, 0)] == 0b0101
+    assert got[(0, 3)] == 0b1010
+    assert got[(3, 3)] == 0b1111
+    assert got[(2, 1)] == 0b0110
+
+    # 256x256 uniform grid in one input partition, tiny row groups
+    n = 256
+    df = (
+        spark.range(n * n)
+        .coalesce(1)
+        .select(
+            (F.col("id") % n).alias("x"),
+            (F.col("id") / n).cast("long").alias("y"),
+        )
+    )
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    prev = hconf.get("parquet.block.size")
+    hconf.setInt("parquet.block.size", 64 * 1024)
+    try:
+        path = str(tmp_path / "zlake")
+        write_zordered(df, path, ["x", "y"], bits=8)
+    finally:
+        if prev is None:
+            hconf.unset("parquet.block.size")
+        else:
+            hconf.set("parquet.block.size", prev)
+
+    files = _glob.glob(f"{path}/*.parquet")
+    assert files
+    checked = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        if md.num_row_groups < 4:
+            continue
+        for col in ("x", "y"):
+            cix = md.schema.names.index(col)
+            spreads = []
+            for i in range(md.num_row_groups):
+                st = md.row_group(i).column(cix).statistics
+                spreads.append(st.max - st.min)
+            # Z-curve tiles: MOST row groups cover a bounded tile of each
+            # dimension (a group straddling a major curve boundary can
+            # legitimately span the domain — Z jumps there), so the
+            # property is statistical: >= 70% of groups at <= half the
+            # 0..255 domain, per column. The row-major baseline fails
+            # this catastrophically for x (every ~4k-row chunk cycles
+            # all 256 x values -> spread 255 in 100% of groups).
+            tight = sum(s <= 128 for s in spreads)
+            assert tight >= 0.7 * len(spreads), (col, spreads)
+            checked += 1
+    assert checked, "no multi-row-group file produced"

@@ -335,3 +335,42 @@ def test_ann_components_refine_exact_components(spark):
     for node, lab in ann.items():
         by_ann.setdefault(lab, set()).add(exact[node])
     assert all(len(v) == 1 for v in by_ann.values())
+
+
+def test_fuzzy_pairs_blocked_finds_typos_within_blocks(spark):
+    """Levenshtein linkage: in-block typo pairs found, cross-block twins
+    missed by design (the documented blocking recall trade), and the
+    max_block cap drops an oversized bucket before the join."""
+    import pyspark.sql.functions as F
+
+    from bcg_contacts_data_pipeline_spark.operators.similarity import (
+        fuzzy_pairs_blocked,
+    )
+
+    rows = [
+        (1, "alice"), (2, "alicf"),      # distance 1, same block (len 5, 'a')
+        (3, "bob"), (4, "bobby"),        # distance 2 AND different length block
+        (5, "carol"), (6, "karol"),      # distance 1 but different prefix block
+        (7, "dave"), (8, "dave"),        # distance 0, same block
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    blocking = [F.length("name"), F.substring("name", 1, 1)]
+
+    got = {
+        (r.id_a, r.id_b): r.distance
+        for r in fuzzy_pairs_blocked(df, "id", "name", blocking).collect()
+    }
+    assert got == {(1, 2): 1, (7, 8): 0}
+
+    # hot-block cap: flood one block past the cap; its pairs disappear,
+    # pairs in other blocks survive
+    flood = rows + [(100 + i, f"zz{i % 10}") for i in range(30)]
+    df2 = spark.createDataFrame(flood, "id long, name string")
+    capped = fuzzy_pairs_blocked(
+        df2, "id", "name", blocking, max_distance=1, max_block=10
+    )
+    pairs2 = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert (1, 2) in pairs2 and (7, 8) in pairs2
+    assert not any(a >= 100 for a, _ in pairs2), pairs2
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan, plan
