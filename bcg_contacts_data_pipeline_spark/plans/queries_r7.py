@@ -606,70 +606,6 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# TPC-H Q17: correlated scalar-AVG subquery against the fact table itself
-# — decorrelated to a per-key aggregate joined back to the same fact.
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "q17_small_quantity_revenue",
-    oracle="""
-    WITH brand_parts AS (
-      SELECT p_partkey FROM part WHERE p_brand = 'Brand#23'),
-    per_part AS (
-      SELECT l_partkey,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sq,
-             CAST(COUNT(*) AS BIGINT) AS cq
-      FROM lineitem JOIN brand_parts ON p_partkey = l_partkey
-      GROUP BY l_partkey)
-    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
-                / 7.0 AS DOUBLE) AS avg_yearly,
-           CAST(COUNT(*) AS BIGINT) AS n_lines
-    FROM lineitem
-    JOIN per_part ON per_part.l_partkey = lineitem.l_partkey
-    WHERE CAST(l_quantity AS DOUBLE) < 0.2 * (sq / CAST(cq AS DOUBLE))
-    """,
-)
-def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q17 shape: the correlated scalar subquery
-    ``l_quantity < 0.2 * (SELECT AVG(l_quantity) ... WHERE l_partkey =
-    outer.l_partkey)`` decorrelated by hand into its efficient form — a
-    per-part aggregate of the SAME fact table joined back as the
-    threshold. The per-part frame is small (one brand's parts) so AQE
-    broadcasts the probe join; the fact is scanned twice, which at
-    100 TB beats materializing an O(parts) cache nobody else reads.
-    The average is computed as one double division from a decimal-exact
-    sum and an exact count (identical in the oracle), so the strict
-    `<` threshold comparison is engine-deterministic even at the
-    boundary."""
-    li = _t(spark, sf_dir, "lineitem")
-    p = _t(spark, sf_dir, "part")
-    brand = p.filter(F.col("p_brand") == "Brand#23").select("p_partkey")
-    per_part = (
-        li.join(F.broadcast(brand), F.col("p_partkey") == F.col("l_partkey"))
-        .groupBy("l_partkey")
-        .agg(
-            F.sum(_dec("l_quantity")).cast("double").alias("sq"),
-            F.count(F.lit(1)).alias("cq"),
-        )
-        .select(F.col("l_partkey").alias("pk"), "sq", "cq")
-    )
-    return (
-        li.join(per_part, F.col("pk") == F.col("l_partkey"))
-        .filter(
-            F.col("l_quantity").cast("double")
-            < F.lit(0.2) * (F.col("sq") / F.col("cq").cast("double"))
-        )
-        .agg(
-            (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0))
-            .cast("double")
-            .alias("avg_yearly"),
-            F.count(F.lit(1)).alias("n_lines"),
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
 # Fuzzy record linkage: Levenshtein within blocking buckets — the
 # typo-tolerant contact dedup the reference's exact dedup key can't do.
 # ---------------------------------------------------------------------------

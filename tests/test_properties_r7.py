@@ -1,0 +1,172 @@
+"""Property-based tests for the round-7 operators: SCD2 history vs a
+Python replay of the declared semantics, fuzzy blocked linkage vs an
+unblocked brute force restricted to agreeing blocks, Morton keys vs a
+direct bit-interleave model, and the image encode->parse round trip
+over random dimensions.
+
+Same strategy as test_properties.py: small generated inputs, the Spark
+operator vs a direct Python model of the declared semantics.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+# ---------------------------------------------------------------------------
+# scd2_history == python replay: sort per key, drop unchanged, number,
+# chain intervals
+# ---------------------------------------------------------------------------
+
+change = st.tuples(
+    st.integers(min_value=0, max_value=2),  # entity
+    st.integers(min_value=0, max_value=20),  # day offset
+    st.sampled_from(["A", "B", None]),  # attribute (incl. NULL)
+)
+
+
+@given(st.lists(change, min_size=1, max_size=25))
+@settings(**SETTINGS)
+def test_scd2_matches_python_replay(spark, changes):
+    from datetime import datetime, timedelta
+
+    from bcg_contacts_data_pipeline_spark.operators.cdc import scd2_history
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (k, t0 + timedelta(days=d), seq, v)
+        for seq, (k, d, v) in enumerate(changes)
+    ]
+    df = spark.createDataFrame(rows, "k int, ts timestamp, seq long, v string")
+    got = {}
+    for r in scd2_history(df, ["k"], "ts", ["v"], tiebreak="seq").collect():
+        got.setdefault(r.k, []).append(r)
+    for v in got.values():
+        v.sort(key=lambda r: r.version)
+
+    # python model
+    want: dict[int, list] = {}
+    by_key: dict[int, list] = {}
+    for k, ts, seq, v in rows:
+        by_key.setdefault(k, []).append((ts, seq, v))
+    for k, evs in by_key.items():
+        evs.sort()
+        kept = []
+        for ts, _seq, v in evs:
+            if not kept or kept[-1][1] != v:
+                kept.append((ts, v))
+        want[k] = kept
+
+    assert set(got) == set(want)
+    for k in want:
+        gk = got[k]
+        assert [r.version for r in gk] == list(range(1, len(want[k]) + 1))
+        assert [(r.effective_from, r.v) for r in gk] == want[k]
+        for a, b in zip(gk, gk[1:]):
+            assert a.effective_to == b.effective_from and not a.is_current
+        assert gk[-1].is_current and gk[-1].effective_to is None
+
+
+# ---------------------------------------------------------------------------
+# fuzzy_pairs_blocked == brute force over pairs whose blocks agree
+# ---------------------------------------------------------------------------
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+name = st.text(alphabet="abc", min_size=1, max_size=5)
+
+
+@given(st.lists(name, min_size=2, max_size=12), st.integers(0, 2))
+@settings(**SETTINGS)
+def test_fuzzy_pairs_match_brute_force(spark, names, maxd):
+    import pyspark.sql.functions as F
+
+    from bcg_contacts_data_pipeline_spark.operators.similarity import (
+        fuzzy_pairs_blocked,
+    )
+
+    rows = [(i, n) for i, n in enumerate(names)]
+    df = spark.createDataFrame(rows, "id long, name string")
+    blocking = [F.length("name"), F.substring("name", 1, 1)]
+    got = {
+        (r.id_a, r.id_b): r.distance
+        for r in fuzzy_pairs_blocked(
+            df, "id", "name", blocking, max_distance=maxd
+        ).collect()
+    }
+    want = {
+        (a, b): _lev(names[a], names[b])
+        for a in range(len(names))
+        for b in range(a + 1, len(names))
+        if len(names[a]) == len(names[b])
+        and names[a][:1] == names[b][:1]
+        and _lev(names[a], names[b]) <= maxd
+    }
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# zorder_key == python bit interleave
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 255), st.integers(0, 255), st.integers(0, 255)),
+        min_size=1,
+        max_size=15,
+        unique=True,
+    )
+)
+@settings(**SETTINGS)
+def test_zorder_key_matches_python_interleave(spark, pts):
+    from bcg_contacts_data_pipeline_spark.io.layout import zorder_key
+
+    df = spark.createDataFrame(pts, "x long, y long, z long")
+    got = {
+        (r.x, r.y, r.z): r.k
+        for r in df.select(
+            "x", "y", "z", zorder_key(["x", "y", "z"], bits=8).alias("k")
+        ).collect()
+    }
+    for x, y, z in pts:
+        want = 0
+        for b in range(8):
+            want |= ((x >> b) & 1) << (3 * b)
+            want |= ((y >> b) & 1) << (3 * b + 1)
+            want |= ((z >> b) & 1) << (3 * b + 2)
+        assert got[(x, y, z)] == want
+
+
+# ---------------------------------------------------------------------------
+# image encode -> parse round trip over random dimensions (driver-side)
+# ---------------------------------------------------------------------------
+
+
+@given(st.integers(1, 2000), st.integers(1, 2000), st.sampled_from([0, 1, 2]))
+@settings(max_examples=40, deadline=None)
+def test_image_roundtrip_random_dims(w, h, fmt_i):
+    from bcg_contacts_data_pipeline_spark.operators import multimodal as M
+
+    synth = [M.png_bytes, M.jpeg_bytes, M.webp_bytes][fmt_i]
+    fmt = ["png", "jpeg", "webp"][fmt_i]
+    assert M.parse_image_meta(synth(w, h)) == (w, h, fmt)

@@ -63,6 +63,21 @@ BUDGET = {
     "events_gapfill": 3,
     "cdc_upsert_orders": 1,
     "pack_shards": 3,
+    # round-7 surface
+    "q12_priority_shipping": 1,  # CASE aggs ride the one groupBy shuffle
+    "q14_promo_revenue": 1,  # scalar agg SinglePartition; part broadcasts
+    "q10_returned_items": 1,  # agg shuffle; top-20 is TakeOrderedAndProject
+    "variant_nested_extract": 1,
+    "scd2_order_status": 1,  # collapse+renumber+lead on ONE partitioning
+    "event_rate_anomaly": 3,  # hourly agg + stats agg + stats join-back
+    "bm25_topk": 1,  # corpus-stats SinglePartition; probe via broadcast
+    "fuzzy_contact_pairs": 1,  # block self-join broadcasts; distance agg
+    # the no-persist ngram pair generator recomputes the shingle explode
+    # in each of its three consumers (documented trade in
+    # similarity.ngram_jaccard_pairs) and the degree rollup adds the
+    # union+agg+outer-join chain on top — high by design, bounded by
+    # the df cap, re-point this ONLY with a measured justification
+    "neardup_degree_hist": 17,
 }
 
 
