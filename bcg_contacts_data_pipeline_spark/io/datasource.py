@@ -11,7 +11,10 @@ module packages it as a first-class source —
          .load()
 
 — which matters operationally: the format string travels through SQL
-DDL, jobs, and configs where a Python helper function cannot. Use
+DDL, jobs, and configs where a Python helper function cannot. The same
+format also registers as a STREAMING source (``spark.readStream.format(
+"contacts_tsv")``): each micro-batch emits the files that arrived since
+the last committed offset — see ``ContactsTSVStreamReader``. Use
 ``CREATE TEMPORARY VIEW ... USING contacts_tsv OPTIONS (...)`` for the
 SQL route; a persistent ``CREATE TABLE`` stores the options in the
 catalog but does not forward them back to a Python reader at scan time
@@ -57,13 +60,48 @@ import glob as globmod
 import json
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 class _FilePartition(InputPartition):
     def __init__(self, path: str, headerless_cols: list[str] | None):
         self.path = path
         self.headerless_cols = headerless_cols
+
+
+def _synonym_chains(
+    header: list[str], registry: dict[str, list[str]]
+) -> list[list[int]]:
+    """Per canonical column, the source-column indexes to coalesce, in
+    priority order — case-insensitive on stripped names, identical
+    contract to SourceRegistry.apply. Shared by the batch and streaming
+    readers so the two routes can never drift."""
+    lookup: dict[str, int] = {}
+    for i, col in enumerate(header):
+        lookup.setdefault(col.strip().lower(), i)
+    chains: list[list[int]] = []
+    for target, synonyms in registry.items():
+        idxs: list[int] = []
+        for syn in [target, *synonyms]:
+            hit = lookup.get(syn.strip().lower())
+            if hit is not None and hit not in idxs:
+                idxs.append(hit)
+        chains.append(idxs)
+    return chains
+
+
+def _first_non_blank(row: list[str], idxs: list[int]) -> str | None:
+    for i in idxs:
+        if i < len(row):
+            v = row[i]
+            if v is not None and len(v.strip()) > 0:
+                return v
+    return None
 
 
 class ContactsTSVDataSource(DataSource):
@@ -88,6 +126,9 @@ class ContactsTSVDataSource(DataSource):
 
     def reader(self, schema) -> "ContactsTSVReader":
         return ContactsTSVReader(dict(self.options))
+
+    def simpleStreamReader(self, schema) -> "ContactsTSVStreamReader":
+        return ContactsTSVStreamReader(dict(self.options))
 
 
 def _parse_registry(options: dict) -> dict[str, list[str]]:
@@ -152,31 +193,10 @@ class ContactsTSVReader(DataSourceReader):
         import pyarrow as pa
 
         def batches(rows: list[list[str]], header: list[str]):
-            # synonym resolution, case-insensitive on stripped names —
-            # identical contract to SourceRegistry.apply
-            lookup: dict[str, int] = {}
-            for i, col in enumerate(header):
-                lookup.setdefault(col.strip().lower(), i)
-            chains: list[list[int]] = []
-            for target, synonyms in self.registry.items():
-                idxs = []
-                for syn in [target, *synonyms]:
-                    hit = lookup.get(syn.strip().lower())
-                    if hit is not None and hit not in idxs:
-                        idxs.append(hit)
-                chains.append(idxs)
-
-            def first_non_blank(row: list[str], idxs: list[int]) -> str | None:
-                for i in idxs:
-                    if i < len(row):
-                        v = row[i]
-                        if v is not None and len(v.strip()) > 0:
-                            return v
-                return None
-
+            chains = _synonym_chains(header, self.registry)
             names = [*self.registry.keys(), "source_file"]
             columns = [
-                [first_non_blank(r, idxs) for r in rows] for idxs in chains
+                [_first_non_blank(r, idxs) for r in rows] for idxs in chains
             ]
             # file: URI, percent-encoded — byte-identical to what
             # input_file_name() yields in read_sources, so provenance
@@ -203,3 +223,78 @@ class ContactsTSVReader(DataSourceReader):
                     yield from batches(chunk, header)
                     chunk = []
             yield from batches(chunk, header)
+
+
+class ContactsTSVStreamReader(SimpleDataSourceStreamReader):
+    """Streaming flavor of ``contacts_tsv``: each micro-batch picks up
+    the *.tsv files that arrived since the last committed offset — the
+    drop-directory ingest the reference runs by hand (run.py re-scans
+    the export directory per invocation), as a Structured Streaming
+    source with exactly-once file accounting.
+
+    Offsets are JSON dicts ``{"processed": [basename, ...]}`` — the set
+    of files already emitted. ``read`` emits every row of every new
+    file and advances the offset; ``readBetweenOffsets`` replays a
+    committed range after restart (same parse, so replay is
+    deterministic — files must be immutable once dropped, the standard
+    landing-directory contract). A SimpleDataSourceStreamReader parses
+    on the driver: right for control-plane-sized contact drops (the
+    reference's shape); a firehose belongs on the partitioned
+    DataSourceStreamReader API instead.
+    """
+
+    def __init__(self, options: dict):
+        if "path" not in options:
+            raise ValueError("contacts_tsv requires a 'path' option (TSV directory)")
+        self.directory = options["path"]
+        self.registry = _parse_registry(options)
+        try:
+            self.headerless: dict[str, list[str]] = json.loads(
+                options.get("headerless", "{}")
+            )
+        except json.JSONDecodeError as e:
+            raise ValueError(
+                f"contacts_tsv 'headerless' option is not valid JSON: {e}"
+            ) from e
+
+    def initialOffset(self) -> dict:
+        return {"processed": []}
+
+    def _rows(self, paths: list[str]):
+        from pathlib import Path
+
+        for path in paths:
+            with open(path, newline="", encoding="utf-8") as fh:
+                reader = csv.reader(fh, delimiter="\t")
+                cols = self.headerless.get(os.path.basename(path))
+                header = cols if cols is not None else next(reader, [])
+                chains = _synonym_chains(header, self.registry)
+                uri = Path(os.path.abspath(path)).as_uri()
+                for row in reader:
+                    yield (
+                        *[_first_non_blank(row, idxs) for idxs in chains],
+                        uri,
+                    )
+
+    def read(self, start: dict):
+        done = set(start.get("processed", []))
+        paths = sorted(globmod.glob(os.path.join(self.directory, "*.tsv")))
+        new = [p for p in paths if os.path.basename(p) not in done]
+        end = {
+            "processed": sorted(done | {os.path.basename(p) for p in new})
+        }
+        return iter(list(self._rows(new))), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        want = set(end.get("processed", [])) - set(start.get("processed", []))
+        paths = sorted(
+            p
+            for p in globmod.glob(os.path.join(self.directory, "*.tsv"))
+            if os.path.basename(p) in want
+        )
+        missing = want - {os.path.basename(p) for p in paths}
+        if missing:
+            raise FileNotFoundError(
+                f"replay needs committed files that vanished: {sorted(missing)}"
+            )
+        return iter(list(self._rows(paths)))

@@ -97,3 +97,45 @@ def read_jdbc(
             .option("numPartitions", str(num_partitions or 4))
         )
     return reader.load()
+
+
+def jdbc_upsert_writer(url: str, table: str, keys: list[str],
+                       driver: str = DERBY_DRIVER):
+    """foreachBatch function maintaining a keyed JDBC table from an
+    update-mode stream: each micro-batch's rows REPLACE the table's
+    rows with the same key (latest batch wins, tracked by a __v
+    version column), so the table converges to the stream's final
+    state per key — incremental materialized-view maintenance into an
+    RDBMS.
+
+    Idempotent per batch_id: replaying a batch re-merges identical
+    rows with the same version, leaving the table unchanged — the
+    foreachBatch exactly-once recipe (see
+    streaming.runner.idempotent_batch_writer) applied to a keyed sink.
+
+    Implementation note: Derby has no MERGE reachable through Spark's
+    JDBC writer, so the merge is read -> upsert_latest -> overwrite,
+    with the base MATERIALIZED first (a lazy self-read would race the
+    overwrite). That collect is bounded by the AGGREGATE table's size
+    (keys x metrics, not events); against Postgres/MySQL swap the body
+    for a real `INSERT .. ON CONFLICT` via the DB driver and nothing
+    else changes.
+    """
+    from pyspark.sql import functions as F
+
+    from bcg_contacts_data_pipeline_spark.operators.cdc import upsert_latest
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        updates = batch_df.withColumn("__v", F.lit(int(batch_id)).cast("long"))
+        try:
+            base_lazy = read_jdbc(spark, url, table, driver=driver)
+            base = spark.createDataFrame(
+                base_lazy.collect(), updates.schema
+            )
+        except Exception:
+            base = spark.createDataFrame([], updates.schema)
+        merged = upsert_latest(base, updates, keys, "__v")
+        write_jdbc(merged, url, table, mode="overwrite", driver=driver)
+
+    return upsert

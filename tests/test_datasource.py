@@ -155,3 +155,44 @@ def test_bad_registry_json_clear_error(registered, tsv_dir):
             .option("registry", "{nope")
             .load()
         )
+
+
+def test_streaming_source_picks_up_new_files_exactly_once(
+    registered, tmp_path
+):
+    """contacts_tsv as a STREAMING source (SimpleDataSourceStreamReader):
+    drain 1 sees the initial drop; a new file lands; drain 2 on the same
+    checkpoint emits ONLY the new file's rows (offset = processed-file
+    set); drain 3 with nothing new appends nothing."""
+    spark = registered
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    (drop / "a.tsv").write_text(
+        "Email\tPhone\tFull Name\na@x.io\t111\tAda\n", encoding="utf-8"
+    )
+
+    opts = {"path": str(drop), "registry": json.dumps(CANONICAL)}
+    st = spark.readStream.format("contacts_tsv").options(**opts).load()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    from bcg_contacts_data_pipeline_spark import streaming as S
+
+    S.run_to_files(st, out, ckpt)
+    first = spark.read.parquet(out)
+    assert {r.email for r in first.collect()} == {"a@x.io"}
+
+    (drop / "b.tsv").write_text(
+        "mail\tcell\nb@x.io\t222\nc@x.io\t333\n", encoding="utf-8"
+    )
+    S.run_to_files(st, out, ckpt)
+    second = spark.read.parquet(out)
+    got = sorted((r.email, r.mobile) for r in second.collect())
+    assert got == [("a@x.io", "111"), ("b@x.io", "222"), ("c@x.io", "333")]
+    # provenance column carries the file URI on the streaming route too
+    assert all(
+        r.source_file.startswith("file:") for r in second.collect()
+    )
+
+    S.run_to_files(st, out, ckpt)  # no new files -> no new rows
+    assert spark.read.parquet(out).count() == 3

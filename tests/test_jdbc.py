@@ -105,3 +105,58 @@ def test_partitioned_read_issues_n_bounded_queries(spark):
     assert "PushedFilters: [" in plan and "s_acctbal" in plan.split(
         "PushedFilters"
     )[1].split("]")[0]
+
+
+def test_streaming_upsert_maintains_jdbc_rollup(spark, tmp_path):
+    """End-to-end incremental materialized view: events stream ->
+    watermarked hourly aggregation (update mode) -> foreachBatch
+    upsert into a Derby table keyed on (window_start, event_type).
+    The maintained table must equal the batch aggregation of the same
+    data, and replaying the drain on the same checkpoint must change
+    nothing (commit log + idempotent merge)."""
+    import pyspark.sql.functions as F
+
+    from bcg_contacts_data_pipeline_spark import streaming as S
+    from bcg_contacts_data_pipeline_spark.io import jdbc as J
+    from bcg_contacts_data_pipeline_spark.io.events import read_events
+
+    sf = "/root/testdata/sf0.001"
+    url = J.scratch_derby_url(f"stream_upsert_{tmp_path.name}")
+    table = "hourly_rollup"
+
+    st = S.events_stream(spark, sf)
+    agg = S.windowed_agg(
+        st,
+        "ts",
+        "1 hour",
+        ["event_type"],
+        [F.count(F.lit(1)).alias("n_events")],
+        watermark="2 hours",
+    ).select("window_start", "event_type", "n_events")
+
+    ckpt = str(tmp_path / "ckpt")
+    writer = J.jdbc_upsert_writer(url, table, ["window_start", "event_type"])
+    S.run_foreach_batch(agg, writer, ckpt, output_mode="update")
+
+    got = {
+        (r.window_start, r.event_type): r.n_events
+        for r in J.read_jdbc(spark, url, table).collect()
+    }
+    want = {
+        (r.hour, r.event_type): r.n
+        for r in read_events(spark, sf)
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+
+    # replay on the same checkpoint: committed offsets -> no change
+    S.run_foreach_batch(agg, writer, ckpt, output_mode="update")
+    again = {
+        (r.window_start, r.event_type): r.n_events
+        for r in J.read_jdbc(spark, url, table).collect()
+    }
+    assert again == want
