@@ -1,9 +1,10 @@
-"""Round-7 query surface: the last three distinct TPC-H plan features
-the board didn't yet exercise — conditional aggregation (CASE inside
-SUM: Q12's two-priority counts, Q14's promo-revenue ratio) and ranked
-top-k after join+agg with the LIMIT pushed into TakeOrderedAndProject
-(Q10) — plus a nested-path / array-element / missing-key Variant
-extraction query.
+"""Round-7 query surface: the remaining distinct TPC-H plan features
+(conditional aggregation — CASE inside SUM, Q12/Q14; ranked top-k via
+TakeOrderedAndProject, Q10), a nested-path / array-element /
+missing-key Variant extraction, SCD2 dimension history, near-dup
+graph degree distribution, exact-integer-sum z-score anomaly
+detection, BM25 ranked retrieval, and Levenshtein record linkage
+with blocking.
 
 Registered into the same ``plans.queries`` registry (imported at the
 bottom of that module). Same determinism rules as every other entry:
@@ -655,4 +656,40 @@ def fuzzy_contact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pairs.groupBy(F.col("distance").cast("int").alias("distance")).agg(
         F.count(F.lit(1)).alias("n_pairs")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUBE: the full grouping-set lattice — rollup covers the hierarchy
+# prefix; cube adds the cross slices ((), (a), (b), (a,b)) in one pass.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cube_order_stats",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS sum_price,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+               AS BIGINT) AS grouping_id
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full grouping-set lattice over (status, priority): every slice a
+    dashboard pivots on — per-status, per-priority, the cross, and the
+    grand total — in ONE Expand + aggregate pass instead of four
+    queries (4 scans at 100 TB). grouping_id disambiguates synthesized
+    NULLs from data NULLs, same convention as rollup_pricing. Expand
+    multiplies rows 4x BEFORE the shuffle, but partial aggregation
+    collapses each grouping set map-side, so the exchange still carries
+    one row per (set, group) per map task."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
+        F.grouping_id().cast("long").alias("grouping_id"),
     )

@@ -72,6 +72,7 @@ BUDGET = {
     "event_rate_anomaly": 3,  # hourly agg + stats agg + stats join-back
     "bm25_topk": 1,  # corpus-stats SinglePartition; probe via broadcast
     "fuzzy_contact_pairs": 1,  # block self-join broadcasts; distance agg
+    "cube_order_stats": 1,  # Expand 4x map-side, partial agg pre-shuffle
     # the no-persist ngram pair generator recomputes the shingle explode
     # in each of its three consumers (documented trade in
     # similarity.ngram_jaccard_pairs) and the degree rollup adds the
