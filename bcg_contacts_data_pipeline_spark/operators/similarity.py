@@ -228,6 +228,31 @@ def _gram_hash_arrays(
     return hashed.select(F.col(id_col), F.array_distinct(grams).alias("__gh"))
 
 
+def _drop_hot_buckets(
+    buckets: DataFrame, keys: list[str], cap: int
+) -> DataFrame:
+    """Drop bucket keys shared by more than ``cap`` rows BEFORE a
+    bucket self-join — the generic form of ``ngram_jaccard_pairs``'s
+    ``max_df`` posting-list cap. A bucket of f members contributes f²
+    join rows; at web scale a boilerplate cluster (one page duplicated
+    100k times) lands its members in the SAME band bucket in EVERY
+    band, so without the cap one cluster emits 10^10 candidate rows.
+    The hot set is tiny by construction (only keys with > cap members),
+    so the anti-join broadcasts under AQE. Semantics: pairs inside a
+    dropped bucket are not generated FROM THAT BUCKET — for banded
+    schemes a pair survives if any of its other bands stays under the
+    cap; a cluster hot in every band is precisely the pathological
+    near-identical family a dedup pipeline should route to
+    cluster-by-bucket handling instead of pairwise scoring."""
+    hot = (
+        buckets.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > cap)
+        .select(*keys)
+    )
+    return buckets.join(hot, keys, "left_anti")
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -282,6 +307,7 @@ def minhash_lsh_pairs(
     seed: int = 42,
     verify_threshold: float | None = 0.5,
     pins: PinScope | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Banded-LSH candidate pairs + estimated Jaccard.
 
@@ -290,10 +316,20 @@ def minhash_lsh_pairs(
     Candidate generation joins only on (band, band_hash) — the 100 TB
     path. ``verify_threshold`` filters on the signature-estimated
     Jaccard (fraction of agreeing hash positions).
+
+    ``max_bucket`` caps band-bucket membership (see
+    ``_drop_hot_buckets``): a near-identical cluster of f docs collides
+    in EVERY band, contributing bands·f² candidate rows — AQE skew-join
+    splits that work across tasks but cannot shrink the output volume.
+    With the cap, no bucket contributes more than cap² rows. ``None``
+    keeps the complete-candidate baseline the oracle-mirrored queries
+    pin.
     """
     assert num_hashes % bands == 0
     sigs = pin(minhash_signatures(df, id_col, text, n, num_hashes, seed), pins)
     buckets = _band_buckets(sigs, id_col, num_hashes, bands)
+    if max_bucket is not None:
+        buckets = _drop_hot_buckets(buckets, ["band", "bh"], max_bucket)
 
     l = buckets.select(F.col(id_col).alias("id_a"), "band", "bh")
     r = buckets.select(F.col(id_col).alias("id_b"), "band", "bh")
@@ -453,6 +489,7 @@ def simhash_pairs(
     max_hamming: int = 7,
     bands: int = 8,
     pins: PinScope | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the 64-bit signature into ``bands``
     equal slices, self-join on (band, band_bits), verify exact hamming.
@@ -463,7 +500,14 @@ def simhash_pairs(
     exactly the set of pairs with hamming <= max_hamming. The defaults
     (8 bands, max_hamming 7) keep that guarantee; asking for a larger
     max_hamming than ``bands - 1`` is allowed but recall above the
-    guarantee line degrades (standard LSH tradeoff)."""
+    guarantee line degrades (standard LSH tradeoff).
+
+    ``max_bucket`` caps band-bucket membership before the self-join
+    (``_drop_hot_buckets`` — the anti-quadratic guard for
+    near-identical clusters, which collide in every band). Capping
+    trades the pigeonhole completeness guarantee inside dropped
+    buckets for bounded pair volume; ``None`` keeps the complete
+    baseline the oracle-mirrored queries pin."""
     assert 64 % bands == 0, "bands must divide 64"
     width = 64 // bands
     mask = (1 << width) - 1
@@ -487,6 +531,8 @@ def simhash_pairs(
             )
         ).alias("qq"),
     ).select(id_col, "simhash", F.col("qq.q").alias("q"), F.col("qq.qh").alias("qh"))
+    if max_bucket is not None:
+        slices = _drop_hot_buckets(slices, ["q", "qh"], max_bucket)
 
     l = slices.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"), "q", "qh"

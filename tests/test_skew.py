@@ -296,3 +296,46 @@ def test_merge_empty_keys_hot_group_partial_aggregation(spark):
     below_exchange = plan.split("Exchange", 1)[1]
     assert "partial_max_by" in below_exchange, plan
     assert "partial_count" in below_exchange, plan
+
+
+def test_lsh_band_bucket_cap_bounds_clone_cluster_pairs(spark):
+    """A near-identical cluster collides in EVERY band, so without a
+    bucket cap its f members contribute bands*f^2 candidate rows —
+    AQE can split that join's work but not shrink its output. Corpus:
+    40 exact clones plus two genuinely near-dup docs. Uncapped, the
+    clone cluster dominates; with max_bucket=10 the clone buckets are
+    dropped in every band (df=40 > 10) while the small pair survives.
+    Same contract checked for both banded schemes."""
+    from bcg_contacts_data_pipeline_spark.operators.similarity import (
+        minhash_lsh_pairs,
+        simhash_pairs,
+    )
+
+    clone_text = "the same boilerplate page body repeated across mirrors"
+    # long near-dups (1 of 60 tokens differs) so the simhash hamming
+    # distance is small — short texts flip too many bits per token
+    base = " ".join(f"tok{i}" for i in range(60))
+    rows = [(i, clone_text) for i in range(40)] + [
+        (100, base + " ending_one"),
+        (101, base + " ending_two"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    mh_uncapped = minhash_lsh_pairs(
+        docs, "doc_id", "text", verify_threshold=0.2
+    )
+    assert mh_uncapped.filter("id_a < 40").count() == 40 * 39 // 2
+
+    mh = minhash_lsh_pairs(
+        docs, "doc_id", "text", verify_threshold=0.2, max_bucket=10
+    )
+    got = {(r.id_a, r.id_b) for r in mh.collect()}
+    assert (100, 101) in got
+    assert not any(a < 40 for a, _ in got), got
+    plan = mh._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan, plan
+
+    sh = simhash_pairs(docs, "doc_id", "text", max_bucket=10)
+    sgot = {(r.id_a, r.id_b) for r in sh.collect()}
+    assert (100, 101) in sgot
+    assert not any(a < 40 for a, _ in sgot), sgot
