@@ -71,7 +71,10 @@ BUDGET = {
     "scd2_order_status": 1,  # collapse+renumber+lead on ONE partitioning
     "event_rate_anomaly": 3,  # hourly agg + stats agg + stats join-back
     "bm25_topk": 1,  # corpus-stats SinglePartition; probe via broadcast
-    "fuzzy_contact_pairs": 1,  # block self-join broadcasts; distance agg
+    # block self-join broadcasts; +2 from the max_block guard (hot-block
+    # agg partial+final feeding the anti-join) — the price of making the
+    # degenerate-block case structurally impossible
+    "fuzzy_contact_pairs": 3,
     "cube_order_stats": 1,  # Expand 4x map-side, partial agg pre-shuffle
     # the no-persist ngram pair generator recomputes the shingle explode
     # in each of its three consumers (documented trade in
