@@ -707,3 +707,78 @@ def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
         F.grouping_id().cast("long").alias("grouping_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Star-algorithm CC twin: same clusters, O(log n) rounds — the
+# high-diameter scale path next to dedup_components' min-label form.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_components_star",
+    oracle="""
+    WITH sh_all AS (
+      SELECT doc_id,
+             unnest(list_distinct([lower(t[i]) || ' ' || lower(t[i+1]) || ' ' || lower(t[i+2])
+                    for i in range(1, greatest(len(t)-1, 1))])) AS s
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents WHERE length(trim(text)) > 0)),
+    hot AS (SELECT s FROM sh_all GROUP BY s HAVING COUNT(*) > 100),
+    sh AS (SELECT * FROM sh_all WHERE s NOT IN (SELECT s FROM hot)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    edges AS (
+      SELECT id_a, id_b FROM shared
+      JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.2),
+    sym AS (SELECT id_a AS u, id_b AS v FROM edges
+            UNION SELECT id_b, id_a FROM edges),
+    reach AS (
+      WITH RECURSIVE r(node, lab) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT s.v, r.lab FROM r JOIN sym s ON s.u = r.node)
+      SELECT node, MIN(lab) AS comp FROM r GROUP BY node)
+    SELECT CAST(node AS BIGINT) AS doc_id, CAST(comp AS BIGINT) AS component,
+           CAST(COUNT(*) OVER (PARTITION BY comp) AS BIGINT) AS component_size
+    FROM reach
+    """,
+)
+def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Algorithm twin of ``dedup_components``: identical capped pair
+    generation and identical cluster semantics (component = min doc_id
+    — the same recursive-CTE oracle certifies both), computed by the
+    alternating large-star/small-star contraction (Kiveris et al.)
+    instead of min-label propagation. Min-label runs diameter-many
+    rounds — right for shallow near-dup graphs; the star form contracts
+    paths exponentially (O(log n) rounds on ANY graph), making it the
+    setting for graphs whose depth you can't bound up front (citation /
+    link graphs, long refactor chains in code corpora). Both paths are
+    driver-certified against the same oracle, so choosing one is purely
+    a physical decision."""
+    from pyspark.sql import Window
+
+    from bcg_contacts_data_pipeline_spark.operators.graph import (
+        connected_components_star,
+    )
+    from bcg_contacts_data_pipeline_spark.operators.similarity import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.2, max_df=100
+    )
+    comp = connected_components_star(
+        pairs, "id_a", "id_b", nodes=docs, node_col="doc_id"
+    )
+    w = Window.partitionBy("comp")
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        F.col("comp").alias("component"),
+        F.count(F.lit(1)).over(w).alias("component_size"),
+    )

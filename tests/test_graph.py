@@ -116,3 +116,74 @@ def test_components_reliable_matches_local_and_survives_release(
     assert [
         os.path.join(d, f) for d, _, fs in os.walk(ckdir) for f in fs
     ], "release() must not delete reliable checkpoint files"
+
+
+def test_star_components_basic_and_chain_round_bound(spark):
+    """The alternating star algorithm labels the same components as
+    min-label propagation, and converges on a 200-node path within
+    max_iter=12 alternations — O(log n), where min-label needs
+    diameter (199) rounds. The cap doubles as the proof: a
+    non-contracted graph at round 12 would return wrong labels."""
+    from bcg_contacts_data_pipeline_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame(
+        [(1,), (2,), (3,), (10,), (11,), (99,)], "n long"
+    )
+    got = {
+        r.node: r.comp
+        for r in connected_components_star(
+            edges, nodes=nodes, node_col="n"
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(199)], "id_a long, id_b long"
+    )
+    labs = {
+        r.node: r.comp
+        for r in connected_components_star(chain, max_iter=12).collect()
+    }
+    assert len(labs) == 200
+    assert set(labs.values()) == {0}
+
+
+def test_star_components_match_min_label_on_random_graphs(spark):
+    """Property: both CC algorithms produce identical labelings on
+    random graphs (deterministic seeds — Date/random are fine in
+    tests, just not in workflow scripts)."""
+    import random
+
+    from bcg_contacts_data_pipeline_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    for seed in (7, 13, 99):
+        rng = random.Random(seed)
+        n = 60
+        m = rng.randrange(20, 80)
+        pairs = {
+            tuple(sorted(rng.sample(range(n), 2))) for _ in range(m)
+        }
+        edges = spark.createDataFrame(
+            [(a, b) for a, b in sorted(pairs)], "id_a long, id_b long"
+        )
+        nodes = spark.createDataFrame([(i,) for i in range(n)], "x long")
+        a = {
+            r.node: r.comp
+            for r in connected_components(
+                edges, nodes=nodes, node_col="x"
+            ).collect()
+        }
+        b = {
+            r.node: r.comp
+            for r in connected_components_star(
+                edges, nodes=nodes, node_col="x"
+            ).collect()
+        }
+        assert a == b, (seed, {k: (a[k], b.get(k)) for k in a if a[k] != b.get(k)})
