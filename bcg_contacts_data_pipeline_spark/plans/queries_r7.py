@@ -782,3 +782,109 @@ def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("comp").alias("component"),
         F.count(F.lit(1)).over(w).alias("component_size"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-statistics quality: bigram coverage against a reference
+# vocabulary — the engine-exact stand-in for LM-perplexity filtering.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bigram_coverage",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+      FROM documents WHERE length(trim(text)) > 0),
+    bi AS (
+      SELECT doc_id, lang,
+             unnest([t[i] || ' ' || t[i+1]
+                     for i in range(1, greatest(len(t), 1))]) AS bg
+      FROM toks WHERE len(t) >= 2),
+    vocab AS (
+      SELECT bg FROM bi WHERE lang = 'en'
+      GROUP BY bg HAVING COUNT(DISTINCT doc_id) >= 2),
+    scored AS (
+      SELECT b.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(CASE WHEN v.bg IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_covered
+      FROM bi b LEFT JOIN vocab v ON v.bg = b.bg
+      GROUP BY b.doc_id)
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(s.n_bigrams) AS BIGINT) AS total_bigrams,
+           CAST(SUM(s.n_covered) AS BIGINT) AS covered_bigrams,
+           CAST(CAST(SUM(s.n_covered) AS DOUBLE)
+                / CAST(SUM(s.n_bigrams) AS DOUBLE) AS DOUBLE) AS coverage
+    FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+    GROUP BY d.lang
+    """,
+)
+def bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical quality filtering without a language model binary:
+    score every document by the fraction of its token bigrams that
+    appear in a REFERENCE vocabulary (bigrams seen in >= 2 distinct
+    English docs of the same corpus) — the engine-exact stand-in for
+    KenLM perplexity gating (log-probs are libm-bound; a coverage RATIO
+    is one division, hash-exact cross-engine). Low coverage flags
+    boilerplate, wrong-language, and garbled docs the char-class
+    heuristics (lang_quality) miss; rolled up per language so the
+    result is the filter-calibration table a curation run reads.
+
+    Scale shape: doc bigrams via slide-window transform (narrow, no
+    explode until the join), vocabulary = distinct-doc-count filter
+    over the same frame (the inverted-index discipline of the dedup
+    family — at 100 TB the vocab is huge but the join is
+    hash-partitioned on the bigram; no driver state, no broadcast of
+    unbounded vocab)."""
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    t = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    grams = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat(
+                F.element_at(t, i), F.lit(" "), F.element_at(t, i + 1)
+            ),
+        ),
+    )
+    # join key is xxhash64(bigram): 8 bytes through the shuffle instead
+    # of a string — the same discipline (and the same negligible
+    # 64-bit-collision caveat) as the shingle frames in similarity.py
+    bi = docs.select(
+        "doc_id", "lang", F.explode(grams).alias("__bg_s")
+    ).select("doc_id", "lang", F.xxhash64("__bg_s").alias("bg"))
+    vocab = (
+        bi.filter(F.col("lang") == "en")
+        .groupBy("bg")
+        .agg(F.countDistinct("doc_id").alias("__df"))
+        .filter(F.col("__df") >= 2)
+        .select("bg")
+    )
+    scored = (
+        bi.join(vocab.withColumn("__hit", F.lit(1)), "bg", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_covered"),
+        )
+    )
+    return (
+        scored.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bigrams").alias("total_bigrams"),
+            F.sum("n_covered").alias("covered_bigrams"),
+            (
+                F.sum("n_covered").cast("double")
+                / F.sum("n_bigrams").cast("double")
+            ).alias("coverage"),
+        )
+    )
