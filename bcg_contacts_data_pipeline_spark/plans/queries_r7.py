@@ -888,3 +888,77 @@ def bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 consumer: point-in-time lookup — the interval join that makes a
+# type-2 dimension worth building.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scd2_point_in_time",
+    oracle="""
+    WITH ordered AS (
+      SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus,
+             row_number() OVER w AS rn,
+             lag(o_orderstatus) OVER w AS prev
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+    hist AS (
+      SELECT o_custkey AS k, o_orderstatus AS status,
+             o_orderdate AS eff_from,
+             lead(o_orderdate) OVER w2 AS eff_to
+      FROM (SELECT * FROM ordered
+            WHERE rn = 1 OR o_orderstatus IS DISTINCT FROM prev)
+      WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+    looked AS (
+      SELECT o.o_orderkey, h.status
+      FROM orders o JOIN hist h
+        ON h.k = o.o_custkey
+       AND o.o_orderdate >= h.eff_from
+       AND (h.eff_to IS NULL OR o.o_orderdate < h.eff_to))
+    SELECT status AS as_of_status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM looked GROUP BY 1
+    """,
+)
+def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The query a type-2 dimension exists FOR: join facts to the
+    version whose validity interval contains the fact's event time
+    ("what was this customer's status when the order was placed").
+    Here the facts are the orders themselves probing the status history
+    built by scd2_order_status — every order resolves to exactly one
+    version (intervals are closed-open and partition the timeline, so
+    the interval predicate is a total function; an order on its own
+    transition date picks the version it opened — deterministic on both
+    engines, tiebreak inherited from the history build). Physical
+    shape: equi-join on the entity key carries the shuffle; the
+    interval predicate rides as the join residual, so this is a plain
+    hash join, NOT a range join — at 100 TB the history is orders of
+    magnitude smaller than facts and AQE broadcasts it. Rolled up to
+    counts per as-of status so the oracle compares lookup volume."""
+    from bcg_contacts_data_pipeline_spark.operators.cdc import scd2_history
+
+    o = _t(spark, sf_dir, "orders")
+    hist = scd2_history(
+        o,
+        keys=["o_custkey"],
+        ts_col="o_orderdate",
+        attr_cols=["o_orderstatus"],
+        tiebreak="o_orderkey",
+    ).select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("effective_from").alias("eff_from"),
+        F.col("effective_to").alias("eff_to"),
+    )
+    looked = o.join(
+        hist,
+        (F.col("k") == F.col("o_custkey"))
+        & (F.col("o_orderdate") >= F.col("eff_from"))
+        & (F.col("eff_to").isNull() | (F.col("o_orderdate") < F.col("eff_to"))),
+    )
+    return looked.groupBy(F.col("status").alias("as_of_status")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
