@@ -799,34 +799,34 @@ def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents WHERE length(trim(text)) > 0),
     bi AS (
       SELECT doc_id, lang,
-             unnest([t[i] || ' ' || t[i+1]
-                     for i in range(1, greatest(len(t), 1))]) AS bg
+             unnest(list_distinct([t[i] || ' ' || t[i+1]
+                     for i in range(1, greatest(len(t), 1))])) AS bg
       FROM toks WHERE len(t) >= 2),
     vocab AS (
       SELECT bg FROM bi WHERE lang = 'en'
-      GROUP BY bg HAVING COUNT(DISTINCT doc_id) >= 2),
+      GROUP BY bg HAVING COUNT(*) >= 2),
     scored AS (
-      SELECT b.doc_id,
+      SELECT b.doc_id, b.lang,
              CAST(COUNT(*) AS BIGINT) AS n_bigrams,
              CAST(SUM(CASE WHEN v.bg IS NOT NULL THEN 1 ELSE 0 END)
                  AS BIGINT) AS n_covered
       FROM bi b LEFT JOIN vocab v ON v.bg = b.bg
-      GROUP BY b.doc_id)
-    SELECT d.lang,
+      GROUP BY b.doc_id, b.lang)
+    SELECT lang,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(s.n_bigrams) AS BIGINT) AS total_bigrams,
-           CAST(SUM(s.n_covered) AS BIGINT) AS covered_bigrams,
-           CAST(CAST(SUM(s.n_covered) AS DOUBLE)
-                / CAST(SUM(s.n_bigrams) AS DOUBLE) AS DOUBLE) AS coverage
-    FROM scored s JOIN documents d ON d.doc_id = s.doc_id
-    GROUP BY d.lang
+           CAST(SUM(n_bigrams) AS BIGINT) AS total_bigrams,
+           CAST(SUM(n_covered) AS BIGINT) AS covered_bigrams,
+           CAST(CAST(SUM(n_covered) AS DOUBLE)
+                / CAST(SUM(n_bigrams) AS DOUBLE) AS DOUBLE) AS coverage
+    FROM scored
+    GROUP BY lang
     """,
 )
 def bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical quality filtering without a language model binary:
-    score every document by the fraction of its token bigrams that
-    appear in a REFERENCE vocabulary (bigrams seen in >= 2 distinct
-    English docs of the same corpus) — the engine-exact stand-in for
+    score every document by the fraction of its DISTINCT token bigrams
+    that appear in a REFERENCE vocabulary (bigrams seen in >= 2
+    distinct English docs of the same corpus) — the engine-exact stand-in for
     KenLM perplexity gating (log-probs are libm-bound; a coverage RATIO
     is one division, hash-exact cross-engine). Low coverage flags
     boilerplate, wrong-language, and garbled docs the char-class
@@ -852,22 +852,32 @@ def bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     )
-    # join key is xxhash64(bigram): 8 bytes through the shuffle instead
-    # of a string — the same discipline (and the same negligible
-    # 64-bit-collision caveat) as the shingle frames in similarity.py
-    bi = docs.select(
-        "doc_id", "lang", F.explode(grams).alias("__bg_s")
+    # DISTINCT bigrams per doc ("type coverage"), deduped IN-ARRAY
+    # (array_distinct) before the explode — the shingle-frame trick:
+    # the exploded stream is already one row per (doc, bigram), so no
+    # pre-aggregation shuffle exists at all; the vocab df-filter is a
+    # plain count and the membership join probes distinct pairs. Join
+    # key is xxhash64(bigram): 8 bytes through the shuffle (same
+    # negligible-collision caveat as the shingle frames). `lang` rides
+    # the grouping keys end-to-end — no join-back to documents.
+    # repartition BEFORE the explode: the raw documents file is one
+    # input split at small SFs, which would serialize the whole
+    # tokenize/explode on a single task (the simhash64 lesson); the
+    # pre-explode frame is tiny relative to its exploded output, so
+    # this is the cheapest place to buy parallelism
+    bi = docs.repartition(64).select(
+        "doc_id", "lang", F.explode(F.array_distinct(grams)).alias("__bg_s")
     ).select("doc_id", "lang", F.xxhash64("__bg_s").alias("bg"))
     vocab = (
         bi.filter(F.col("lang") == "en")
         .groupBy("bg")
-        .agg(F.countDistinct("doc_id").alias("__df"))
+        .agg(F.count(F.lit(1)).alias("__df"))
         .filter(F.col("__df") >= 2)
         .select("bg")
     )
     scored = (
         bi.join(vocab.withColumn("__hit", F.lit(1)), "bg", "left")
-        .groupBy("doc_id")
+        .groupBy("doc_id", "lang")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
             F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
@@ -875,18 +885,14 @@ def bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_covered"),
         )
     )
-    return (
-        scored.join(docs.select("doc_id", "lang"), "doc_id")
-        .groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_bigrams").alias("total_bigrams"),
-            F.sum("n_covered").alias("covered_bigrams"),
-            (
-                F.sum("n_covered").cast("double")
-                / F.sum("n_bigrams").cast("double")
-            ).alias("coverage"),
-        )
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bigrams").alias("total_bigrams"),
+        F.sum("n_covered").alias("covered_bigrams"),
+        (
+            F.sum("n_covered").cast("double")
+            / F.sum("n_bigrams").cast("double")
+        ).alias("coverage"),
     )
 
 
