@@ -73,11 +73,28 @@ def _certification_rounds(root: str | None = None) -> dict[str, int]:
     return last
 
 
+#: Queries whose SEMANTICS or ORACLE changed this round despite having
+#: a recent certification row: rotation sorts by staleness, which would
+#: leave a freshly-changed-but-recently-certified query outside the
+#: driver's 50-row window exactly when its new form needs re-checking.
+#: Names here sort as if never certified. Curate per round; stale names
+#: are harmless (they just re-verify).
+_FORCE_HEAD = {
+    "dedup_components",  # r7: max_df cap added, oracle mirrored
+    "media_image_meta",  # r7: real header parse, new oracle
+}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     last = _certification_rounds()
     order = list(QUERIES)
     idx = {name: i for i, name in enumerate(order)}
-    order.sort(key=lambda n: (last.get(n, -1), idx[n]))
+    order.sort(
+        key=lambda n: (
+            -1 if n in _FORCE_HEAD else last.get(n, -1),
+            idx[n],
+        )
+    )
     return {name: QUERIES[name] for name in order}
 
 

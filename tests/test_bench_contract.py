@@ -128,3 +128,20 @@ def test_bench_isolation_pass_adjudicates_big_deltas(tmp_path):
         assert row["isolated_min3"] > 0
     # a filtered (argv) run must NOT overwrite the full-map artifact
     assert json.loads(full.read_text()) == prior
+
+
+def test_force_head_overrides_recent_certification(tmp_path, monkeypatch):
+    """A query listed in _FORCE_HEAD (semantics/oracle changed this
+    round) must sort ahead of everything merely stale, even when it has
+    the NEWEST certification row — otherwise a changed query certified
+    last round sits outside the driver's 50-row window exactly when its
+    new form needs re-checking."""
+    import __spark_entry__ as entry
+
+    monkeypatch.setattr(
+        entry,
+        "_certification_rounds",
+        lambda root=None: {"dedup_components": 7, "q1_pricing_summary": 7},
+    )
+    order = list(entry.queries())
+    assert order.index("dedup_components") < order.index("q1_pricing_summary")
