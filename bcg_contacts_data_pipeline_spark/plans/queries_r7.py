@@ -1,10 +1,12 @@
 """Round-7 query surface: the remaining distinct TPC-H plan features
 (conditional aggregation — CASE inside SUM, Q12/Q14; ranked top-k via
-TakeOrderedAndProject, Q10), a nested-path / array-element /
-missing-key Variant extraction, SCD2 dimension history, near-dup
-graph degree distribution, exact-integer-sum z-score anomaly
-detection, BM25 ranked retrieval, and Levenshtein record linkage
-with blocking.
+TakeOrderedAndProject, Q10; the CUBE grouping-set lattice), a
+nested-path / array-element / missing-key Variant extraction, the SCD2
+dimension family (history build + point-in-time interval lookup),
+near-dup graph degree distribution, the star-algorithm connected
+components twin, exact-integer-sum z-score anomaly detection, BM25
+ranked retrieval, bigram type-coverage quality scoring, and
+Levenshtein record linkage with blocking.
 
 Registered into the same ``plans.queries`` registry (imported at the
 bottom of that module). Same determinism rules as every other entry:
