@@ -155,11 +155,19 @@ def _run(args, spark: SparkSession, persisted: list, pins=None) -> int:
         pins=pins,
     )
     cleaned_path = f"{args.out_dir}/MergedDatabase.tsv"
+    # the row count rides the write job via the Observation API — the
+    # old `result.cleaned.count()` after the write re-executed the
+    # whole fill->clean->dedup plan a second time just to log a number
+    from bcg_contacts_data_pipeline_spark.operators.observe import with_metrics
+
+    to_write, obs = with_metrics(
+        result.cleaned.orderBy("seqno"), {"rows": F.count(F.lit(1))}
+    )
     if args.single_file:
-        W.write_tsv_single(result.cleaned.orderBy("seqno"), cleaned_path)
+        W.write_tsv_single(to_write, cleaned_path)
     else:
-        W.write_tsv(result.cleaned.orderBy("seqno"), cleaned_path)
-    n_rows = result.cleaned.count()
+        W.write_tsv(to_write, cleaned_path)
+    n_rows = obs.get["rows"]
     _log(f"  done in {time.time() - s:.1f}s ({n_rows} rows)")
     i += 1
 
