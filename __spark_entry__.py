@@ -82,6 +82,7 @@ def _certification_rounds(root: str | None = None) -> dict[str, int]:
 _FORCE_HEAD = {
     "dedup_components",  # r7: max_df cap added, oracle mirrored
     "media_image_meta",  # r7: real header parse, new oracle
+    "media_audio_stats",  # r7: real WAV parse, new oracle
 }
 
 

@@ -23,10 +23,13 @@ Design rules (the parts that matter at 100 TB):
   derived from the text column with SQL-expressible arithmetic, so a
   DuckDB oracle can verify the synthesize->encode->parse round trip
   end to end.
-- AUDIO/VIDEO decoders remain deterministic fakes (soundfile / av are
-  not in this container and their containers aren't parseable in a few
-  stdlib lines); the fakes' arithmetic is SQL-expressible (hex-char
-  ascii math) so the mapInPandas plumbing stays oracle-checkable.
+- AUDIO decode is REAL too: ``parse_audio_meta`` walks a RIFF/WAVE
+  container's fmt/data chunks with stdlib ``struct``; the fixture
+  (``synthesize_audio_payload``) emits complete spec-valid PCM WAVs.
+- VIDEO frame sampling remains the deterministic fake (real demuxing
+  genuinely needs av/ffmpeg); its arithmetic is SQL-expressible
+  (hex-char ascii math) so the mapInPandas plumbing stays
+  oracle-checkable.
 """
 
 from __future__ import annotations
@@ -271,33 +274,112 @@ def sample_frames(
 
 
 # ---------------------------------------------------------------------------
-# Audio features
+# Audio: real WAV (RIFF) synthesis + real header parse — same upgrade
+# as the image family; soundfile/av stay unnecessary because PCM WAV
+# metadata is a two-chunk stdlib walk.
 # ---------------------------------------------------------------------------
 
-AUDIO_SCHEMA = "doc_id bigint, sample_rate int, duration_s double"
+AUDIO_SCHEMA = "doc_id bigint, sample_rate int, n_samples int, duration_s double"
 
 _RATES = [8000, 16000, 44100]
+
+
+def wav_bytes(sample_rate: int, n_samples: int) -> bytes:
+    """A COMPLETE, spec-valid PCM WAV: RIFF/WAVE container, fmt chunk
+    (PCM, mono, 16-bit) and a data chunk of ``n_samples`` zero samples.
+    Any conformant WAV reader decodes this as silence."""
+    data = bytes(2 * n_samples)
+    fmt = struct.pack(
+        "<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_audio_meta(b: bytes) -> tuple[int, int]:
+    """Real WAV parse, stdlib only: verify the RIFF/WAVE container,
+    walk chunks to ``fmt`` (sample rate, channels, bit depth) and
+    ``data`` (byte length -> sample count). Raises ValueError on
+    anything unrecognized, like parse_image_meta."""
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos, rate, n_samples, block = 12, None, None, None
+    while pos + 8 <= len(b):
+        tag = b[pos : pos + 4]
+        (ln,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+        if tag == b"fmt ":
+            fmt_code, channels, rate, _, block, bits = struct.unpack(
+                "<HHIIHH", b[pos + 8 : pos + 24]
+            )
+            if fmt_code != 1:
+                raise ValueError(f"non-PCM WAV (format {fmt_code})")
+        elif tag == b"data":
+            if block is None:
+                raise ValueError("WAV data chunk before fmt")
+            n_samples = ln // block
+        pos += 8 + ln + (ln % 2)  # chunks are 2-byte aligned
+    if rate is None or n_samples is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    return rate, n_samples
+
+
+AUDIO_PAYLOAD_SCHEMA = "doc_id bigint, payload binary"
+
+
+def synthesize_audio_payload(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Fixture path, mirroring synthesize_image_payload: rate and
+    sample count derive from the text column with SQL-expressible
+    arithmetic, then GENUINE WAV bytes are emitted:
+
+        sample_rate = [8000, 16000, 44100][length(text) % 3]
+        n_samples   = 100 + (length(text) * 37) % 2000
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            lens = [len(t) for t in pdf[text_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "payload": [
+                        wav_bytes(_RATES[n % 3], 100 + (n * 37) % 2000)
+                        for n in lens
+                    ],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        batches, AUDIO_PAYLOAD_SCHEMA
+    )
 
 
 def audio_features(
     df: DataFrame, id_col: str, payload_col: str = "payload"
 ) -> DataFrame:
-    """payload -> (sample_rate, duration_s). Fake decode: rate keyed on a
-    hex char, duration = n_bytes / rate (one IEEE division — exact for the
-    oracle)."""
+    """payload -> (doc_id, sample_rate, n_samples, duration_s) by REAL
+    WAV header parsing (``parse_audio_meta``); duration is ONE IEEE
+    division (n_samples / rate), engine-exact for the oracle. Payload
+    pruned from the output, as everywhere in this module."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            rates = [
-                _RATES[ord(b.hex()[1]) % 3] for b in pdf[payload_col]
-            ]
+            metas = [parse_audio_meta(b) for b in pdf[payload_col]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
-                    "sample_rate": pd.Series(rates, dtype="int32"),
-                    "duration_s": [
-                        len(b) / r for b, r in zip(pdf[payload_col], rates)
-                    ],
+                    "sample_rate": pd.Series(
+                        [m[0] for m in metas], dtype="int32"
+                    ),
+                    "n_samples": pd.Series(
+                        [m[1] for m in metas], dtype="int32"
+                    ),
+                    "duration_s": [m[1] / m[0] for m in metas],
                 }
             )
 

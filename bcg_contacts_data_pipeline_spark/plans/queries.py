@@ -1282,31 +1282,41 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "media_audio_stats",
-    oracle=f"""
+    oracle="""
     WITH a AS (
       SELECT doc_id,
-             CASE {_A.format(i=2)} % 3
+             CASE length(text) % 3
                   WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100
              END AS sample_rate,
-             16 * (1 + length(text) % 8) AS n_bytes
+             100 + (length(text) * 37) % 2000 AS n_samples
       FROM documents)
     SELECT CAST(sample_rate AS INT) AS sample_rate,
            COUNT(*) AS n_docs,
-           CAST(SUM(CAST(CAST(n_bytes AS DOUBLE) / sample_rate
+           CAST(SUM(CAST(n_samples AS BIGINT)) AS BIGINT) AS total_samples,
+           CAST(SUM(CAST(CAST(n_samples AS DOUBLE) / sample_rate
                          AS DECIMAL(18,12))) AS DOUBLE) AS total_duration_s
     FROM a GROUP BY 1
     """,
 )
 def q_media_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio decode (fake) then a rollup per sample rate — the typical
-    media-pipeline shape: heavy Python decode first, cheap JVM agg after,
-    payload pruned before the shuffle."""
+    """Audio decode then a rollup per sample rate — the typical
+    media-pipeline shape: Python decode first, cheap JVM agg after,
+    payload pruned before the shuffle. Decode is REAL since r7: the
+    fixture emits complete PCM WAVs (rate and sample count derived from
+    length(text)) and audio_features reads them back from the actual
+    RIFF fmt/data chunks (operators/multimodal.py:parse_audio_meta), so
+    the hash match proves the WAV encode->parse round trip. Durations
+    sum through DECIMAL(18,12) on both engines (each duration is one
+    IEEE division; the staging makes the SUM order-independent)."""
     from bcg_contacts_data_pipeline_spark.operators import multimodal as M
 
     docs = _t(spark, sf_dir, "documents")
-    audio = M.audio_features(M.with_fake_payload(docs, "text"), "doc_id")
+    audio = M.audio_features(
+        M.synthesize_audio_payload(docs, "doc_id", "text"), "doc_id"
+    )
     return audio.groupBy("sample_rate").agg(
         F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_samples").cast("long").alias("total_samples"),
         F.sum(F.col("duration_s").cast("decimal(18,12)"))
         .cast("double")
         .alias("total_duration_s"),

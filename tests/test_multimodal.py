@@ -109,19 +109,45 @@ def test_frame_sample_fanout_and_bytes(spark, docs):
         assert bytes(r.frame) == b[off : off + 4]
 
 
+def test_wav_roundtrip_real_bytes():
+    """The WAV fixture parses back to its own (rate, samples) — and is
+    a COMPLETE PCM file: fmt declares mono 16-bit, data holds exactly
+    2*n_samples bytes. Garbage and non-PCM streams are rejected."""
+    import pytest
+    import struct
+
+    for rate, n in [(8000, 100), (16000, 1), (44100, 2099)]:
+        assert M.parse_audio_meta(M.wav_bytes(rate, n)) == (rate, n)
+    b = M.wav_bytes(16000, 5)
+    assert b[:4] == b"RIFF" and b[8:12] == b"WAVE"
+    with pytest.raises(ValueError, match="RIFF/WAVE"):
+        M.parse_audio_meta(b"\x00" * 40)
+    bad = bytearray(M.wav_bytes(8000, 4))
+    struct.pack_into("<H", bad, 20, 7)  # fmt code 7 = mu-law, not PCM
+    with pytest.raises(ValueError, match="non-PCM"):
+        M.parse_audio_meta(bytes(bad))
+
+
 def test_audio_features(spark, docs):
-    out = M.audio_features(M.with_fake_payload(docs, "text"), "doc_id")
+    out = M.audio_features(
+        M.synthesize_audio_payload(docs, "doc_id", "text"), "doc_id"
+    )
     rows = out.collect()
     assert len(rows) == docs.count()
-    for r in rows[:20]:
-        assert r.sample_rate in (8000, 16000, 44100)
-        assert r.duration_s > 0
+    texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    for r in rows[:50]:
+        n = len(texts[r.doc_id])
+        assert r.sample_rate == [8000, 16000, 44100][n % 3]
+        assert r.n_samples == 100 + (n * 37) % 2000
+        assert r.duration_s == r.n_samples / r.sample_rate
 
 
 def test_payload_pruned_before_shuffle(spark, docs):
     """The audio rollup must not shuffle the payload: mapInPandas projects
     it away, so the exchange above the agg carries only small columns."""
-    audio = M.audio_features(M.with_fake_payload(docs, "text"), "doc_id")
+    audio = M.audio_features(
+        M.synthesize_audio_payload(docs, "doc_id", "text"), "doc_id"
+    )
     plan = (
         audio.groupBy("sample_rate")
         .count()
