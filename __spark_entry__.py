@@ -83,6 +83,7 @@ _FORCE_HEAD = {
     "dedup_components",  # r7: max_df cap added, oracle mirrored
     "media_image_meta",  # r7: real header parse, new oracle
     "media_audio_stats",  # r7: real WAV parse, new oracle
+    "media_frame_sample",  # r7: real ISO-BMFF demux, new oracle
 }
 
 

@@ -40,20 +40,6 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
-
-
-# ---------------------------------------------------------------------------
-# Payload synthesis (test fixture path — real pipelines read binary columns
-# straight from parquet; this derives one deterministically from text)
-# ---------------------------------------------------------------------------
-
-def with_fake_payload(df: DataFrame, text_col: str) -> DataFrame:
-    """Attach a deterministic binary payload column: ``unhex(repeat(md5(t),
-    k))`` with k in 1..8 keyed on text length, i.e. 16..128 bytes per row.
-    Pure JVM expressions — no Python in the synthesis path."""
-    k = F.lit(1) + F.length(text_col) % 8
-    return df.withColumn("payload", F.unhex(F.repeat(F.md5(F.col(text_col)), k)))
 
 
 # ---------------------------------------------------------------------------
@@ -231,36 +217,186 @@ def decode_image_meta(
 
 
 # ---------------------------------------------------------------------------
-# Video frame sampling
+# Video: real ISO-BMFF (MP4) synthesis + real box-walk demux of the
+# sample table — frames come out of mdat via stsz/stco byte ranges.
 # ---------------------------------------------------------------------------
 
 FRAME_SCHEMA = "doc_id bigint, frame_idx int, n_frames int, frame binary"
 
 
-def _fake_n_frames(b: bytes) -> int:
-    return 4 + ord(b.hex()[0]) % 13
+def _box(tag: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+
+def mp4_bytes(frames: list[bytes]) -> bytes:
+    """A minimal ISO-BMFF container holding ``frames`` as the video
+    track's samples: ftyp, mdat (the concatenated sample bytes), and a
+    moov whose stbl carries a REAL sample table — stsd (1 entry), stts
+    (uniform delta), stsc (one chunk), stsz (per-sample sizes), stco
+    (absolute chunk offset into mdat). A conformant demuxer recovers
+    every sample's exact byte range from this; so does
+    ``parse_video_frames`` below."""
+    if not frames:
+        raise ValueError("mp4_bytes needs at least one frame")
+    n = len(frames)
+    ftyp = _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    mdat = _box(b"mdat", b"".join(frames))
+    mdat_payload_off = len(ftyp) + 8
+
+    stsd = _box(
+        b"stsd",
+        struct.pack(">II", 0, 1)
+        + _box(b"raw ", b"\x00" * 6 + struct.pack(">H", 1)),
+    )
+    stts = _box(b"stts", struct.pack(">IIII", 0, 1, n, 1))
+    stsc = _box(b"stsc", struct.pack(">IIIII", 0, 1, 1, n, 1))
+    stsz = _box(
+        b"stsz",
+        struct.pack(">III", 0, 0, n)
+        + b"".join(struct.pack(">I", len(f)) for f in frames),
+    )
+    stco = _box(b"stco", struct.pack(">III", 0, 1, mdat_payload_off))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = _box(b"minf", stbl)
+    mdhd = _box(
+        b"mdhd", struct.pack(">IIIIIHH", 0, 0, 0, 30, n, 0x55C4, 0)
+    )
+    hdlr = _box(
+        b"hdlr", struct.pack(">II", 0, 0) + b"vide" + b"\x00" * 13
+    )
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _box(
+        b"tkhd",
+        struct.pack(">II", 0x00000007, 0)  # version 0, flags enabled
+        + struct.pack(">IIII", 0, 1, 0, n)  # mtime, track id, rsvd, dur
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)
+        + b"\x00" * 36  # identity matrix slot (unread by the parser)
+        + struct.pack(">II", 0, 0),
+    )
+    trak = _box(b"trak", tkhd + mdia)
+    mvhd = _box(
+        b"mvhd",
+        struct.pack(">IIIII", 0, 0, 0, 30, n)
+        + struct.pack(">IHH", 0x00010000, 0x0100, 0)
+        + b"\x00" * 10
+        + b"\x00" * 36
+        + b"\x00" * 24
+        + struct.pack(">I", 2),
+    )
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def _child_boxes(b: bytes, start: int, end: int):
+    pos = start
+    while pos + 8 <= end:
+        (ln,) = struct.unpack(">I", b[pos : pos + 4])
+        if ln < 8 or pos + ln > end:
+            raise ValueError("malformed ISO-BMFF box length")
+        yield b[pos + 4 : pos + 8], pos + 8, pos + ln
+        pos += ln
+
+
+def _find(b: bytes, start: int, end: int, tag: bytes) -> tuple[int, int]:
+    for t, s, e in _child_boxes(b, start, end):
+        if t == tag:
+            return s, e
+    raise ValueError(f"ISO-BMFF box {tag!r} not found")
+
+
+def parse_video_frames(b: bytes) -> list[bytes]:
+    """Real demux of the metadata path: walk ftyp/moov boxes to the
+    sample table and slice every sample's bytes out of mdat via
+    stco + cumulative stsz offsets. Raises ValueError on malformed
+    containers. (Codec DECODE of the sample payloads is av/ffmpeg
+    territory — a curation pass samples and routes bytes; it does not
+    rasterize.)"""
+    top = {t: (s, e) for t, s, e in _child_boxes(b, 0, len(b))}
+    if b"ftyp" not in top or b"moov" not in top:
+        raise ValueError("not an ISO-BMFF stream (ftyp/moov missing)")
+    s, e = top[b"moov"]
+    s, e = _find(b, s, e, b"trak")
+    s, e = _find(b, s, e, b"mdia")
+    s, e = _find(b, s, e, b"minf")
+    s, e = _find(b, s, e, b"stbl")
+    zs, ze = _find(b, s, e, b"stsz")
+    _, fixed, count = struct.unpack(">III", b[zs : zs + 12])
+    if fixed:
+        sizes = [fixed] * count
+    else:
+        sizes = list(
+            struct.unpack(f">{count}I", b[zs + 12 : zs + 12 + 4 * count])
+        )
+    cs, ce = _find(b, s, e, b"stco")
+    _, n_chunks = struct.unpack(">II", b[cs : cs + 8])
+    if n_chunks != 1:
+        raise ValueError("parser supports single-chunk tracks")
+    (off,) = struct.unpack(">I", b[cs + 8 : cs + 12])
+    frames, pos = [], off
+    for ln in sizes:
+        frames.append(bytes(b[pos : pos + ln]))
+        pos += ln
+    return frames
+
+
+VIDEO_PAYLOAD_SCHEMA = "doc_id bigint, payload binary"
+
+
+def synthesize_video_payload(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Fixture path: ``n = 4 + length(text) % 13`` frames (the count is
+    SQL-expressible for the oracle), each frame's bytes a deterministic
+    function of (text, index), packed into a GENUINE ISO-BMFF container
+    by ``mp4_bytes``."""
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for t in pdf[text_col]:
+                n = 4 + len(t) % 13
+                payloads.append(
+                    mp4_bytes(
+                        [
+                            hashlib.md5(f"{t}:{i}".encode()).digest()[: 6 + i % 5]
+                            for i in range(n)
+                        ]
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "payload": payloads,
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        batches, VIDEO_PAYLOAD_SCHEMA
+    )
 
 
 def sample_frames(
     df: DataFrame, id_col: str, payload_col: str = "payload", stride: int = 3
 ) -> DataFrame:
-    """Treat the payload as a container with N frames; emit every
-    ``stride``-th frame as its own row (doc_id, frame_idx, n_frames,
-    frame-bytes). One input row fans out to ceil(N/stride) output rows —
-    mapInPandas because a real demuxer is imperative Python; the fake
-    slices 4-byte windows out of the payload (wrap-around)."""
+    """Demux the container (REAL box walk, ``parse_video_frames``) and
+    emit every ``stride``-th sample as its own row (doc_id, frame_idx,
+    n_frames, frame-bytes). One input row fans out to ceil(N/stride)
+    output rows — mapInPandas because a demuxer is imperative Python;
+    the payload never reaches any downstream shuffle."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids, idxs, totals, frames = [], [], [], []
             for doc_id, b in zip(pdf[id_col], pdf[payload_col]):
-                n = _fake_n_frames(b)
+                all_frames = parse_video_frames(b)
+                n = len(all_frames)
                 for i in range(0, n, stride):
-                    off = (4 * i) % max(len(b) - 4, 1)
                     ids.append(int(doc_id))
                     idxs.append(i)
                     totals.append(n)
-                    frames.append(bytes(b[off : off + 4]))
+                    frames.append(all_frames[i])
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(ids, dtype="int64"),

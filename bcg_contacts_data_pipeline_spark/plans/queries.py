@@ -1212,18 +1212,14 @@ def q_stream_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Multimodal binary columns (beyond-reference). IMAGE metadata is a REAL
-# header parse over real synthesized bytes (PNG/JPEG/WebP, see
-# operators/multimodal.py); audio/video decode remains the documented
-# deterministic fake (no soundfile/av in this container) whose arithmetic
-# a SQL oracle can replicate.
+# Multimodal binary columns (beyond-reference). ALL metadata decodes are
+# REAL parses over genuine synthesized bytes: image headers (PNG IHDR +
+# CRC / JPEG SOF / WebP VP8L), WAV RIFF chunk walk, ISO-BMFF (MP4)
+# sample-table demux — stdlib struct+zlib, see operators/multimodal.py.
+# Each fixture derives its parameters from length(text) with
+# SQL-expressible arithmetic, so the oracles certify the full
+# encode->parse round trips.
 # ---------------------------------------------------------------------------
-
-# Fake-decoder payload = unhex(repeat(md5(text), 1 + length(text) % 8)):
-# 16..128 bytes. The fake decoders read hex chars of the payload, which
-# equal md5(text)'s chars, so the oracle works from md5(text) directly.
-_MD5 = "md5(text)"
-_A = "ascii(substr(md5(text), {i}, 1))"
 
 
 @register(
@@ -1260,9 +1256,9 @@ def q_media_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "media_frame_sample",
-    oracle=f"""
+    oracle="""
     WITH v AS (
-      SELECT doc_id, CAST(4 + {_A.format(i=1)} % 13 AS INT) AS n_frames
+      SELECT doc_id, CAST(4 + length(text) % 13 AS INT) AS n_frames
       FROM documents)
     SELECT doc_id, CAST(unnest(range(0, n_frames, 3)) AS INT) AS frame_idx,
            n_frames
@@ -1271,12 +1267,20 @@ def q_media_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame sampling: one row per kept frame (stride 3); fan-out
-    mapInPandas. Frame bytes are dropped here so the oracle compares the
-    sampling plan, not blob encodings (bytes are covered by unit tests)."""
+    mapInPandas. REAL since r7: the fixture packs per-doc frames into a
+    genuine ISO-BMFF container (ftyp/mdat/moov with a full stsd/stts/
+    stsc/stsz/stco sample table) and sample_frames demuxes them back by
+    walking the boxes and slicing mdat via stco + cumulative stsz
+    (operators/multimodal.py:parse_video_frames). The oracle recomputes
+    the frame count from length(text), so the hash match proves the
+    mux->demux round trip; frame BYTES are dropped from the query
+    surface (blob content is pinned by unit tests, not SQL)."""
     from bcg_contacts_data_pipeline_spark.operators import multimodal as M
 
     docs = _t(spark, sf_dir, "documents")
-    out = M.sample_frames(M.with_fake_payload(docs, "text"), "doc_id", stride=3)
+    out = M.sample_frames(
+        M.synthesize_video_payload(docs, "doc_id", "text"), "doc_id", stride=3
+    )
     return out.select("doc_id", "frame_idx", "n_frames")
 
 

@@ -1,5 +1,6 @@
-"""Multimodal binary-column plumbing: schemas, Arrow batch shapes, fan-out,
-and the deterministic fake decoders."""
+"""Multimodal binary-column plumbing: schemas, Arrow batch shapes,
+fan-out, and the REAL media parsers (PNG/JPEG/WebP headers, WAV chunk
+walk, ISO-BMFF demux)."""
 
 import hashlib
 
@@ -14,14 +15,6 @@ SF = "/root/testdata/sf0.001"
 @pytest.fixture(scope="module")
 def docs(spark):
     return spark.read.parquet(f"{SF}/documents.parquet")
-
-
-def test_payload_is_md5_repeat(spark, docs):
-    row = M.with_fake_payload(docs, "text").select("text", "payload").first()
-    k = 1 + len(row.text) % 8
-    want = bytes.fromhex(hashlib.md5(row.text.encode()).hexdigest() * k)
-    assert bytes(row.payload) == want
-    assert 16 <= len(row.payload) <= 128
 
 
 def test_image_roundtrip_real_bytes():
@@ -92,21 +85,36 @@ def test_image_meta_schema_and_values(spark, docs):
         assert r.n_bytes > 0
 
 
+def test_mp4_mux_demux_roundtrip():
+    """mp4_bytes -> parse_video_frames recovers every sample's exact
+    bytes; malformed containers are rejected loudly."""
+    frames = [b"alpha", b"bb", b"x" * 31, b"", b"tail"]
+    b = M.mp4_bytes(frames)
+    assert b[4:8] == b"ftyp"
+    assert M.parse_video_frames(b) == frames
+    with pytest.raises(ValueError, match="ftyp/moov"):
+        M.parse_video_frames(b"\x00\x00\x00\x08free")
+    with pytest.raises(ValueError, match="at least one frame"):
+        M.mp4_bytes([])
+
+
 def test_frame_sample_fanout_and_bytes(spark, docs):
-    withp = M.with_fake_payload(docs, "text")
-    out = M.sample_frames(withp, "doc_id", stride=3)
+    out = M.sample_frames(
+        M.synthesize_video_payload(docs, "doc_id", "text"), "doc_id", stride=3
+    )
     pdf = out.toPandas()
-    # per-doc: frame indices are 0,3,6.. < n_frames
+    texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    # per-doc: n_frames = 4 + len(text) % 13, indices 0,3,6.. < n, and
+    # the emitted bytes are EXACTLY the samples the fixture muxed in
     for doc_id, grp in pdf.groupby("doc_id"):
-        n = grp.n_frames.iloc[0]
+        t = texts[doc_id]
+        n = 4 + len(t) % 13
+        assert grp.n_frames.iloc[0] == n
         assert sorted(grp.frame_idx) == list(range(0, n, 3))
-    # frame bytes: 4-byte slices with wrap-around
-    first = withp.select("doc_id", "payload").first()
-    sub = pdf[pdf.doc_id == first.doc_id].sort_values("frame_idx")
-    b = bytes(first.payload)
-    for _, r in sub.iterrows():
-        off = (4 * r.frame_idx) % max(len(b) - 4, 1)
-        assert bytes(r.frame) == b[off : off + 4]
+        for _, r in grp.iterrows():
+            i = int(r.frame_idx)
+            want = hashlib.md5(f"{t}:{i}".encode()).digest()[: 6 + i % 5]
+            assert bytes(r.frame) == want
 
 
 def test_wav_roundtrip_real_bytes():
