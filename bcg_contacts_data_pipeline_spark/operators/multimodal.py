@@ -192,28 +192,69 @@ def synthesize_image_payload(
     )
 
 
+IMAGE_META_TOLERANT_SCHEMA = (
+    "doc_id bigint, n_bytes int, width int, height int, format string,"
+    " error string"
+)
+
+
 def decode_image_meta(
-    df: DataFrame, id_col: str, payload_col: str = "payload"
+    df: DataFrame,
+    id_col: str,
+    payload_col: str = "payload",
+    strict: bool = True,
 ) -> DataFrame:
     """payload binary -> (doc_id, n_bytes, width, height, format) by
     actually parsing the bytes (``parse_image_meta``). Arrow-batched
     mapInPandas; the payload is pruned from the output so downstream
-    plan stages never shuffle blobs."""
+    plan stages never shuffle blobs.
+
+    ``strict=True`` (default) propagates the first parse error and
+    fails the job — right for curated inputs where corruption means a
+    pipeline bug upstream. ``strict=False`` is the SCRAPE setting:
+    per-row failures become rows with NULL dims/format and the error
+    message in an ``error`` column, so one poisoned payload in a
+    billion can't kill a 1000-executor job and the corruption RATE
+    becomes a queryable signal (media_quarantine)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            metas = [parse_image_meta(b) for b in pdf[payload_col]]
+            if strict:
+                metas = [parse_image_meta(b) for b in pdf[payload_col]]
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf[id_col].astype("int64"),
+                        "n_bytes": [len(b) for b in pdf[payload_col]],
+                        "width": [m[0] for m in metas],
+                        "height": [m[1] for m in metas],
+                        "format": [m[2] for m in metas],
+                    }
+                )
+                continue
+            rows = []
+            for b in pdf[payload_col]:
+                try:
+                    w, h, fmt = parse_image_meta(b)
+                    rows.append((w, h, fmt, None))
+                except ValueError as e:
+                    rows.append((None, None, None, str(e)))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
                     "n_bytes": [len(b) for b in pdf[payload_col]],
-                    "width": [m[0] for m in metas],
-                    "height": [m[1] for m in metas],
-                    "format": [m[2] for m in metas],
+                    "width": pd.array(
+                        [r[0] for r in rows], dtype="Int32"
+                    ),
+                    "height": pd.array(
+                        [r[1] for r in rows], dtype="Int32"
+                    ),
+                    "format": [r[2] for r in rows],
+                    "error": [r[3] for r in rows],
                 }
             )
 
-    return df.select(id_col, payload_col).mapInPandas(batches, IMAGE_META_SCHEMA)
+    schema = IMAGE_META_SCHEMA if strict else IMAGE_META_TOLERANT_SCHEMA
+    return df.select(id_col, payload_col).mapInPandas(batches, schema)
 
 
 # ---------------------------------------------------------------------------

@@ -970,3 +970,56 @@ def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     return looked.groupBy(F.col("status").alias("as_of_status")).agg(
         F.count(F.lit(1)).alias("n_orders")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corrupt-media quarantine: the scrape reality — tolerant decode turns
+# poisoned payloads into a queryable rate instead of a dead job.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "media_quarantine",
+    oracle="""
+    SELECT CASE WHEN doc_id % 7 = 0 THEN 'corrupt'
+                ELSE CASE length(text) % 3
+                     WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END
+           END AS format,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def media_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scraped media is full of garbage; a decode that dies on the
+    first bad byte kills a 1000-executor job on one poisoned payload.
+    This is the quarantine pass: every 7th payload is corrupted
+    JVM-side (``overlay`` zeroes the second byte — breaks the PNG
+    signature, the JPEG SOI, and the RIFF tag alike, no Python in the
+    corruption path), the decode runs with ``strict=False`` so
+    failures become rows with an error message instead of exceptions,
+    and the rollup quantifies the corruption rate per format — the
+    number a crawl operator actually watches. The oracle recomputes
+    membership from doc_id % 7, so the hash match proves the tolerant
+    path neither drops nor mislabels a single row."""
+    from bcg_contacts_data_pipeline_spark.operators import multimodal as M
+
+    docs = _t(spark, sf_dir, "documents")
+    payload = M.synthesize_image_payload(docs, "doc_id", "text")
+    corrupted = payload.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.overlay(F.col("payload"), F.lit(bytes([0])), F.lit(2), F.lit(1)),
+        )
+        .otherwise(F.col("payload"))
+        .alias("payload"),
+    )
+    meta = M.decode_image_meta(corrupted, "doc_id", strict=False)
+    return (
+        meta.select(
+            F.coalesce(F.col("format"), F.lit("corrupt")).alias("format")
+        )
+        .groupBy("format")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

@@ -170,3 +170,39 @@ def test_payload_pruned_before_shuffle(spark, docs):
     ]
     assert exchange, plan
     assert all("payload" not in blk for blk in exchange), plan
+
+
+def test_tolerant_decode_quarantines_corruption(spark, docs):
+    """strict=False: corrupt payloads become rows with NULL dims and an
+    error message — never an exception, never a dropped row. Clean rows
+    are identical to the strict path."""
+    payload = M.synthesize_image_payload(docs, "doc_id", "text")
+    corrupted = payload.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.overlay(F.col("payload"), F.lit(bytes([0])), F.lit(2), F.lit(1)),
+        )
+        .otherwise(F.col("payload"))
+        .alias("payload"),
+    )
+    out = M.decode_image_meta(corrupted, "doc_id", strict=False)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert len(rows) == docs.count()  # no row dropped
+    texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    for doc_id, r in rows.items():
+        if doc_id % 5 == 0:
+            assert r.format is None and r.width is None
+            assert "unrecognized" in r.error
+        else:
+            n = len(texts[doc_id])
+            assert r.error is None
+            assert r.format == ["png", "jpeg", "webp"][n % 3]
+            assert (r.width, r.height) == (16 + n % 64, 16 + (n * 7) % 64)
+
+    # strict path on the same corrupted frame fails loudly
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises(Exception):
+        M.decode_image_meta(corrupted, "doc_id", strict=True).collect()
