@@ -187,3 +187,25 @@ def test_star_components_match_min_label_on_random_graphs(spark):
             ).collect()
         }
         assert a == b, (seed, {k: (a[k], b.get(k)) for k in a if a[k] != b.get(k)})
+
+
+def test_star_round_aggregates_are_partial(spark):
+    """The star operations groupBy a node id whose neighborhood can be
+    the WHOLE component (a converged star's hub) — the scale defense is
+    map-side partial aggregation of the min (associative), bounding the
+    hub reducer's input at #map_tasks rows. Pin partial_min upstream of
+    the exchange in a large-star round's plan."""
+    import pyspark.sql.functions as F
+
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(50)], "u long, v long"
+    )
+    sym = e.select("u", "v").unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = sym.groupBy("u").agg(
+        F.least(F.min("v"), F.first("u")).alias("m")
+    )
+    plan = mins._jdf.queryExecution().executedPlan().toString()
+    below_exchange = plan.split("Exchange", 1)[1]
+    assert "partial_min" in below_exchange, plan
