@@ -129,6 +129,17 @@ def first_row_per_group(df: DataFrame, keys: list[str], order_by: list[Column]) 
     )
 
 
+def content_hash(text: Column | str, normalize: bool = True) -> Column:
+    """The exact-dedup content key: md5 over (optionally
+    whitespace-normalized, lowercased) text — ONE definition shared by
+    every consumer (exact_dedup, incremental_dedup) so two dedup passes
+    can never disagree about what "identical content" means."""
+    t = F.col(text) if isinstance(text, str) else text
+    if normalize:
+        t = F.lower(F.trim(F.regexp_replace(t, r"\s+", " ")))
+    return F.md5(t)
+
+
 def exact_dedup(
     df: DataFrame,
     text: Column | str,
@@ -141,11 +152,8 @@ def exact_dedup(
     id and the duplicate count. Scale: single shuffle on a 32-hex-char key;
     at 100 TB the md5 key keeps shuffle rows tiny vs shuffling full text.
     """
-    t = F.col(text) if isinstance(text, str) else text
-    if normalize:
-        t = F.lower(F.trim(F.regexp_replace(t, r"\s+", " ")))
     return (
-        df.select(F.md5(t).alias("content_hash"), F.col(id_col))
+        df.select(content_hash(text, normalize).alias("content_hash"), F.col(id_col))
         .groupBy("content_hash")
         .agg(
             F.min(id_col).alias("canonical_id"),

@@ -1023,3 +1023,89 @@ def media_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("format")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: today's crawl against yesterday's index — the
+# production shape (nobody re-hashes 100 TB of history per batch).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "incremental_dedup",
+    oracle="""
+    WITH hashed AS (
+      SELECT doc_id, source,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+                 AS content_hash
+      FROM documents),
+    base_index AS (
+      SELECT DISTINCT content_hash FROM hashed WHERE doc_id % 4 <> 0),
+    incoming AS (SELECT * FROM hashed WHERE doc_id % 4 = 0),
+    kept AS (
+      SELECT i.doc_id, i.source,
+             (b.content_hash IS NOT NULL) AS dup_of_base,
+             (i.doc_id <> MIN(i.doc_id) OVER (PARTITION BY i.content_hash))
+                 AS dup_in_batch
+      FROM incoming i LEFT JOIN base_index b USING (content_hash))
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_incoming,
+           CAST(SUM(CASE WHEN dup_of_base THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_of_base,
+           CAST(SUM(CASE WHEN NOT dup_of_base AND dup_in_batch
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_in_batch,
+           CAST(SUM(CASE WHEN NOT dup_of_base AND NOT dup_in_batch
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+    FROM kept GROUP BY source
+    """,
+)
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shape a daily crawl actually runs: dedupe the INCOMING batch
+    (docs with doc_id % 4 = 0, standing in for today's partition)
+    against the EXISTING corpus's fingerprint index (everything else)
+    plus itself — without re-hashing history per batch (the index is
+    hashes only: at 100 TB that is the difference between joining a few
+    TB of 16-byte keys and rescanning the corpus). Three verdicts per
+    incoming doc, rolled up per source: duplicate-of-base (anti-join
+    hit), duplicate-within-batch (min-id window over the batch's own
+    hashes — first occurrence wins, later ones drop), or genuinely new.
+    One shuffle for the hash join + one for the in-batch window, both
+    keyed on the 16-byte hash, never the text."""
+    from bcg_contacts_data_pipeline_spark.operators.dedup import content_hash
+
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id", "source", content_hash("text").alias("content_hash")
+    )
+    base_index = (
+        hashed.filter(F.col("doc_id") % 4 != 0)
+        .select("content_hash")
+        .distinct()
+        .withColumn("__in_base", F.lit(1))
+    )
+    incoming = hashed.filter(F.col("doc_id") % 4 == 0)
+    w = Window.partitionBy("content_hash")
+    kept = incoming.join(base_index, "content_hash", "left").select(
+        "source",
+        F.col("__in_base").isNotNull().alias("dup_of_base"),
+        (F.col("doc_id") != F.min("doc_id").over(w)).alias("dup_in_batch"),
+    )
+    t, f = F.lit(1), F.lit(0)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_incoming"),
+        F.sum(F.when(F.col("dup_of_base"), t).otherwise(f))
+        .cast("long")
+        .alias("n_dup_of_base"),
+        F.sum(
+            F.when(~F.col("dup_of_base") & F.col("dup_in_batch"), t).otherwise(f)
+        )
+        .cast("long")
+        .alias("n_dup_in_batch"),
+        F.sum(
+            F.when(~F.col("dup_of_base") & ~F.col("dup_in_batch"), t).otherwise(f)
+        )
+        .cast("long")
+        .alias("n_new"),
+    )
