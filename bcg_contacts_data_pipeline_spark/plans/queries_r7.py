@@ -1109,3 +1109,86 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_new"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Out-of-order event rate — the measurement that CALIBRATES watermarks:
+# "2 hours" in every streaming query here is a claim about this number.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "late_event_rate",
+    oracle="""
+    WITH ordered AS (
+      SELECT event_type,
+             ts,
+             MAX(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS seen_max
+      FROM events),
+    flags AS (
+      SELECT event_type,
+             CASE WHEN seen_max IS NOT NULL AND ts < seen_max
+                  THEN 1 ELSE 0 END AS late,
+             CASE WHEN seen_max IS NOT NULL AND ts < seen_max
+                  THEN CAST(date_diff('second', ts, seen_max) AS BIGINT)
+                  ELSE 0 END AS late_by_s
+      FROM ordered)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(late) AS BIGINT) AS n_late,
+           CAST(MAX(late_by_s) AS BIGINT) AS max_late_s,
+           CAST(CAST(SUM(late) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS DOUBLE) AS late_frac
+    FROM flags GROUP BY event_type
+    """,
+)
+def late_event_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How out-of-order is this stream, really? Per event type: the
+    fraction of events arriving with an event time EARLIER than the
+    running per-user maximum (arrival order = event_id, the ingestion
+    sequence), and the worst lateness in seconds — the two numbers a
+    watermark is chosen FROM (every ``withWatermark("ts", "2 hours")``
+    in streaming/ops.py is a claim that max_late_s stays under 7200;
+    this query is how you check the claim against real data instead of
+    guessing). One shuffle: a running-max window per user, then a
+    rollup. The lateness delta is integer seconds on both engines —
+    no float drift in the max."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flags = ev.select(
+        "event_type",
+        F.max("ts").over(w).alias("seen_max"),
+        "ts",
+    ).select(
+        "event_type",
+        F.when(
+            F.col("seen_max").isNotNull() & (F.col("ts") < F.col("seen_max")),
+            1,
+        )
+        .otherwise(0)
+        .alias("late"),
+        F.when(
+            F.col("seen_max").isNotNull() & (F.col("ts") < F.col("seen_max")),
+            (
+                F.unix_timestamp("seen_max") - F.unix_timestamp("ts")
+            ).cast("long"),
+        )
+        .otherwise(F.lit(0))
+        .alias("late_by_s"),
+    )
+    return flags.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("late").cast("long").alias("n_late"),
+        F.max("late_by_s").alias("max_late_s"),
+        (
+            F.sum("late").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("late_frac"),
+    )
