@@ -40,3 +40,42 @@ def l2_distance(a: Column | str, b: Column | str) -> Column:
         * (x.cast("double") - y.cast("double"))
     )
     return F.sqrt(F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x))
+
+
+def quantize_int8(a: Column | str) -> Column:
+    """Symmetric per-vector int8 quantization: codes = floor(x/scale
+    + 0.5) with scale = max(|x|)/127 — 4x storage over float32, the
+    standard compression for embedding columns at corpus scale (the
+    recall cost is evaluated IN-BAND by the quantize round-trip query,
+    not assumed). Returns struct(scale double, codes array<int> in
+    [-127, 127]).
+
+    floor(x + 0.5) rather than round(): round-half rules differ across
+    engines (HALF_UP vs banker's), floor(+0.5) is the same function
+    everywhere — the determinism contract of this module. All-zero
+    vectors quantize to scale 0 with all-zero codes (the division is
+    guarded)."""
+    a = _col(a)
+    absmax = F.aggregate(
+        a,
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+    )
+    scale = absmax / F.lit(127.0)
+    codes = F.transform(
+        a,
+        lambda x: F.when(scale == 0.0, F.lit(0))
+        .otherwise(F.floor(x.cast("double") / scale + F.lit(0.5)))
+        .cast("int"),
+    )
+    return F.struct(scale.alias("scale"), codes.alias("codes"))
+
+
+def dequantize_int8(q: Column | str) -> Column:
+    """struct(scale, codes) -> array<double>: codes * scale. Max
+    reconstruction error is scale/2 by construction (one quantization
+    step is scale; rounding is to the nearest step)."""
+    q = _col(q)
+    return F.transform(
+        q["codes"], lambda c: c.cast("double") * q["scale"]
+    )

@@ -1192,3 +1192,96 @@ def late_event_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("late").cast("double") / F.count(F.lit(1)).cast("double")
         ).alias("late_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding int8 quantization round trip — the 4x storage lever, its
+# error bound verified in-band rather than assumed.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_quantize_roundtrip",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             list_reduce(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE))), (a, b) -> greatest(a, b))
+                 / 127.0 AS scale,
+             embedding
+      FROM embeddings),
+    codes AS (
+      SELECT vec_id, scale,
+             list_transform(embedding,
+                 x -> CASE WHEN scale = 0 THEN 0
+                      ELSE CAST(floor(CAST(x AS DOUBLE) / scale + 0.5)
+                                AS INT) END) AS c,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs
+      FROM q),
+    err AS (
+      SELECT vec_id, scale,
+             list_reduce(c, (a, b) -> a + b) AS code_sum,
+             list_reduce(
+               list_transform(range(1, len(c) + 1),
+                 i -> abs(xs[i] - CAST(c[i] AS DOUBLE) * scale)),
+               (a, b) -> greatest(a, b)) AS max_err
+      FROM codes)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CAST(code_sum AS BIGINT)) AS BIGINT) AS total_code_sum,
+           CAST(SUM(CASE WHEN max_err <= scale / 2.0 + 1e-12
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_in_bound,
+           CAST(MIN(CASE WHEN scale > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS all_nonzero_scale
+    FROM err
+    """,
+)
+def embedding_quantize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the 4x
+    storage lever every corpus-scale vector store pulls — with its
+    error bound verified IN-BAND: for every vector, the max absolute
+    reconstruction error must be <= scale/2 (one half quantization
+    step), counted into n_in_bound so a rounding regression flips the
+    hash. total_code_sum is an exact integer checksum of every code on
+    both engines (quantization itself must agree bit-for-bit, not just
+    within tolerance — floor(x/scale + 0.5) is the cross-engine-stable
+    rounding, see functions/vectors.py). Pure Catalyst higher-order
+    functions; at 100 TB this is a narrow projection writing
+    struct(scale, codes) next to (or instead of) the float column."""
+    from bcg_contacts_data_pipeline_spark.functions.vectors import (
+        dequantize_int8,
+        quantize_int8,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("xs"),
+        quantize_int8("embedding").alias("q"),
+    )
+    err = q.select(
+        F.col("q.scale").alias("scale"),
+        F.aggregate(
+            F.col("q.codes"), F.lit(0), lambda a, b: a + b
+        ).alias("code_sum"),
+        F.aggregate(
+            F.zip_with(
+                "xs",
+                dequantize_int8("q"),
+                lambda x, d: F.abs(x - d),
+            ),
+            F.lit(0.0),
+            lambda a, b: F.greatest(a, b),
+        ).alias("max_err"),
+    )
+    return err.agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(F.col("code_sum").cast("long")).alias("total_code_sum"),
+        F.sum(
+            F.when(F.col("max_err") <= F.col("scale") / 2.0 + 1e-12, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_in_bound"),
+        F.min(F.when(F.col("scale") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("all_nonzero_scale"),
+    )

@@ -374,3 +374,39 @@ def test_fuzzy_pairs_blocked_finds_typos_within_blocks(spark):
     assert not any(a >= 100 for a, _ in pairs2), pairs2
     plan = capped._jdf.queryExecution().executedPlan().toString()
     assert "LeftAnti" in plan, plan
+
+
+def test_int8_quantization_properties(spark):
+    """Unit contract of the quantizer: codes bounded to [-127,127],
+    zero vector -> scale 0 / zero codes, reconstruction within
+    scale/2, and floor(+0.5) rounding at the exact half-step."""
+    import pyspark.sql.functions as F
+
+    from bcg_contacts_data_pipeline_spark.functions.vectors import (
+        dequantize_int8,
+        quantize_int8,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, -1.0, 0.5, 0.0]),
+            (2, [0.0, 0.0, 0.0, 0.0]),          # all-zero guard
+            (3, [127.0, 63.5, -127.0, 1.0]),    # exact half-step: 63.5/1.0 -> 64
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r.vec_id: r
+        for r in df.select(
+            "vec_id",
+            quantize_int8("embedding").alias("q"),
+            dequantize_int8(quantize_int8("embedding")).alias("back"),
+            "embedding",
+        ).collect()
+    }
+    assert out[2].q.scale == 0.0 and list(out[2].q.codes) == [0, 0, 0, 0]
+    assert list(out[3].q.codes) == [127, 64, -127, 1]
+    for r in out.values():
+        assert all(-127 <= c <= 127 for c in r.q.codes)
+        for x, d in zip(r.embedding, r.back):
+            assert abs(x - d) <= r.q.scale / 2 + 1e-12
