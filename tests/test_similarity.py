@@ -410,3 +410,52 @@ def test_int8_quantization_properties(spark):
         assert all(-127 <= c <= 127 for c in r.q.codes)
         for x, d in zip(r.embedding, r.back):
             assert abs(x - d) <= r.q.scale / 2 + 1e-12
+
+
+def test_int8_topk_recall_against_float_baseline(spark):
+    """Quantized retrieval is an approximation; quantify it instead of
+    assuming: for every query, top-5 by integer code dot must overlap
+    top-5 by exact float cosine at recall@5 >= 0.6 on the synthetic
+    embeddings, and the rank-1 neighbor must be in the float top-5 for
+    >= 80% of queries (64-dim symmetric int8 typically loses only
+    borderline candidates)."""
+    import pyspark.sql.functions as F
+
+    from bcg_contacts_data_pipeline_spark.plans.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    q8 = QUERIES["embedding_topk_int8"](spark, sf).collect()
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").collect()
+    vecs = {r.vec_id: r.embedding for r in emb}
+
+    def cos(a, b):
+        import math
+
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(y * y for y in b))
+        return d / (na * nb)
+
+    got = {}
+    for r in q8:
+        got.setdefault(r.query_id, []).append((r.rk, r.neighbor_id))
+    assert got, "int8 top-k returned nothing"
+    recalls, rank1_hits = [], 0
+    for qid, pairs in got.items():
+        int8_top = {n for _, n in pairs}
+        float_top = [
+            n
+            for n, _ in sorted(
+                (
+                    (n, cos(vecs[qid], v))
+                    for n, v in vecs.items()
+                    if n != qid
+                ),
+                key=lambda t: (-t[1], t[0]),
+            )[:5]
+        ]
+        recalls.append(len(int8_top & set(float_top)) / 5)
+        rank1 = min(pairs)[1]
+        rank1_hits += rank1 in float_top
+    assert sum(recalls) / len(recalls) >= 0.6, recalls
+    assert rank1_hits >= 0.8 * len(got), (rank1_hits, len(got))
