@@ -1331,14 +1331,12 @@ def embedding_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 neighbors per query over QUANTIZED codes — how a corpus-
     scale vector store actually scores (4x less data through the
     scorer, SIMD integer dots). The ranking key is the raw integer code
-    dot product: per-vector scales are positive constants, so for a
-    FIXED query the code dot orders candidates identically to
-    (scale_q * scale_c * code_dot)'s per-candidate... it does NOT —
-    candidate scales differ — which is exactly the point worth
-    documenting: int8 symmetric quantization ranks by an approximation,
-    and the float twin (embedding_topk) is the exact baseline this
-    query is evaluated against in tests/test_similarity.py (recall@5
-    floor asserted). The query itself is engine-exact: integer dots
+    dot product. Note the semantics honestly: because each CANDIDATE
+    carries its own scale, ranking by code dot is an approximation of
+    the float cosine order (it is not a monotone transform of it) —
+    the float twin (embedding_topk) is the exact baseline, and
+    tests/test_similarity.py asserts a recall@5 floor of the int8
+    ranking against it rather than assuming equivalence. The query itself is engine-exact: integer dots
     have no rounding at all, so the oracle matches bit-for-bit. Plan:
     the tiny query side (vec_id % 25 = 0) broadcasts; scoring is a
     zip_with/aggregate projection with a LONG accumulator; top-5 per
