@@ -2473,3 +2473,4 @@ def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 from bcg_contacts_data_pipeline_spark.plans import queries_ext  # noqa: E402,F401
 from bcg_contacts_data_pipeline_spark.plans import queries_r6  # noqa: E402,F401
 from bcg_contacts_data_pipeline_spark.plans import queries_r7  # noqa: E402,F401
+from bcg_contacts_data_pipeline_spark.plans import queries_r7b  # noqa: E402,F401

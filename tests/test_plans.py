@@ -506,3 +506,53 @@ def test_event_rate_anomaly_single_events_scan(spark):
         and (m := re.search(r"\[event_id#(\d+)L", line))
     }
     assert len(ids) <= 1, p
+
+
+def test_q7_disjunctive_pair_stays_hash_join(spark):
+    """Q7's nation-pair predicate references columns from two different
+    dimension joins, so it can't push below either one — but each
+    nation lookup must STAY an equi-hash-join with the disjunction as a
+    residual (or post-join filter), never degrade to a nested-loop
+    join. One shuffle total: the aggregation's."""
+    p = _plan(QUERIES["q7_volume_shipping"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert p.count("BroadcastHashJoin") == 5, p
+    assert "partial_sum" in p, p
+    # ship-date band reaches the lineitem scan
+    assert "GreaterThanOrEqual(l_shipdate,1996-01-01" in p, p
+
+
+def test_q8_widest_join_all_dims_broadcast(spark):
+    """Q8 joins the fact against five dimensions plus orders with
+    nation in two roles; every dim side must broadcast (zero dim-side
+    shuffles — the only hash exchange is the year groupBy's), and both
+    selective dim filters (p_type, r_name) must prune their build
+    sides before broadcast."""
+    p = _plan(QUERIES["q8_market_share"](spark, SF))
+    assert p.count("BroadcastHashJoin") == 7, p
+    import re
+
+    data_exchanges = [
+        line for line in p.splitlines()
+        if re.search(r"\bExchange (hash|range)partitioning", line)
+    ]
+    assert len(data_exchanges) == 1, p
+    assert any(
+        "EqualTo(p_type,ECONOMY)" in pf for _, pf in _scan_filters(p)
+    ), p
+    assert any("EqualTo(r_name,ASIA)" in pf for _, pf in _scan_filters(p)), p
+
+
+def test_q9_infix_like_pushed_and_partial_agg(spark):
+    """Q9's '%red%' is an infix LIKE — no prefix to turn into a range —
+    but Spark 4 still pushes it to the part scan as StringContains, so
+    the broadcast build side is pruned ~6x at the reader, and the mixed
+    fact-times-dim profit expression must still partial-aggregate
+    map-side despite referencing a joined column."""
+    p = _plan(QUERIES["q9_product_profit"](spark, SF))
+    assert "partial_sum" in p, p
+    assert p.count("BroadcastHashJoin") == 4, p
+    assert any(
+        "StringContains(p_name,red)" in pf for _, pf in _scan_filters(p)
+    ), p

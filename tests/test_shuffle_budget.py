@@ -82,6 +82,11 @@ BUDGET = {
     # union+agg+outer-join chain on top — high by design, bounded by
     # the df cap, re-point this ONLY with a measured justification
     "neardup_degree_hist": 17,
+    # round-7 continuation: the last three TPC-H shapes — every dim
+    # broadcasts, the single exchange is the final groupBy's
+    "q7_volume_shipping": 1,
+    "q8_market_share": 1,
+    "q9_product_profit": 1,
 }
 
 
