@@ -190,6 +190,55 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text: Column | str,
+    n: int = 3,
+) -> DataFrame:
+    """Per-eval-document n-gram contamination score against a train
+    corpus: the fraction of the doc's DISTINCT word n-grams that occur
+    anywhere in train. The standard eval-set decontamination metric
+    (e.g. GPT-3 appendix C / PaLM-style 'clean' splits) — complementary
+    to ``minhash_lsh_join``, which FINDS near-matching pairs; this
+    QUANTIFIES overlap per eval doc, including diffuse contamination
+    spread across many train docs that no single pair would flag.
+
+    Physical shape, sized for a 100 TB train corpus:
+    - both corpora shingle via ``shingle_hash_frame`` (8-byte hashed
+      n-grams, distinct per doc, narrow);
+    - train collapses to a DISTINCT shingle set — one shuffle on the
+      8-byte key, output bounded by the shingle vocabulary, not the
+      corpus size;
+    - one shuffle hash join (eval shingles x train set) marks hits; the
+      eval side is the small side by construction (eval sets are
+      thousands of docs, train is the 100 TB one), so AQE picks the
+      right build side; no broadcast assumption on train;
+    - one aggregation per eval doc: hits / total, one IEEE division.
+
+    Eval docs with < n tokens have no shingles and are absent from the
+    output (mirror the exclusion in the oracle).
+
+    Returns (id_col, n_shingles, n_hit, contamination).
+    """
+    ev = shingle_hash_frame(eval_df, id_col, text, n)
+    train_set = (
+        shingle_hash_frame(train, id_col, text, n).select("sh").distinct()
+    )
+    hits = ev.join(
+        train_set.withColumn("__hit", F.lit(1)), "sh", "left"
+    )
+    return hits.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("long").alias("n_hit"),
+        (
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("contamination"),
+    )
+
+
 def _minhash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
     rng = random.Random(seed)
     return [

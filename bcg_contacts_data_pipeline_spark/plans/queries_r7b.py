@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from bcg_contacts_data_pipeline_spark.plans.queries import (
     _dec,
     _t,
+    _TOKS_SQL,
     register,
 )
 
@@ -292,4 +293,57 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(profit).cast("double").alias("profit"),
             F.count(F.lit(1)).alias("n_lines"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Eval-set contamination scoring: per-doc n-gram overlap fraction.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "contamination_score",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_transform({_TOKS_SQL}, t -> lower(t)) AS t
+      FROM documents WHERE length(trim(text)) > 0),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+      FROM toks WHERE len(t) >= 3),
+    train AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 <> 0),
+    ev AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 10 = 0)
+    SELECT ev.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN train.shingle IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_hit,
+           CAST(SUM(CASE WHEN train.shingle IS NOT NULL THEN 1 ELSE 0 END)
+               AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS contamination
+    FROM ev LEFT JOIN train ON ev.shingle = train.shingle
+    GROUP BY ev.doc_id
+    """,
+)
+def contamination_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-eval-doc contamination: the fraction of each held-out doc's
+    distinct 3-gram shingles that occur ANYWHERE in the train split
+    (doc_id % 10 != 0; every 10th doc is the eval set, the
+    ``decontaminate`` convention). Where ``decontaminate`` proves the
+    pair-FINDER (LSH join recall), this is the pair-free QUANTIFIER —
+    diffuse overlap spread across many train docs still scores, which
+    no single near-dup pair would flag. Spark side joins 8-byte hashed
+    shingles (``similarity.ngram_contamination``); the oracle joins the
+    shingle STRINGS — hash-of-hashes is injective on token windows up
+    to 2^-64, the same equivalence ``ngram_jaccard`` certifies."""
+    from bcg_contacts_data_pipeline_spark.operators.similarity import (
+        ngram_contamination,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_contamination(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+        "doc_id",
+        "text",
+        n=3,
     )

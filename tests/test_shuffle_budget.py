@@ -87,6 +87,11 @@ BUDGET = {
     "q7_volume_shipping": 1,
     "q8_market_share": 1,
     "q9_product_profit": 1,
+    # train-set distinct + per-eval-doc agg; the membership join
+    # broadcasts at this SF (shuffle hash join at scale — still 0
+    # extra exchanges: the join reuses the distinct's partitioning
+    # only if keys align, and sh IS the distinct key)
+    "contamination_score": 2,
 }
 
 

@@ -459,3 +459,53 @@ def test_int8_topk_recall_against_float_baseline(spark):
         rank1_hits += rank1 in float_top
     assert sum(recalls) / len(recalls) >= 0.6, recalls
     assert rank1_hits >= 0.8 * len(got), (rank1_hits, len(got))
+
+
+def test_ngram_contamination_semantics(spark):
+    """Full containment scores 1.0, disjoint vocabulary scores 0.0, and
+    a half-overlapping doc scores exactly shared/total — the division
+    is over DISTINCT shingles, so repeating a shingle can't inflate the
+    score. Sub-n-token eval docs are absent from the output."""
+    from bcg_contacts_data_pipeline_spark.operators.similarity import (
+        ngram_contamination,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (100, "alpha beta gamma delta epsilon"),
+            (101, "zeta eta theta iota kappa"),
+        ],
+        ["doc_id", "text"],
+    )
+    eval_df = spark.createDataFrame(
+        [
+            # every 3-gram of this doc is in train doc 100 -> 1.0
+            (1, "alpha beta gamma delta"),
+            # no shared vocabulary at all -> 0.0
+            (2, "one two three four"),
+            # shingles: [alpha beta gamma] (hit), [beta gamma one] (miss),
+            # [gamma one two] (miss), [one two three] (miss) -> 0.25
+            (3, "alpha beta gamma one two three"),
+            # repetition of a contaminated shingle must not inflate:
+            # distinct shingles {alpha beta alpha, beta alpha beta} miss,
+            # {alpha beta gamma...} — keep it simple: two distinct
+            # shingles, one hit -> 0.5
+            (4, "theta iota kappa unseen"),
+            # too short for a 3-gram -> absent
+            (5, "just two"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r.doc_id: r
+        for r in ngram_contamination(
+            train, eval_df, "doc_id", "text", n=3
+        ).collect()
+    }
+    assert set(rows) == {1, 2, 3, 4}
+    assert rows[1].contamination == 1.0
+    assert rows[2].contamination == 0.0
+    assert rows[3].contamination == 0.25
+    # doc 4: shingles {theta iota kappa (hit), iota kappa unseen (miss)}
+    assert rows[4].contamination == 0.5
+    assert rows[1].n_shingles == 2 and rows[1].n_hit == 2
