@@ -347,3 +347,59 @@ def contamination_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         n=3,
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable-sketch rollup: HLL partials per shard, unioned later.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hll_sketch_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           true AS merged_in_band
+    FROM events GROUP BY event_type
+    """,
+)
+def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level mergeable distinct-count rollup: a Datasketches HLL
+    sketch per (event_type, day) shard (``hll_sketch_agg``), then the
+    DAILY BINARY SKETCHES — not the raw rows — union-merged per type
+    (``hll_union_agg``) and estimated. This is the capability
+    ``approx_count_distinct`` (the ``approx_distinct_users`` twin)
+    doesn't have: its HLL++ state is consumed inside one aggregate,
+    while these sketches are storable values — at 100 TB you persist
+    one ~2.5 KB sketch per partition-day and answer ANY date-window
+    distinct query by merging sketches, never rescanning history.
+
+    In-band verification (the approx_distinct_users contract): the
+    exact distinct runs alongside, and the oracle pins a boolean that
+    the MERGED estimate landed within 5% (~3x the lgK=12 standard
+    error of 1.6%). At scale callers drop the exact column.
+    """
+    from bcg_contacts_data_pipeline_spark.plans.queries import _events
+
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("__est"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users")
+    )
+    lo = F.col("n_users") * 0.95
+    hi = F.col("n_users") * 1.05
+    return merged.join(exact, "event_type").select(
+        "event_type",
+        "n_days",
+        "n_users",
+        ((F.col("__est") >= lo) & (F.col("__est") <= hi)).alias(
+            "merged_in_band"
+        ),
+    )

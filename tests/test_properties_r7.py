@@ -170,3 +170,37 @@ def test_image_roundtrip_random_dims(w, h, fmt_i):
     synth = [M.png_bytes, M.jpeg_bytes, M.webp_bytes][fmt_i]
     fmt = ["png", "jpeg", "webp"][fmt_i]
     assert M.parse_image_meta(synth(w, h)) == (w, h, fmt)
+
+
+# ---------------------------------------------------------------------------
+# HLL sketch mergeability: union of shard sketches == one whole-corpus
+# sketch, bit-for-bit at the estimate level.
+# ---------------------------------------------------------------------------
+
+
+def test_hll_union_of_shards_equals_whole(spark):
+    """The property the 100 TB rollup rests on: build one sketch per
+    disjoint shard, union the BINARY sketches, and the estimate equals
+    the single-pass whole-corpus sketch exactly (HLL register state is
+    a deterministic function of the value set — merge is register-wise
+    max, so shard boundaries can't change the result). Also pins that
+    a value appearing in BOTH shards isn't double counted."""
+    import pyspark.sql.functions as F
+
+    rows = [(i % 4, f"user_{i % 350}") for i in range(2000)]
+    df = spark.createDataFrame(rows, ["shard", "uid"])
+
+    whole = df.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("uid")).alias("est")
+    ).collect()[0].est
+
+    merged = (
+        df.groupBy("shard")
+        .agg(F.hll_sketch_agg("uid").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()[0]
+        .est
+    )
+    assert merged == whole, (merged, whole)
+    # sanity: estimate is near the true 350 (lgK=12 -> ~1.6% sigma)
+    assert abs(merged - 350) / 350 < 0.05, merged

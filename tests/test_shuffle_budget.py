@@ -92,6 +92,10 @@ BUDGET = {
     # extra exchanges: the join reuses the distinct's partitioning
     # only if keys align, and sh IS the distinct key)
     "contamination_score": 2,
+    # daily sketch agg + union agg + the two-phase exact distinct (the
+    # in-band verification harness; at scale callers drop the exact
+    # column and this becomes 2)
+    "hll_sketch_rollup": 4,
 }
 
 
