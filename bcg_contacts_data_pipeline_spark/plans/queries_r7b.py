@@ -403,3 +403,87 @@ def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "merged_in_band"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream LEFT OUTER join: unmatched rows emitted at the watermark.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_click_attribution_outer",
+    oracle="""
+    WITH wm AS (
+      SELECT LEAST(
+               (SELECT max(ts) FROM events WHERE event_type = 'view'),
+               (SELECT max(ts) FROM events WHERE event_type = 'click'))
+             - INTERVAL 1 HOUR AS w)
+    SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id,
+           v.ts AS view_ts, c.ts AS click_ts
+    FROM events v JOIN events c
+      ON c.user_id = v.user_id
+     AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 6 HOUR
+    WHERE v.event_type = 'view' AND c.event_type = 'click'
+    UNION ALL
+    SELECT v.event_id, CAST(NULL AS BIGINT), v.user_id,
+           v.ts, CAST(NULL AS TIMESTAMP)
+    FROM events v, wm
+    WHERE v.event_type = 'view'
+      AND NOT EXISTS (SELECT 1 FROM events c
+                      WHERE c.event_type = 'click'
+                        AND c.user_id = v.user_id
+                        AND c.ts > v.ts
+                        AND c.ts <= v.ts + INTERVAL 6 HOUR)
+      AND v.ts + INTERVAL 6 HOUR < wm.w
+    """,
+)
+def stream_click_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join — the last join shape
+    the streaming family lacked. Matched view-click pairs emit exactly
+    as in the inner form (``stream_click_attribution``); a view with NO
+    click in its 6-hour window additionally emits once with null click
+    columns — but only after the global watermark passes its window
+    end, because until then a matching click could still arrive.
+
+    The oracle states that semantics EXACTLY, not approximately: on the
+    finite AvailableNow drain the final watermark is
+    ``least(max view ts, max click ts) - 1 hour`` (each input's
+    watermark is its own max event time minus the delay; the global
+    watermark is the min; the trailing no-data micro-batch applies it),
+    so the emitted unmatched set is precisely the views whose window
+    end lies strictly before that — views nearer the stream head stay
+    buffered, which on an unbounded stream is the correct 'could still
+    match' state, not loss. State stays O(active users x 7 h) on both
+    buffers; RocksDB-backed at cluster scale.
+    """
+    from bcg_contacts_data_pipeline_spark import streaming as S
+
+    views = S.events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "view"
+    ).select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").alias("view_ts"),
+    )
+    clicks = S.events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "click"
+    ).select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    joined = S.stream_stream_time_join(
+        views,
+        clicks,
+        left_key="user_id",
+        right_key="c_user_id",
+        left_ts="view_ts",
+        right_ts="click_ts",
+        within="6 HOURS",
+        watermark="1 hour",
+        how="leftOuter",
+    )
+    out = joined.select(
+        "view_id", "click_id", "user_id", "view_ts", "click_ts"
+    )
+    return S.run_available_now(out, "append", shuffle_partitions=8)

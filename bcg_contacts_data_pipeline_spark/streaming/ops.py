@@ -159,9 +159,10 @@ def stream_stream_time_join(
     right_ts: str,
     within: str,
     watermark: str,
+    how: str = "inner",
 ) -> DataFrame:
-    """Watermarked stream-stream INNER join: pair each left event with
-    the right events sharing a key (``left_key = right_key`` — distinct
+    """Watermarked stream-stream join: pair each left event with the
+    right events sharing a key (``left_key = right_key`` — distinct
     column names so the joined frame stays unambiguous) whose timestamp
     lies in ``(left_ts, left_ts + within]`` — click-attribution shape.
 
@@ -172,7 +173,21 @@ def stream_stream_time_join(
     join would need. Inner join in append mode emits each matched pair
     exactly once; on a finite AvailableNow drain the result equals the
     batch range join with the same predicate (tests pin this).
+
+    ``how="leftOuter"`` additionally emits each UNMATCHED left event
+    (right columns null) — but only once the global watermark passes
+    the end of its match window, because until then a matching right
+    row could still arrive. Consequence on a finite drain: left rows
+    whose window end is at or beyond the final watermark (= min over
+    inputs of max event time minus ``watermark`` delay, advanced by the
+    trailing no-data micro-batch) are still buffered when the query
+    stops and do NOT emit a null row. That is correct streaming
+    semantics, not loss — on an unbounded stream they'd emit when the
+    watermark caught up; an oracle must mirror the cutoff explicitly.
     """
+    allowed = {"inner", "leftOuter"}
+    if how not in allowed:
+        raise ValueError(f"how must be one of {sorted(allowed)}, got {how!r}")
     if left_key == right_key:
         raise ValueError(
             "rename one side: identical key names make every downstream "
@@ -185,7 +200,7 @@ def stream_stream_time_join(
         & (rw[right_ts] > lw[left_ts])
         & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {within}"))
     )
-    return lw.join(rw, cond, "inner")
+    return lw.join(rw, cond, how)
 
 
 class _RunningStatsProcessor:

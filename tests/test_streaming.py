@@ -323,3 +323,23 @@ def test_foreach_batch_idempotent_sink(spark, tmp_path, events):
     # same checkpoint -> offsets committed -> nothing new
     S.run_foreach_batch(proj, writer, ckpt, output_mode="append")
     assert spark.read.option("basePath", out).parquet(out).count() == n_events
+
+
+def test_stream_stream_join_how_guard(spark):
+    """Unknown join types fail loudly at plan-build time, not as an
+    obscure Catalyst error mid-stream."""
+    import pytest as _pytest
+
+    from bcg_contacts_data_pipeline_spark import streaming as S
+
+    st = S.events_stream(spark, "/root/testdata/sf0.001")
+    left = st.select(F.col("event_id").alias("l_id"),
+                     F.col("user_id").alias("l_u"), F.col("ts").alias("l_ts"))
+    right = st.select(F.col("event_id").alias("r_id"),
+                      F.col("user_id").alias("r_u"), F.col("ts").alias("r_ts"))
+    with _pytest.raises(ValueError, match="how must be one of"):
+        S.stream_stream_time_join(
+            left, right, left_key="l_u", right_key="r_u",
+            left_ts="l_ts", right_ts="r_ts",
+            within="1 HOUR", watermark="1 hour", how="fullOuter",
+        )
