@@ -79,3 +79,43 @@ def dequantize_int8(q: Column | str) -> Column:
     return F.transform(
         q["codes"], lambda c: c.cast("double") * q["scale"]
     )
+
+
+def rademacher_matrix(dim: int, k: int, seed: int = 7) -> list[list[float]]:
+    """Seeded +-1.0 projection matrix, one row per OUTPUT dimension.
+    Plain ``random.Random`` so the same seed reproduces the same matrix
+    in the oracle-SQL builder (which embeds these as literals) and in
+    any other engine — no numpy RNG state involved."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        [1.0 if rng.random() < 0.5 else -1.0 for _ in range(dim)]
+        for _ in range(k)
+    ]
+
+
+def random_projection(
+    vec: Column | str, matrix: list[list[float]]
+) -> Column:
+    """Johnson-Lindenstrauss random projection to ``k = len(matrix)``
+    dims: ``y_j = dot(x, R_j) / sqrt(k)`` with a Rademacher (+-1) R.
+    JL: pairwise distances and norms are preserved within
+    ``1 +- O(sqrt(log n / k))`` with high probability — the standard
+    cheap pre-step before ANN indexing or pairwise scoring when the
+    input dimension is the cost driver.
+
+    Pure Catalyst: k sequential-fold dot products per row (k*dim
+    multiply-adds inside whole-stage codegen), a narrow projection —
+    no shuffle, no Python, embarrassingly scalable. Use a k whose
+    sqrt is exactly representable (16 -> 0.25) so the scale factor is
+    bit-identical across engines."""
+    v = _col(vec)
+    k = len(matrix)
+    scale = 1.0 / (k**0.5)
+    return F.array(
+        *[
+            (dot(v, F.array(*[F.lit(x) for x in row])) * F.lit(scale))
+            for row in matrix
+        ]
+    )

@@ -487,3 +487,72 @@ def stream_click_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFram
         "view_id", "click_id", "user_id", "view_ts", "click_ts"
     )
     return S.run_available_now(out, "append", shuffle_partitions=8)
+
+
+# ---------------------------------------------------------------------------
+# JL random projection: dimensionality reduction as a narrow projection.
+# ---------------------------------------------------------------------------
+
+
+def _projection_oracle(dim: int = 64, k: int = 16, seed: int = 7) -> str:
+    """DuckDB twin of embedding_project: the seeded +-1 matrix embeds as
+    SQL literals (repr round-trips doubles exactly); each output dim is
+    the same sequential left-fold dot product * the same exact scale,
+    so projected values are bit-identical across engines."""
+    from bcg_contacts_data_pipeline_spark.functions.vectors import (
+        rademacher_matrix,
+    )
+    from bcg_contacts_data_pipeline_spark.plans.queries import _DOT_SQL
+
+    matrix = rademacher_matrix(dim, k, seed)
+    scale = repr(1.0 / (k**0.5))
+    dims = ", ".join(
+        f"({_DOT_SQL.format(a='embedding', b='[' + ', '.join(repr(x) for x in row) + ']')}) * {scale}"
+        for row in matrix
+    )
+    sq = "list_reduce(list_transform(proj, p -> p * p), (acc, v) -> acc + v)"
+    return f"""
+    WITH projected AS (
+      SELECT vec_id, embedding, [{dims}] AS proj FROM embeddings)
+    SELECT vec_id, proj,
+           {sq} / {_DOT_SQL.format(a='embedding', b='embedding')} AS norm_ratio
+    FROM projected
+    """
+
+
+@register("embedding_project", oracle=_projection_oracle())
+def embedding_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64 -> 16 dims (seeded
+    Rademacher matrix, ``vectors.random_projection``) plus the per-row
+    norm-preservation ratio ||y||^2/||x||^2 — the JL quantity itself,
+    carried in-band. Dimensionality reduction is the standard pre-step
+    before ANN indexing when input width is the cost driver: 4x fewer
+    floats into every downstream distance computation.
+
+    Plan shape: a single narrow projection — k*dim multiply-adds in
+    whole-stage codegen, ZERO shuffles, no Python — the kind of op that
+    runs at 100 TB at scan speed. Oracle is EXACT, not statistical: the
+    matrix embeds as literals and both engines run the identical
+    sequential left-fold, so even the float ratios hash-match. The JL
+    concentration property (ratios near 1) is pinned separately by a
+    unit test; this query pins the arithmetic."""
+    from bcg_contacts_data_pipeline_spark.functions.vectors import (
+        dot,
+        rademacher_matrix,
+        random_projection,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    matrix = rademacher_matrix(64, 16, seed=7)
+    projected = emb.select(
+        "vec_id",
+        "embedding",
+        random_projection("embedding", matrix).alias("proj"),
+    )
+    return projected.select(
+        "vec_id",
+        "proj",
+        (dot("proj", "proj") / dot("embedding", "embedding")).alias(
+            "norm_ratio"
+        ),
+    )

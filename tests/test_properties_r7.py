@@ -204,3 +204,26 @@ def test_hll_union_of_shards_equals_whole(spark):
     assert merged == whole, (merged, whole)
     # sanity: estimate is near the true 350 (lgK=12 -> ~1.6% sigma)
     assert abs(merged - 350) / 350 < 0.05, merged
+
+
+def test_jl_projection_concentration(spark):
+    """The JL property the projection exists for: squared-norm ratios
+    concentrate near 1 (E[ratio] = 1 for Rademacher projections).
+    Bounds are loose 3-sigma-ish envelopes for k=16 (sigma ~ sqrt(2/k)
+    ~ 0.35): the MEAN must sit tight, individual rows may wander."""
+    import pyspark.sql.functions as F
+
+    from bcg_contacts_data_pipeline_spark.plans.queries import QUERIES
+
+    df = QUERIES["embedding_project"](spark, "/root/testdata/sf0.001")
+    stats = df.agg(
+        F.avg("norm_ratio").alias("mean"),
+        F.min("norm_ratio").alias("lo"),
+        F.max("norm_ratio").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    assert 0.9 < stats.mean < 1.1, stats
+    assert stats.lo > 0.1 and stats.hi < 4.0, stats
+    assert stats.n == 500
+    # every projected vector has the right width
+    assert df.select(F.size("proj").alias("k")).distinct().collect()[0].k == 16

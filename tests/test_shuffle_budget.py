@@ -96,6 +96,8 @@ BUDGET = {
     # in-band verification harness; at scale callers drop the exact
     # column and this becomes 2)
     "hll_sketch_rollup": 4,
+    # JL projection is a pure narrow projection — scan-speed at 100 TB
+    "embedding_project": 0,
 }
 
 
