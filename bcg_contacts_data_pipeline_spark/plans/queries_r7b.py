@@ -556,3 +556,90 @@ def embedding_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             "norm_ratio"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed vector aggregation: per-label embedding centroids.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_centroids",
+    oracle="""
+    WITH flat AS (
+      -- parallel unnests in one SELECT zip element-wise in DuckDB,
+      -- giving (pos, value) rows like Spark's posexplode
+      SELECT label,
+             unnest(range(1, len(embedding) + 1)) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS val
+      FROM embeddings),
+    dims AS (
+      SELECT label, pos,
+             (CAST(SUM(CAST(floor(val * 1099511627776.0) AS DECIMAL(28,0)))
+                   AS DOUBLE) / 1099511627776.0) / COUNT(*) AS mean_val
+      FROM flat GROUP BY label, pos),
+    sizes AS (SELECT label, COUNT(*) AS n_vectors FROM embeddings GROUP BY label)
+    SELECT d.label,
+           CAST(s.n_vectors AS BIGINT) AS n_vectors,
+           list(d.mean_val ORDER BY d.pos) AS centroid
+    FROM dims d JOIN sizes s USING (label)
+    GROUP BY d.label, s.n_vectors
+    """,
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column — the vector
+    aggregation every clustering / class-prototype / dataset-cartography
+    pass needs. The DISTRIBUTED shape, not the collect shape: posexplode
+    to (label, dim, value) rows, ONE groupBy (label, dim) with map-side
+    partial aggregation, then reassemble the centroid with an
+    order-pinned list aggregate. Nothing ever materializes a whole
+    group of vectors in one task (``collect_list(embedding)`` would —
+    the memory cliff at 100 TB when a label holds millions of rows);
+    state per reducer key is a single running (sum, count).
+
+    Determinism: the mean is over DYADICALLY QUANTIZED values —
+    ``floor(val * 2^40)`` is EXACT double arithmetic on float32 inputs
+    (a 24-bit mantissa times a power of two: no rounding anywhere),
+    summed as an exact integer decimal, so Spark's arbitrary reduce
+    order and DuckDB's sequential order cannot diverge; then two
+    IEEE divisions in pinned order (by 2^40, then by the count). A
+    plain float -> DECIMAL(p,12) cast is NOT engine-stable: it hits
+    decimal rounding TIES (Spark HALF_UP vs DuckDB HALF_EVEN —
+    observed once across the 32k casts at sf0.01). Quantization error
+    is < 2^-40 per element; DECIMAL(28,0) gives the integer sum
+    headroom past 10^15 rows per group.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    two40 = F.lit(1099511627776.0)
+    flat = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "val")
+    )
+    dims = flat.groupBy("label", "pos").agg(
+        (
+            (
+                F.sum(
+                    F.floor(F.col("val").cast("double") * two40).cast(
+                        "decimal(28,0)"
+                    )
+                ).cast("double")
+                / two40
+            )
+            / F.count(F.lit(1))
+        ).alias("mean_val"),
+    )
+    sizes = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vectors"))
+    centroids = dims.groupBy("label").agg(
+        F.array_sort(
+            F.collect_list(F.struct("pos", "mean_val"))
+        ).alias("__pairs")
+    )
+    return (
+        centroids.join(F.broadcast(sizes), "label")
+        .select(
+            "label",
+            "n_vectors",
+            F.transform(F.col("__pairs"), lambda s: s["mean_val"]).alias(
+                "centroid"
+            ),
+        )
+    )

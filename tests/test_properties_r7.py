@@ -227,3 +227,28 @@ def test_jl_projection_concentration(spark):
     assert stats.n == 500
     # every projected vector has the right width
     assert df.select(F.size("proj").alias("k")).distinct().collect()[0].k == 16
+
+
+def test_centroid_matches_naive_mean_within_quantization(spark):
+    """The dyadic-quantized distributed centroid equals the naive
+    numpy mean to within the 2^-40 quantization bound (plus float64
+    summation noise, orders of magnitude below the assert)."""
+    import numpy as np
+
+    from bcg_contacts_data_pipeline_spark.plans.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.label: (np.array(r.centroid), r.n_vectors)
+        for r in QUERIES["embedding_centroids"](spark, sf).collect()
+    }
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").collect()
+    by_label = {}
+    for r in emb:
+        by_label.setdefault(r.label, []).append(r.embedding)
+    assert set(got) == set(by_label)
+    for lab, vecs in by_label.items():
+        naive = np.mean(np.array(vecs, dtype=np.float64), axis=0)
+        cent, n = got[lab]
+        assert n == len(vecs)
+        assert np.max(np.abs(cent - naive)) < 2.0**-38, lab

@@ -98,6 +98,9 @@ BUDGET = {
     "hll_sketch_rollup": 4,
     # JL projection is a pure narrow projection — scan-speed at 100 TB
     "embedding_project": 0,
+    # (label,dim) partial-agg shuffle + centroid reassembly + the size
+    # agg (broadcast-joined back); never a whole group in one task
+    "embedding_centroids": 3,
 }
 
 
