@@ -643,3 +643,94 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# K-means assignment step: broadcast centroids, argmin by squared L2.
+# ---------------------------------------------------------------------------
+
+_SQDIST_SQL = (
+    "list_reduce(list_transform(list_zip({a}, {b}), "
+    "x -> (x[1]::DOUBLE - x[2]::DOUBLE) * (x[1]::DOUBLE - x[2]::DOUBLE)), "
+    "(acc, v) -> acc + v)"
+)
+
+
+@register(
+    "kmeans_assign_step",
+    oracle="""
+    WITH flat AS (
+      SELECT label,
+             unnest(range(1, len(embedding) + 1)) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS val
+      FROM embeddings),
+    dims AS (
+      SELECT label, pos,
+             (CAST(SUM(CAST(floor(val * 1099511627776.0) AS DECIMAL(28,0)))
+                   AS DOUBLE) / 1099511627776.0) / COUNT(*) AS mean_val
+      FROM flat GROUP BY label, pos),
+    cents AS (
+      SELECT label AS c_label, list(mean_val ORDER BY pos) AS centroid
+      FROM dims GROUP BY label),
+    scored AS (
+      SELECT e.vec_id, e.label, c.c_label,
+             list_reduce(list_transform(list_zip(e.embedding, c.centroid),
+                 x -> (x[1]::DOUBLE - x[2]::DOUBLE)
+                      * (x[1]::DOUBLE - x[2]::DOUBLE)),
+                 (acc, v) -> acc + v) AS dist
+      FROM embeddings e CROSS JOIN cents c),
+    assigned AS (
+      SELECT vec_id, label, c_label,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dist, c_label) AS rk
+      FROM scored)
+    SELECT label, c_label AS assigned_label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors
+    FROM assigned WHERE rk = 1
+    GROUP BY label, c_label
+    """,
+)
+def kmeans_assign_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd assignment step: every vector assigned to its nearest
+    label-centroid (squared L2, ties broken by centroid id), output as
+    the (true label x assigned label) contingency table — the purity
+    check after a clustering pass, and the inner loop of distributed
+    k-means. Physical shape: the k x d centroid table (bytes) BROADCASTS
+    to every executor; assignment is then one scan of the vectors with
+    k sequential-fold distance expressions and a ``min_by`` argmin —
+    per-iteration cost is exactly one pass over the data, the property
+    that makes Lloyd iterations feasible at 100 TB.
+
+    Cross-engine determinism chain: centroids are the dyadic-exact
+    means of ``embedding_centroids`` (bit-identical), the squared-L2
+    fold runs in identical element order, so distances are
+    bit-identical doubles and the argmin (with the c_label tiebreak)
+    picks the same centroid on both engines — integer counts then
+    compare exactly."""
+    from bcg_contacts_data_pipeline_spark.plans.queries import QUERIES
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = QUERIES["embedding_centroids"](spark, sf_dir).select(
+        F.col("label").alias("c_label"), "centroid"
+    )
+    sqdist = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("centroid"),
+            lambda a, b: (a.cast("double") - b.cast("double"))
+            * (a.cast("double") - b.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "label", "c_label", sqdist.alias("dist")
+    )
+    assigned = scored.groupBy("vec_id", "label").agg(
+        F.min_by("c_label", F.struct("dist", "c_label")).alias(
+            "assigned_label"
+        )
+    )
+    return assigned.groupBy("label", "assigned_label").agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )

@@ -101,6 +101,10 @@ BUDGET = {
     # (label,dim) partial-agg shuffle + centroid reassembly + the size
     # agg (broadcast-joined back); never a whole group in one task
     "embedding_centroids": 3,
+    # centroid build (3) + per-vector argmin agg + contingency agg; the
+    # centroid attach is a 10-row broadcast nested-loop (the scalar-
+    # attach pattern, k rows per probe row — not a data shuffle)
+    "kmeans_assign_step": 5,
 }
 
 
