@@ -734,3 +734,67 @@ def kmeans_assign_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.groupBy("label", "assigned_label").agg(
         F.count(F.lit(1)).alias("n_vectors")
     )
+
+
+# ---------------------------------------------------------------------------
+# Adaptive equi-width histogram: runtime min/max, scalar-attached bounds.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "value_histogram",
+    oracle="""
+    WITH stats AS (
+      SELECT MIN(value) AS lo, MAX(value) AS hi FROM events
+      WHERE value IS NOT NULL),
+    bucketed AS (
+      SELECT LEAST(CAST(floor((value - lo) / ((hi - lo) / 20.0)) AS BIGINT),
+                   19) AS bucket,
+             lo, hi
+      FROM events, stats WHERE value IS NOT NULL)
+    SELECT bucket,
+           lo + bucket * ((hi - lo) / 20.0) AS bucket_lo,
+           lo + (bucket + 1) * ((hi - lo) / 20.0) AS bucket_hi,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM bucketed
+    GROUP BY bucket, lo, hi
+    """,
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive equi-width histogram of ``events.value``: bounds come
+    from the DATA (a first min/max pass), not a config constant — the
+    profiling shape for a column you haven't seen before. Physical
+    pattern: the 1-row (min, max) aggregate BROADCASTS onto the scan
+    (the q11 scalar-attach idiom — a broadcast nested-loop of exactly
+    one row, not a data shuffle), bucket index is
+    ``least(floor((v - lo) / width), nb-1)`` computed in whole-stage
+    codegen, then ONE aggregation. Two passes over the column total —
+    the minimum for adaptive bounds — vs ``approx_percentile``-based
+    equi-DEPTH bucketing which the ``numeric_profile_approx`` family
+    already covers.
+
+    Determinism: subtraction, division, floor, and the edge
+    reconstruction are the same IEEE ops in the same order on both
+    engines (bit-identical doubles in, bit-identical out); the max
+    value lands in the top bucket via the LEAST clamp on both sides."""
+    from bcg_contacts_data_pipeline_spark.plans.queries import _events
+
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    stats = ev.agg(
+        F.min("value").alias("__lo"), F.max("value").alias("__hi")
+    )
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(20.0)
+    bucket = F.least(
+        F.floor((F.col("value") - F.col("__lo")) / width).cast("long"),
+        F.lit(19).cast("long"),
+    )
+    return (
+        ev.crossJoin(F.broadcast(stats))
+        .select(
+            bucket.alias("bucket"),
+            (F.col("__lo") + bucket * width).alias("bucket_lo"),
+            (F.col("__lo") + (bucket + F.lit(1)) * width).alias("bucket_hi"),
+        )
+        .groupBy("bucket", "bucket_lo", "bucket_hi")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

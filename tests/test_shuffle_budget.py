@@ -105,6 +105,9 @@ BUDGET = {
     # centroid attach is a 10-row broadcast nested-loop (the scalar-
     # attach pattern, k rows per probe row — not a data shuffle)
     "kmeans_assign_step": 5,
+    # min/max SinglePartition + the bucket agg; bounds attach is a
+    # 1-row broadcast
+    "value_histogram": 2,
 }
 
 
