@@ -798,3 +798,110 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket", "bucket_lo", "bucket_hi")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based language rebalancing: DATA-DERIVED sampling rates.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lang_rebalance_temperature",
+    oracle="""
+    WITH langs AS (
+      SELECT lang, COUNT(*) AS n_docs,
+             sqrt(CAST(COUNT(*) AS DOUBLE)) AS w
+      FROM documents GROUP BY lang),
+    tot AS (
+      SELECT list_reduce(list(w ORDER BY lang), (a, b) -> a + b) AS totw,
+             SUM(n_docs) AS n
+      FROM langs),
+    rates AS (
+      SELECT lang, n_docs,
+             LEAST(1.0, ((0.5 * n) * (w / totw)) / n_docs) AS rate
+      FROM langs, tot),
+    kept AS (
+      SELECT d.lang
+      FROM documents d JOIN rates r USING (lang)
+      WHERE CAST(CAST(('0x' || substring(md5('temp-v1:'
+                || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+                % 10000 AS BIGINT)
+            < CAST(floor(r.rate * 10000) AS BIGINT))
+    SELECT r.lang,
+           CAST(r.n_docs AS BIGINT) AS n_docs,
+           CAST(COUNT(k.lang) AS BIGINT) AS n_kept,
+           r.rate
+    FROM rates r LEFT JOIN kept k ON r.lang = k.lang
+    GROUP BY r.lang, r.n_docs, r.rate
+    """,
+)
+def lang_rebalance_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language rebalancing (the multilingual-corpus
+    mixing rule: sample language l proportional to p_l^alpha, here
+    alpha = 0.5 so the weight is ``sqrt`` — chosen because sqrt is
+    IEEE-correctly-rounded in every engine while ``pow(x, 0.7)`` is
+    not, so the rates stay bit-identical). Unlike ``stratified_sample``
+    (CONFIG-constant rates), the rates here are DERIVED FROM THE DATA:
+    one language-stats aggregate, weights folded in pinned lang order
+    (five doubles — order-pinned so the two engines cannot disagree on
+    the sum), target budget 50% of the corpus, per-lang rate clamped at
+    1.0, thresholds via ``floor`` (never ``round`` — no tie semantics),
+    then the same growth-stable salted-md5 keep filter. Dominant
+    languages are squeezed toward the budget; rare ones keep more of
+    their mass — the standard alpha-temperature curve.
+
+    Output is the rebalancing audit table: per language, corpus count,
+    kept count, and the applied rate (bit-identical double).
+
+    The 5-row language-stats aggregate is PINNED (q15/q11 pattern):
+    it feeds three consumers (the weight total, the rate table, and
+    through it the keep filter), and unpinned each one would recompute
+    it with its own full documents scan — 2 scans instead of 5.
+    """
+    from bcg_contacts_data_pipeline_spark.functions.sampling import (
+        hash_bucket,
+    )
+    from bcg_contacts_data_pipeline_spark.operators.pins import pin
+
+    docs = _t(spark, sf_dir, "documents")
+    langs = pin(
+        docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs")), None
+    )
+    langs = langs.select(
+        "lang", "n_docs", F.sqrt(F.col("n_docs").cast("double")).alias("w")
+    )
+    tot = langs.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("lang", "w"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["w"],
+        ).alias("totw"),
+        F.sum("n_docs").alias("n"),
+    )
+    rates = langs.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        F.least(
+            F.lit(1.0),
+            ((F.lit(0.5) * F.col("n")) * (F.col("w") / F.col("totw")))
+            / F.col("n_docs"),
+        ).alias("rate"),
+    )
+    keep = hash_bucket("doc_id", 10_000, seed="temp-v1") < F.floor(
+        F.col("rate") * 10_000
+    ).cast("long")
+    kept = (
+        docs.join(F.broadcast(rates.select("lang", "rate")), "lang")
+        .filter(keep)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        rates.join(kept, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            "rate",
+        )
+    )

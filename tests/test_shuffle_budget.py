@@ -108,6 +108,12 @@ BUDGET = {
     # min/max SinglePartition + the bucket agg; bounds attach is a
     # 1-row broadcast
     "value_histogram": 2,
+    # textual count inflated by the pinned 5-row lang-stats aggregate:
+    # the InMemoryRelation build plan (1 agg shuffle over 1 docs scan)
+    # reprints at each of its consumers (q15 pattern — same exprIds,
+    # ONE physical scan); the real data shuffles are the stats agg, the
+    # tiny fold/join chain, and the kept-count agg
+    "lang_rebalance_temperature": 8,
 }
 
 
