@@ -905,3 +905,70 @@ def lang_rebalance_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rate",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-weighted sampling: per-DOC data-derived keep probability.
+# ---------------------------------------------------------------------------
+
+from bcg_contacts_data_pipeline_spark.plans.queries import _STOPLIST_SQL  # noqa: E402
+
+
+@register(
+    "quality_weighted_sample",
+    oracle=f"""
+    WITH counts AS (
+      SELECT doc_id, lang,
+             CAST(CASE WHEN length(trim(text)) > 0 THEN len({_TOKS_SQL}) ELSE 0 END AS DOUBLE) AS nt,
+             CAST(length(text) AS DOUBLE) AS nc,
+             CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) AS pc,
+             CAST(CASE WHEN length(trim(text)) > 0
+                  THEN len(list_filter({_TOKS_SQL}, t -> list_contains({_STOPLIST_SQL}, lower(t))))
+                  ELSE 0 END AS DOUBLE) AS st
+      FROM documents),
+    scored AS (
+      SELECT doc_id, lang,
+             CASE WHEN nt > 0 THEN
+               0.4 * least(nt / 100.0, 1.0)
+               + 0.3 * least(st / nt * 3.0, 1.0)
+               + 0.3 * (1.0 - least(pc / nc * 10.0, 1.0))
+             ELSE 0.0 END AS quality
+      FROM counts),
+    kept AS (
+      SELECT doc_id, lang, quality
+      FROM scored
+      WHERE CAST(CAST(('0x' || substring(md5('qual-v1:'
+                || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+                % 10000 AS BIGINT)
+            < CAST(floor(quality * 10000) AS BIGINT))
+    SELECT doc_id, lang, quality FROM kept
+    """,
+)
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus sampling (the DCLM/FineWeb-style soft
+    filter): each document survives with probability equal to its OWN
+    quality score, rather than a hard threshold — high-quality docs
+    almost surely stay, mid-quality docs are thinned proportionally,
+    junk almost surely drops, preserving a gradient the hard cutoff
+    (``filter_cascade``) destroys. The keep decision is the salted-md5
+    uniform against ``floor(quality * 10000)`` — deterministic,
+    growth-stable, engine-portable, per-DOC data-derived probability
+    (``lang_rebalance_temperature`` derives per-GROUP rates; this is
+    the row-level analogue). One narrow projection + filter: no
+    shuffle, no RNG state, composes under any downstream plan.
+    Quality is the exact-integer-component score of ``lang_quality``
+    (bit-identical doubles), so the kept SET is identical on both
+    engines."""
+    from bcg_contacts_data_pipeline_spark.functions import text as T
+    from bcg_contacts_data_pipeline_spark.functions.sampling import (
+        hash_bucket,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "lang", T.quality_score("text").alias("quality")
+    )
+    keep = hash_bucket("doc_id", 10_000, seed="qual-v1") < F.floor(
+        F.col("quality") * 10_000
+    ).cast("long")
+    return scored.filter(keep)

@@ -114,6 +114,8 @@ BUDGET = {
     # ONE physical scan); the real data shuffles are the stats agg, the
     # tiny fold/join chain, and the kept-count agg
     "lang_rebalance_temperature": 8,
+    # per-doc probability filter: narrow projection, shuffle-free
+    "quality_weighted_sample": 0,
 }
 
 
