@@ -972,3 +972,88 @@ def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("quality") * 10_000
     ).cast("long")
     return scored.filter(keep)
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting over the LSH near-neighbor graph.
+# ---------------------------------------------------------------------------
+
+
+def _lsh_pairs_prefix(threshold: float, num_planes: int) -> str:
+    """The bk/pairs CTE prefix of the LSH pair graph, reused verbatim
+    from the ``embedding_components_ann`` oracle builder so the edge
+    set has exactly ONE definition across all graph queries (split at
+    the closure CTE; a shape change there fails these queries loudly,
+    which is the point)."""
+    from bcg_contacts_data_pipeline_spark.plans.queries_r6 import (
+        _components_ann_oracle,
+    )
+
+    full = _components_ann_oracle(threshold=threshold, num_planes=num_planes)
+    return full.split("sym AS")[0].rstrip().rstrip(",")
+
+
+@register(
+    "triangle_count",
+    oracle=_lsh_pairs_prefix(0.2, 4)
+    + """
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_edges,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM pairs e1 JOIN pairs e2 ON e2.id_a = e1.id_b) AS n_wedges,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM pairs e1 JOIN pairs e2 ON e2.id_a = e1.id_b
+            JOIN pairs e3 ON e3.id_a = e1.id_a
+                         AND e3.id_b = e2.id_b) AS n_triangles
+    """,
+)
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the LSH near-neighbor graph (edges = the
+    same deterministic cosine>=0.2 same-bucket pairs the
+    ``embedding_components_ann`` family uses): edges, wedges (2-paths),
+    and closed triangles — the clustering-coefficient numerator, the
+    standard density diagnostic for a near-dup graph before committing
+    to transitive closure (a triangle-poor pair graph means clusters
+    are chains of borderline matches; triangle-rich means genuine
+    clique-like duplicate groups).
+
+    The distributed-join formulation (node-iterator): with every edge
+    oriented id_a < id_b, a wedge is e1 JOIN e2 ON e1.id_b = e2.id_a
+    and a triangle is a wedge whose closing edge (e1.id_a, e2.id_b)
+    exists — three hash joins on edge endpoints, each shuffleable by
+    key, no adjacency list ever materialized in one task. At real
+    scale the orientation should be by DEGREE (low-degree node first,
+    the Cohen/GraphX trick bounding wedges by sum of min-degree^2);
+    with the band-bucket-capped pair generators feeding this, the
+    id-orientation's wedge count is already bounded by the caps.
+    Counts are integers — engine-exact."""
+    from bcg_contacts_data_pipeline_spark.operators.pins import pin
+    from bcg_contacts_data_pipeline_spark.operators.similarity import (
+        embedding_pairs_lsh,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    # pinned: the edge list feeds FOUR consumers (both wedge sides, the
+    # closing-edge probe, and the edge count) and each recompute would
+    # re-run the Python bucket-scoring stage — the opposite trade from
+    # the ngram no-persist case (large narrow explode); here the frame
+    # is SMALL (pairs only) and the recompute is the expensive part
+    e = pin(
+        embedding_pairs_lsh(
+            emb, "vec_id", "embedding", dim=64, threshold=0.2, num_planes=4
+        ),
+        None,
+    )
+    e1 = e.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    e2 = e.select(F.col("id_a").alias("b2"), F.col("id_b").alias("c"))
+    wedges = e1.join(e2, F.col("b") == F.col("b2"))
+    closing = e.select(
+        F.col("id_a").alias("a3"), F.col("id_b").alias("c3")
+    )
+    tris = wedges.join(
+        closing,
+        (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")),
+    )
+    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_wedges = wedges.agg(F.count(F.lit(1)).alias("n_wedges"))
+    n_tris = tris.agg(F.count(F.lit(1)).alias("n_triangles"))
+    return n_edges.crossJoin(n_wedges).crossJoin(n_tris)

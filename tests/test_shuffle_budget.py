@@ -116,6 +116,9 @@ BUDGET = {
     "lang_rebalance_temperature": 8,
     # per-doc probability filter: narrow projection, shuffle-free
     "quality_weighted_sample": 0,
+    # pinned edge list reprinted per consumer (q15 pattern) + the two
+    # join-side exchanges per wedge/closing probe + three scalar counts
+    "triangle_count": 9,
 }
 
 
