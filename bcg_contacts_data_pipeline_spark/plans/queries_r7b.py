@@ -1057,3 +1057,103 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_wedges = wedges.agg(F.count(F.lit(1)).alias("n_wedges"))
     n_tris = tris.agg(F.count(F.lit(1)).alias("n_triangles"))
     return n_edges.crossJoin(n_wedges).crossJoin(n_tris)
+
+
+# ---------------------------------------------------------------------------
+# Robust outlier detection: median / MAD, the z-score's heavy-tail twin.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "value_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             round(quantile_cont(value, 0.5), 4) AS median_value
+      FROM events GROUP BY event_type),
+    dev AS (
+      SELECT e.event_type, abs(e.value - m.median_value) AS d
+      FROM events e JOIN med m USING (event_type)),
+    mad AS (
+      SELECT event_type, round(quantile_cont(d, 0.5), 4) AS mad_value
+      FROM dev GROUP BY event_type),
+    outliers AS (
+      SELECT d.event_type, COUNT(*) AS n_outliers
+      FROM dev d JOIN mad m USING (event_type)
+      WHERE d.d > 3 * m.mad_value
+      GROUP BY d.event_type)
+    SELECT m.event_type, m.n_events, m.median_value, a.mad_value,
+           CAST(COALESCE(o.n_outliers, 0) AS BIGINT) AS n_outliers
+    FROM med m
+    JOIN mad a USING (event_type)
+    LEFT JOIN outliers o USING (event_type)
+    """,
+)
+def value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier detection per event type — the
+    heavy-tail-safe twin of ``event_rate_anomaly``'s z-score: mean and
+    stddev are themselves dragged by the outliers they're meant to
+    find, while the median and the median-absolute-deviation have a
+    50% breakdown point. Three passes over the fact (median -> absolute
+    deviations -> MAD threshold count), each a grouped aggregate with
+    the tiny per-type stats BROADCAST back — the irreducible shape for
+    median-based statistics (they are holistic: no single-pass
+    mergeable state, which is also why the ``approx_percentile`` twin
+    family exists for the 100 TB path).
+
+    Cross-engine determinism: interpolated medians may differ in the
+    last ulp between engines, so the median and MAD are ROUNDED to 4
+    decimals (the ``lang_quantiles`` convention) BEFORE they feed the
+    deviation and threshold arithmetic — every downstream comparison
+    then runs on bit-identical doubles and the outlier counts are
+    engine-exact (events carry 2-decimal values, so the rounding
+    itself can never sit on a tie)."""
+    from bcg_contacts_data_pipeline_spark.operators.pins import pin
+    from bcg_contacts_data_pipeline_spark.plans.queries import _events
+
+    ev = _events(spark, sf_dir)
+    # both stats frames are 5 rows and feed 2+ consumers each; unpinned
+    # every consumer re-runs the full-table aggregate that builds them
+    med = pin(
+        ev.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.percentile(F.col("value"), F.lit(0.5)), 4).alias(
+                "median_value"
+            ),
+        ),
+        None,
+    )
+    dev = ev.join(
+        F.broadcast(med.select("event_type", "median_value")), "event_type"
+    ).select(
+        "event_type",
+        F.abs(F.col("value") - F.col("median_value")).alias("d"),
+    )
+    mad = pin(
+        dev.groupBy("event_type").agg(
+            F.round(F.percentile(F.col("d"), F.lit(0.5)), 4).alias(
+                "mad_value"
+            )
+        ),
+        None,
+    )
+    outliers = (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("d") > F.lit(3) * F.col("mad_value"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_outliers"))
+    )
+    return (
+        med.join(mad, "event_type")
+        .join(outliers, "event_type", "left")
+        .select(
+            "event_type",
+            "n_events",
+            "median_value",
+            "mad_value",
+            F.coalesce("n_outliers", F.lit(0)).cast("long").alias(
+                "n_outliers"
+            ),
+        )
+    )

@@ -119,6 +119,10 @@ BUDGET = {
     # pinned edge list reprinted per consumer (q15 pattern) + the two
     # join-side exchanges per wedge/closing probe + three scalar counts
     "triangle_count": 9,
+    # three physical passes (median, MAD, threshold count) + joins of
+    # the pinned 5-row stats; textual count includes cached-build
+    # reprints (2 distinct scan ids)
+    "value_mad_outliers": 8,
 }
 
 
