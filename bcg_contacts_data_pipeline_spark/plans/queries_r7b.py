@@ -1157,3 +1157,91 @@ def value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Retention cohorts: first-seen week x activity-week-offset matrix.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(date_diff('day', f.cohort_week,
+                            date_trunc('week', e.ts)) / 7 AS INTEGER)
+               AS week_offset
+      FROM events e JOIN firsts f USING (user_id)),
+    cells AS (
+      SELECT cohort_week, week_offset, CAST(COUNT(*) AS BIGINT) AS n_active
+      FROM activity GROUP BY cohort_week, week_offset)
+    SELECT CAST(cohort_week AS TIMESTAMP) AS cohort_week,
+           week_offset, n_active,
+           CAST(MAX(CASE WHEN week_offset = 0 THEN n_active END)
+                OVER (PARTITION BY cohort_week) AS BIGINT) AS cohort_size,
+           CAST(CAST(n_active AS DOUBLE)
+                / CAST(MAX(CASE WHEN week_offset = 0 THEN n_active END)
+                       OVER (PARTITION BY cohort_week) AS DOUBLE)
+               AS DOUBLE) AS retention
+    FROM cells
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users bucketed by first-seen week,
+    then for every (cohort, week-offset) cell the count of cohort
+    members active that week and the retention fraction — the
+    product-analytics staple. Distributed shape: one per-user MIN
+    aggregate (the first-seen pass), the per-user cohort label joined
+    back onto the fact (a shuffle hash join on user_id — at 100 TB the
+    firsts frame is |users|, not broadcastable, and co-partitioning on
+    user_id makes this the cheap join), a DISTINCT per (user, week)
+    so a burst of events counts once, then the cell aggregate. The
+    denominator needs NO extra pass: every user is by definition
+    active in their first week, so cohort_size IS the offset-0 cell —
+    a window over the tiny cell frame replaces a second full
+    aggregate-and-join (and the events scan it would recompute). Week
+    truncation is ISO-Monday in both engines; offsets divide exactly
+    (week-truncated dates differ by multiples of 7 days). The only
+    float is the final retention ratio — one division of identical
+    integer operands."""
+    from bcg_contacts_data_pipeline_spark.plans.queries import _events
+
+    ev = _events(spark, sf_dir)
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    cells = activity.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+    size = F.max(
+        F.when(F.col("week_offset") == 0, F.col("n_active"))
+    ).over(Window.partitionBy("cohort_week"))
+    return cells.select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        size.alias("cohort_size"),
+        (F.col("n_active").cast("double") / size.cast("double")).alias(
+            "retention"
+        ),
+    )

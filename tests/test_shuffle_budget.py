@@ -123,6 +123,10 @@ BUDGET = {
     # the pinned 5-row stats; textual count includes cached-build
     # reprints (2 distinct scan ids)
     "value_mad_outliers": 8,
+    # first-seen agg + user_id join + distinct + cell agg/window; the
+    # denominator rides a window over the tiny cell frame (offset-0
+    # cell IS the cohort size - no second full aggregate)
+    "retention_cohorts": 4,
 }
 
 
