@@ -1245,3 +1245,90 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "retention"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit: FK orphan counts across the whole schema.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fk_orphan_audit",
+    oracle="""
+    SELECT 'lineitem.l_orderkey -> orders' AS relationship,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_rows,
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+               AS BIGINT) AS n_orphans
+    UNION ALL
+    SELECT 'lineitem.l_partkey -> part',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM part p
+                                   WHERE p.p_partkey = l.l_partkey))
+               AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem.l_suppkey -> supplier',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                   WHERE s.s_suppkey = l.l_suppkey))
+               AS BIGINT)
+    UNION ALL
+    SELECT 'orders.o_custkey -> customer',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+               AS BIGINT)
+    UNION ALL
+    SELECT 'customer.c_nationkey -> nation',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM customer),
+           CAST((SELECT COUNT(*) FROM customer c
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = c.c_nationkey))
+               AS BIGINT)
+    """,
+)
+def fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit for the whole star schema in ONE
+    query: per foreign-key relationship, total rows and orphan rows
+    (fact keys with no matching dimension row) — the pre-flight check
+    every warehouse load runs before trusting join results (an inner
+    join silently DROPS orphans; this query makes the loss visible
+    first). Physical shape: each relationship is a LEFT ANTI join
+    counted to one row — the dimension side builds the hash table
+    (broadcast for the small dims, shuffle for orders at scale) and
+    nothing materializes the orphan rows themselves; the five audit
+    rows union. Counts are integers — engine-exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+
+    def audit(name, fact, key, dim, dim_key):
+        total = fact.agg(F.count(F.lit(1)).alias("n_rows"))
+        orphans = fact.join(
+            dim, F.col(key) == F.col(dim_key), "left_anti"
+        ).agg(F.count(F.lit(1)).alias("n_orphans"))
+        return (
+            total.crossJoin(orphans)
+            .select(
+                F.lit(name).alias("relationship"), "n_rows", "n_orphans"
+            )
+        )
+
+    frames = [
+        audit("lineitem.l_orderkey -> orders", li, "l_orderkey", o, "o_orderkey"),
+        audit("lineitem.l_partkey -> part", li, "l_partkey", p, "p_partkey"),
+        audit("lineitem.l_suppkey -> supplier", li, "l_suppkey", s, "s_suppkey"),
+        audit("orders.o_custkey -> customer", o, "o_custkey", c, "c_custkey"),
+        audit("customer.c_nationkey -> nation", c, "c_nationkey", n, "n_nationkey"),
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out

@@ -127,6 +127,9 @@ BUDGET = {
     # denominator rides a window over the tiny cell frame (offset-0
     # cell IS the cohort size - no second full aggregate)
     "retention_cohorts": 4,
+    # 5 relationships x (total SinglePartition + anti-join count); the
+    # dim sides broadcast, so each audit row costs exactly 2
+    "fk_orphan_audit": 10,
 }
 
 
