@@ -1332,3 +1332,79 @@ def fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit over order totals.
+# ---------------------------------------------------------------------------
+
+
+def _benford_probs() -> dict[int, float]:
+    """log10(1 + 1/d) computed ONCE in Python and embedded as literals
+    in BOTH engines — Math.log10 is not guaranteed correctly rounded,
+    so neither engine computes it at query time."""
+    import math
+
+    return {d: math.log10(1 + 1 / d) for d in range(1, 10)}
+
+
+def _benford_oracle() -> str:
+    case = " ".join(
+        f"WHEN {d} THEN {p!r}" for d, p in _benford_probs().items()
+    )
+    return f"""
+    WITH digits AS (
+      SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                 AS VARCHAR), 1, 1) AS INTEGER) AS digit
+      FROM orders WHERE o_totalprice >= 1),
+    tot AS (SELECT COUNT(*) AS n FROM digits)
+    SELECT digit,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) AS DOUBLE) / CAST(tot.n AS DOUBLE) AS observed_p,
+           CASE digit {case} END AS benford_p,
+           abs(CAST(COUNT(*) AS DOUBLE) / CAST(tot.n AS DOUBLE)
+               - CASE digit {case} END) AS abs_dev
+    FROM digits, tot
+    GROUP BY digit, tot.n
+    """
+
+
+@register("benford_digit_audit", oracle=_benford_oracle())
+def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    forensic screen for fabricated or re-binned monetary data (natural
+    multi-scale amounts follow P(d) = log10(1 + 1/d); human-invented
+    numbers don't). First digit extracts through INTEGER string form
+    (floor -> bigint -> substring) — never by formatting a double,
+    whose text rendering is engine-specific. The nine Benford
+    expectations are computed once in Python and embedded as literals
+    in both plans (Math.log10 is not correctly-rounded-guaranteed, so
+    neither engine computes logs at query time). One scan, the 1-row
+    total broadcast-attached, one aggregate; observed share is a
+    single division of identical operands — engine-exact."""
+    o = _t(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+    ).cast("int")
+    digits = o.filter(F.col("o_totalprice") >= 1).select(digit.alias("digit"))
+    tot = digits.agg(F.count(F.lit(1)).alias("__n"))
+    benford = None
+    for d, p in _benford_probs().items():
+        benford = (
+            F.when(F.col("digit") == d, F.lit(p))
+            if benford is None
+            else benford.when(F.col("digit") == d, F.lit(p))
+        )
+    obs = F.col("n").cast("double") / F.col("__n").cast("double")
+    return (
+        digits.groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            obs.alias("observed_p"),
+            benford.alias("benford_p"),
+            F.abs(obs - benford).alias("abs_dev"),
+        )
+    )

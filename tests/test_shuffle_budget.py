@@ -130,6 +130,8 @@ BUDGET = {
     # 5 relationships x (total SinglePartition + anti-join count); the
     # dim sides broadcast, so each audit row costs exactly 2
     "fk_orphan_audit": 10,
+    # total SinglePartition + digit agg; the 1-row total broadcasts
+    "benford_digit_audit": 2,
 }
 
 
