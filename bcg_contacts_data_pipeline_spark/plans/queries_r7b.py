@@ -1408,3 +1408,56 @@ def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(obs - benford).alias("abs_dev"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Global contiguous ranking as a standalone certified op.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_global_rank",
+    oracle="""
+    SELECT CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+               AS BIGINT) AS seqno,
+           o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+               AS o_totalprice
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    """,
+)
+def orders_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global contiguous 1..N ranking of finished orders by price —
+    the O2 SEQNO operator (``dedup.renumber``) certified standalone
+    rather than only inside the contacts pipeline. The single-partition
+    ``row_number() OVER (ORDER BY ...)`` the oracle runs is exactly the
+    plan that DOESN'T scale (one task sees every row); the Spark side
+    instead runs the two-pass partition-offset pattern:
+    ``repartitionByRange`` on the sort keys (partition i holds globally
+    ordered slice i), a per-partition count collected to the driver
+    (#partitions rows — bounded), then partition-local row_number plus
+    the broadcast offset. No stage ever holds more than one partition's
+    rows, yet the assigned sequence is IDENTICAL to the oracle's global
+    window because the order (price desc, orderkey) is total. Price is
+    rounded to storage precision on both sides (the q10 acctbal
+    convention)."""
+    from bcg_contacts_data_pipeline_spark.operators.dedup import renumber
+
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(
+            "o_orderkey", _dec("o_totalprice", 2).cast("double").alias("o_totalprice")
+        )
+    )
+    ranked = renumber(
+        o,
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        seq_name="seqno",
+    )
+    return ranked.select(
+        F.col("seqno").cast("long").alias("seqno"),
+        "o_orderkey",
+        "o_totalprice",
+    )

@@ -132,6 +132,9 @@ BUDGET = {
     "fk_orphan_audit": 10,
     # total SinglePartition + digit agg; the 1-row total broadcasts
     "benford_digit_audit": 2,
+    # rangepartitioning (printed twice via the pinned frame's reprint)
+    # + the bounded per-partition count; NO single-partition window
+    "orders_global_rank": 3,
 }
 
 
