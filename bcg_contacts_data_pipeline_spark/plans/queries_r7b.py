@@ -1461,3 +1461,91 @@ def orders_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_totalprice",
     )
+
+
+# ---------------------------------------------------------------------------
+# Split-leakage audit: near-dup pairs crossing the train/val/test boundary.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "split_leakage_audit",
+    oracle="""
+    WITH sh_all AS (
+      SELECT doc_id,
+             unnest(list_distinct([lower(t[i]) || ' ' || lower(t[i+1]) || ' ' || lower(t[i+2])
+                    for i in range(1, greatest(len(t)-1, 1))])) AS s
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents WHERE length(trim(text)) > 0)),
+    hot AS (SELECT s FROM sh_all GROUP BY s HAVING COUNT(*) > 100),
+    sh AS (SELECT * FROM sh_all WHERE s NOT IN (SELECT s FROM hot)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    edges AS (
+      SELECT id_a, id_b FROM shared
+      JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.2),
+    splits AS (
+      SELECT doc_id,
+             CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT doc_id,
+                   CAST(CAST(('0x' || substring(md5('corpus-v1:'
+                        || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+                        % 100 AS BIGINT) AS b
+            FROM documents)),
+    labeled AS (
+      SELECT LEAST(sa.split, sb.split) AS split_a,
+             GREATEST(sa.split, sb.split) AS split_b
+      FROM edges e
+      JOIN splits sa ON sa.doc_id = e.id_a
+      JOIN splits sb ON sb.doc_id = e.id_b)
+    SELECT split_a, split_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           split_a <> split_b AS is_leakage
+    FROM labeled GROUP BY split_a, split_b
+    """,
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test leakage audit: near-duplicate pairs (the SAME capped
+    ngram-Jaccard edge set ``neardup_prune`` dedups on, one definition
+    in ``similarity.ngram_jaccard_pairs``) classified by whether they
+    CROSS the deterministic 80/10/10 hash-split boundary
+    (``hash_split``'s assignment, same salt). A near-dup of a training
+    doc sitting in the test split inflates eval — the audit a release
+    runs after splitting and before publishing benchmarks. Pair labels
+    are order-normalized (least/greatest of the two split names) so
+    (train, test) and (test, train) count as one cell. Composes two
+    already-certified deterministic pieces, so the pair set and the
+    split assignment — and therefore every count — are engine-exact."""
+    from bcg_contacts_data_pipeline_spark.functions.sampling import (
+        assign_split,
+    )
+    from bcg_contacts_data_pipeline_spark.operators.similarity import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.2, max_df=100
+    ).select("id_a", "id_b")
+    splits = docs.select(
+        "doc_id", assign_split("doc_id", seed="corpus-v1").alias("split")
+    )
+    sa = splits.select(
+        F.col("doc_id").alias("id_a"), F.col("split").alias("sa")
+    )
+    sb = splits.select(
+        F.col("doc_id").alias("id_b"), F.col("split").alias("sb")
+    )
+    labeled = pairs.join(sa, "id_a").join(sb, "id_b").select(
+        F.least("sa", "sb").alias("split_a"),
+        F.greatest("sa", "sb").alias("split_b"),
+    )
+    return labeled.groupBy("split_a", "split_b").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        (F.col("split_a") != F.col("split_b")).alias("is_leakage"),
+    )

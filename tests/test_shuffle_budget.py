@@ -135,6 +135,10 @@ BUDGET = {
     # rangepartitioning (printed twice via the pinned frame's reprint)
     # + the bounded per-partition count; NO single-partition window
     "orders_global_rank": 3,
+    # the capped pair generator's chain (hot-shingle agg + sizes +
+    # shared agg, shingle explode recomputed per consumer - the
+    # documented no-persist trade) + split joins + final cell agg
+    "split_leakage_audit": 8,
 }
 
 
