@@ -1,23 +1,41 @@
-"""Round-7 continuation surface: the last three TPC-H plan shapes the
-board lacked — Q7 (disjunctive nation-pair predicate over a 6-way join),
-Q8 (market-share ratio: CASE numerator / total denominator per year over
-an 8-way join with one dimension playing two roles), and Q9 (profit
-decomposition: arithmetic across THREE fact/dim columns inside one
-aggregate, LIKE-filtered build side). With these, all 22 TPC-H query
-*plan features* present in the driver schema are covered (the schema
-carries no partsupp table and no receipt/commit dates, so supply-cost
-and late-delivery predicates are adapted — noted per query).
+"""Round-7 continuation surface.
+
+1. The last three TPC-H plan shapes the board lacked — Q7 (disjunctive
+   nation-pair predicate over a 6-way join), Q8 (market-share ratio:
+   CASE numerator / total denominator per year over an 8-way join with
+   one dimension in two roles), Q9 (profit arithmetic across fact AND
+   dim columns inside one aggregate, infix-LIKE build side). With
+   these, all 22 TPC-H *plan features* expressible in the driver
+   schema are covered (no partsupp table, no receipt/commit dates —
+   adaptations noted per query).
+2. The curation-audit family: per-doc n-gram contamination scoring,
+   train/test split-leakage, temperature (p^0.5) language rebalancing
+   with data-derived rates, quality-weighted soft sampling.
+3. The vector family: JL random projection (exact literal-matrix
+   oracle), distributed per-label centroids (dyadic 2^-40 quantization
+   for cross-engine-exact float means), a k-means assignment step, and
+   a triangle census of the LSH near-neighbor graph.
+4. The warehouse-audit family: schema-wide FK orphan counts, Benford
+   first-digit screening, median/MAD robust outliers, weekly retention
+   cohorts, an adaptive equi-width histogram, mergeable HLL sketch
+   rollups, and the O2 global contiguous ranking certified standalone.
+5. The stream-stream LEFT OUTER join (watermark-gated null emission
+   with the finite-drain cutoff stated exactly by its oracle) lives in
+   streaming/ops.py; its query registration is here.
 
 Registered into the same ``plans.queries`` registry. Determinism rules
 as everywhere else: decimal-exact money math before any double cast,
 single IEEE division written identically in both engines, year
-extraction cast to INT on both sides.
+extraction cast to INT on both sides — plus two new tricks recorded in
+their docstrings: dyadic quantization where a float->decimal cast would
+hit rounding-tie divergence, and round-before-reuse for interpolated
+medians.
 
 Reference parity note: the reference pipeline
-(/root/reference/clean_contacts.py) has no TPC-H analytics — this module
-is part of the beyond-reference analytic surface SURVEY.md §2 commits
-to, proving multi-way join planning a 100 TB warehouse workload hits
-daily.
+(/root/reference/clean_contacts.py) has none of this analytics surface —
+this module is part of the beyond-reference surface SURVEY.md §2
+commits to, proving the plan shapes a 100 TB warehouse-plus-curation
+workload hits daily.
 """
 
 from __future__ import annotations
