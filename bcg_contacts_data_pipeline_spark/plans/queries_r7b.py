@@ -1567,3 +1567,76 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_pairs"),
         (F.col("split_a") != F.col("split_b")).alias("is_leakage"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Ratio-to-parent rollup: window over an aggregate, two hierarchy levels.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "revenue_share_rollup",
+    oracle="""
+    WITH nat AS (
+      SELECT r_name AS region, n_name AS nation,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                 * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS rev,
+             CAST(COUNT(*) AS BIGINT) AS n_lines
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON n_nationkey = s_nationkey
+      JOIN region   ON r_regionkey = n_regionkey
+      GROUP BY r_name, n_name)
+    SELECT region, nation,
+           CAST(rev AS DOUBLE) AS revenue,
+           n_lines,
+           CAST(CAST(rev AS DOUBLE)
+                / CAST(SUM(rev) OVER (PARTITION BY region) AS DOUBLE)
+               AS DOUBLE) AS share_of_region
+    FROM nat
+    """,
+)
+def revenue_share_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-parent: each supplier nation's share of its REGION's
+    revenue — the two-level hierarchy share every BI rollup needs
+    (ratio_to_report in Oracle dialect). Physical shape: ONE grouped
+    aggregate at the leaf level (nation), then a window SUM over the
+    25-row aggregate partitioned by region — the parent total is
+    derived from the child aggregate, never a second fact scan, and
+    the window runs over an aggregate-sized frame, not the fact.
+    Dimensions broadcast; one data shuffle (the leaf groupBy) plus the
+    tiny window exchange.
+
+    Determinism: the share divides the DECIMAL-exact child revenue by
+    the DECIMAL-exact parent total (decimal window sums are
+    order-insensitive), cast to double only at the division — one IEEE
+    op of identical operands per row."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    nat = (
+        li.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(
+                _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+            ).alias("__rev"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+    w = Window.partitionBy("region")
+    return nat.select(
+        "region",
+        "nation",
+        F.col("__rev").cast("double").alias("revenue"),
+        "n_lines",
+        (
+            F.col("__rev").cast("double")
+            / F.sum("__rev").over(w).cast("double")
+        ).alias("share_of_region"),
+    )

@@ -139,6 +139,9 @@ BUDGET = {
     # shared agg, shingle explode recomputed per consumer - the
     # documented no-persist trade) + split joins + final cell agg
     "split_leakage_audit": 8,
+    # leaf groupBy + the tiny region window exchange; parent total
+    # derives from the 25-row child aggregate, never a second scan
+    "revenue_share_rollup": 2,
 }
 
 
