@@ -1640,3 +1640,63 @@ def revenue_share_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("__rev").over(w).cast("double")
         ).alias("share_of_region"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Next-event Markov transition matrix over per-user event sequences.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events),
+    pairs AS (
+      SELECT event_type, next_type FROM seq WHERE next_type IS NOT NULL),
+    cells AS (
+      SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM pairs GROUP BY event_type, next_type)
+    SELECT event_type, next_type, n,
+           CAST(CAST(n AS DOUBLE)
+                / CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE)
+               AS DOUBLE) AS p_next
+    FROM cells
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behaviour: for each
+    event type, the distribution of the NEXT event the same user emits
+    — the session-flow fingerprint behind funnel design and anomaly
+    detection (a sudden shift in P(error | click) is a deploy gone
+    bad). Physical shape: ONE shuffle partitions each user's history,
+    ``lead()`` pairs consecutive events inside it (order made total by
+    the (ts, event_id) tiebreak — equal-timestamp events would
+    otherwise make the pairing nondeterministic), then the cell
+    aggregate; row-normalization is a window over the K x K cell frame
+    (tiny), never a second pass over the fact. Counts are integers;
+    each probability is one IEEE division of identical operands."""
+    from pyspark.sql import Window
+
+    from bcg_contacts_data_pipeline_spark.plans.queries import _events
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    cells = seq.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wn = Window.partitionBy("event_type")
+    return cells.select(
+        "event_type",
+        "next_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(wn).cast("double")).alias(
+            "p_next"
+        ),
+    )

@@ -142,6 +142,8 @@ BUDGET = {
     # leaf groupBy + the tiny region window exchange; parent total
     # derives from the 25-row child aggregate, never a second scan
     "revenue_share_rollup": 2,
+    # user partitioning for lead() + cell agg + the tiny KxK window
+    "event_transition_matrix": 3,
 }
 
 
