@@ -1700,3 +1700,68 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_next"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental rollup merge: partial aggregates merged, history never rescanned.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "incremental_rollup_merge",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS total_revenue,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                / COUNT(*) AS DOUBLE) AS avg_revenue
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily-rollup maintenance pattern, certified: yesterday's
+    rollup (orders before 1999) and today's batch (the rest) are
+    aggregated SEPARATELY and then MERGED — sum of sums, sum of counts,
+    average derived at the end — and the result is bit-identical to the
+    oracle's single full-table aggregate. This is the exact-counter
+    analogue of ``hll_sketch_rollup``: sums and counts are mergeable
+    partials, so a 100 TB warehouse stores per-day partial rows
+    (day x status) and answers any date range by merging partials,
+    never rescanning history. Works BECAUSE the money sums are decimal
+    (exact, associative — merging partials cannot round differently
+    than aggregating directly); the average is derived from merged
+    exact operands with one final IEEE division, never averaged from
+    partial averages (the classic wrong-merge).
+
+    Both 'phases' here read one table split by a date predicate — in
+    production they'd be separate stored partial tables; the merge
+    arithmetic is what's under certification."""
+    o = _t(spark, sf_dir, "orders")
+    cutoff = F.lit("1999-01-01").cast("timestamp")
+
+    def partial(df):
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(_dec("o_totalprice")).alias("__rev"),
+        )
+
+    old = partial(o.filter(F.col("o_orderdate") < cutoff))
+    new = partial(o.filter(F.col("o_orderdate") >= cutoff))
+    merged = (
+        old.unionByName(new)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("__n").cast("long").alias("n_orders"),
+            F.sum("__rev").alias("__total"),
+        )
+    )
+    return merged.select(
+        "o_orderstatus",
+        "n_orders",
+        F.col("__total").cast("double").alias("total_revenue"),
+        (F.col("__total").cast("double") / F.col("n_orders")).alias(
+            "avg_revenue"
+        ),
+    )

@@ -144,6 +144,9 @@ BUDGET = {
     "revenue_share_rollup": 2,
     # user partitioning for lead() + cell agg + the tiny KxK window
     "event_transition_matrix": 3,
+    # two partial-agg exchanges feeding the merge agg; each phase scan
+    # carries its pushed date predicate
+    "incremental_rollup_merge": 2,
 }
 
 
