@@ -1765,3 +1765,68 @@ def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_revenue"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Timeout-driven streaming sessionization (emit-on-close).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_sessions_timeout",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked),
+    grouped AS (
+      SELECT user_id, sid,
+             MIN(ts) AS session_start, MAX(ts) AS session_end,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM sess GROUP BY user_id, sid),
+    flagged AS (
+      SELECT g.*,
+             sid = MAX(sid) OVER (PARTITION BY user_id) AS is_last
+      FROM grouped g),
+    wm AS (SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM events)
+    SELECT user_id, session_start, session_end, n_events
+    FROM flagged, wm
+    WHERE NOT is_last
+       OR session_end + INTERVAL 30 MINUTE < wm.w
+    """,
+)
+def stream_sessions_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Emit-on-close sessionization through the explicit
+    ``EventTimeTimeout`` state API (``streaming.session_close_stream``):
+    a session row appears ONLY when the session closes — by a later
+    same-user event exceeding the 30-minute gap, or by the registered
+    per-key TIMER firing once the watermark passes ``end + gap``
+    (``state.hasTimedOut`` branch, state removed). The feature under
+    test is the timer lifecycle the running-stats op never touches.
+
+    The oracle states the finite-drain semantics exactly: all non-last
+    sessions of each user (closed intra-batch by construction) plus
+    last sessions whose ``end + gap`` lies strictly before the final
+    watermark (``max event time - 30 min``, applied by the trailing
+    no-data micro-batch). Later sessions remain in state — on an
+    unbounded stream they'd emit when the watermark caught up; the
+    timer registration's ceil-to-millisecond cannot shift the strict-<
+    boundary for microsecond-grained event times."""
+    from bcg_contacts_data_pipeline_spark import streaming as S
+
+    st = S.events_stream(spark, sf_dir).select("user_id", "ts")
+    return S.run_available_now(
+        S.session_close_stream(
+            st, "ts", gap="30 minutes", watermark="30 minutes"
+        ),
+        "append",
+        shuffle_partitions=8,
+    )

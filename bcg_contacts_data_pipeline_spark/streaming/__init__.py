@@ -5,6 +5,7 @@ from bcg_contacts_data_pipeline_spark.streaming.ops import (
     running_user_stats,
     running_user_stats_tws,
     session_agg,
+    session_close_stream,
     windowed_agg,
 )
 from bcg_contacts_data_pipeline_spark.streaming.runner import (
@@ -30,6 +31,7 @@ __all__ = [
     "running_user_stats",
     "running_user_stats_tws",
     "session_agg",
+    "session_close_stream",
     "stage_as_dir",
     "stream_static_enrich",
     "stream_stream_time_join",

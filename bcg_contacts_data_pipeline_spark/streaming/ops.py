@@ -294,3 +294,103 @@ def running_user_stats_tws(stream: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+# ---------------------------------------------------------------------------
+# Timeout-driven session finalizer (EventTimeTimeout)
+# ---------------------------------------------------------------------------
+
+_SESSION_OUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long"
+)
+#: open-session state: start/end in MICROSECONDS since epoch (exact — the
+#: source timestamps carry microsecond precision), plus the event count.
+_SESSION_STATE_SCHEMA = "start long, end long, n long"
+
+
+def _session_rows(key, sessions):
+    return pd.DataFrame(
+        {
+            "user_id": [key[0]] * len(sessions),
+            "session_start": [
+                pd.Timestamp(st, unit="us") for st, _, _ in sessions
+            ],
+            "session_end": [
+                pd.Timestamp(en, unit="us") for _, en, _ in sessions
+            ],
+            "n_events": [n for _, _, n in sessions],
+        }
+    )
+
+
+def _make_session_close_fn(gap_us: int):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            st, en, n = state.get
+            state.remove()
+            yield _session_rows(key, [(st, en, n)])
+            return
+        ts_us = sorted(
+            int(v)
+            for pdf in pdfs
+            for v in (pdf["ts"].astype("int64") // 1000).tolist()
+        )
+        if state.exists:
+            st, en, n = state.get
+        else:
+            st = en = None
+            n = 0
+        closed = []
+        for t in ts_us:
+            if st is None:
+                st, en, n = t, t, 1
+            elif t - en > gap_us:
+                closed.append((st, en, n))
+                st, en, n = t, t, 1
+            else:
+                en, n = t, n + 1
+        state.update((st, en, n))
+        # timeout in MS (the GroupState API's unit), ceil'd so the
+        # session cannot fire a hair before its gap truly elapsed
+        state.setTimeoutTimestamp(-(-(en + gap_us) // 1000))
+        if closed:
+            yield _session_rows(key, closed)
+
+    return fn
+
+
+def session_close_stream(
+    stream: DataFrame, ts_col: str, gap: str, watermark: str
+) -> DataFrame:
+    """Sessionization with EMIT-ON-CLOSE semantics via the explicit
+    EventTimeTimeout API — the applyInPandasWithState feature the
+    running-stats op doesn't exercise: a session row is emitted ONLY
+    when it closes, either because a later same-user event exceeded
+    the inactivity gap (intra-batch close) or because the WATERMARK
+    passed the open session's ``end + gap`` and the registered timer
+    fired (``state.hasTimedOut`` branch, state removed). Contrast with
+    ``session_agg`` (built-in session_window): same append-at-close
+    result shape, but here the state machine is explicit — the
+    template for custom close conditions (budget exhausted, terminal
+    event, cross-field predicates) the built-in cannot express.
+
+    Event times are folded in exact MICROSECONDS; only the timer
+    registration rounds (ceil) to the API's millisecond unit.
+    Per-user event-time order across micro-batches is assumed (holds
+    on an AvailableNow drain of a sorted source; a production deploy
+    pairs this with a watermark-sized reorder buffer upstream)."""
+    gap_us = int(pd.Timedelta(gap).total_seconds() * 1_000_000)
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_session_close_fn(gap_us),
+            outputStructType=_SESSION_OUT_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="Append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -343,3 +343,51 @@ def test_stream_stream_join_how_guard(spark):
             left_ts="l_ts", right_ts="r_ts",
             within="1 HOUR", watermark="1 hour", how="fullOuter",
         )
+
+
+def test_session_close_timer_fires_and_holds(spark, tmp_path):
+    """Pins the EventTimeTimeout lifecycle directly: user 100's lone
+    session ends long before the watermark, so ONLY the timer can emit
+    it (no later event closes it); user 200's session ends at the
+    stream head, inside the watermark horizon, so it must stay in
+    state and NOT emit. Also pins intra-batch close: user 100's first
+    session is closed by its own later event."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def t(minutes):
+        return base + dt.timedelta(minutes=minutes)
+
+    rows = [
+        # user 100: session 1 (2 events), gap > 30min, session 2 (1 event)
+        (100, t(0)), (100, t(10)), (100, t(60)),
+        # user 200: lone event at the head of the stream
+        (200, t(600)),
+    ]
+    src = tmp_path / "events.parquet"
+    spark.createDataFrame(rows, ["user_id", "ts"]).coalesce(1).write.parquet(
+        str(src)
+    )
+    schema = spark.read.parquet(str(src)).schema
+    stream = S.file_stream(spark, str(src), schema)
+    out = S.run_available_now(
+        S.session_close_stream(
+            stream, "ts", gap="30 minutes", watermark="30 minutes"
+        ),
+        "append",
+        shuffle_partitions=4,
+    )
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in out.collect()
+    }
+    # intra-batch close: session 1 of user 100
+    assert (100, t(0), t(10), 2) in got
+    # timer close: session 2 of user 100 (end 0:60 + 30min gap = 1:30
+    # < watermark 9:30) — only hasTimedOut can have emitted this
+    assert (100, t(60), t(60), 1) in got
+    # user 200's session (end 10:00 + gap = 10:30 >= watermark 9:30)
+    # must still be open in state
+    assert not any(u == 200 for u, *_ in got)
+    assert len(got) == 2
