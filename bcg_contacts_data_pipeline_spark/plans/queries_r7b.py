@@ -1830,3 +1830,62 @@ def stream_sessions_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
         "append",
         shuffle_partitions=8,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming windowed distinct users via HLL sketch (in-band verified).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_window_distinct_approx",
+    oracle="""
+    SELECT date_trunc('day', ts) AS window_start,
+           date_trunc('day', ts) + INTERVAL 1 DAY AS window_end,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           true AS hll_in_band
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_window_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily distinct users computed INSIDE a watermarked streaming
+    window — the marriage the two families need at scale: exact
+    ``COUNT(DISTINCT)`` is structurally unsupported in streaming
+    aggregations (per-key distinct state is unbounded), so the HLL++
+    sketch (``approx_count_distinct``, fixed-size mergeable state) is
+    not an optimization here, it is the ONLY path. The streaming side
+    emits the per-window estimate; after the drain, the estimate joins
+    the batch-exact distinct (computable only because the drain is
+    finite — at production scale this verification column is dropped)
+    and the oracle pins the exact count plus the in-band boolean that
+    the sketch landed within 3x its 5% standard error — the
+    ``approx_distinct_users`` contract applied to streaming state."""
+    from bcg_contacts_data_pipeline_spark import streaming as S
+    from bcg_contacts_data_pipeline_spark.plans.queries import _events
+
+    rsd = 0.05
+    st = S.events_stream(spark, sf_dir)
+    agg = S.windowed_agg(
+        st,
+        "ts",
+        "1 day",
+        [],
+        [F.approx_count_distinct("user_id", rsd).alias("__hll")],
+        watermark="1 hour",
+    )
+    est = S.run_available_now(agg, "complete", shuffle_partitions=8)
+    exact = (
+        _events(spark, sf_dir)
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("window_start"))
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+    lo = F.col("n_users") * (1 - 3 * rsd)
+    hi = F.col("n_users") * (1 + 3 * rsd)
+    return est.join(exact, "window_start").select(
+        "window_start",
+        "window_end",
+        "n_users",
+        ((F.col("__hll") >= lo) & (F.col("__hll") <= hi)).alias(
+            "hll_in_band"
+        ),
+    )
