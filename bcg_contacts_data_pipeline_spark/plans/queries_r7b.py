@@ -1889,3 +1889,69 @@ def stream_window_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame
             "hll_in_band"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Functional-dependency violation audit (schema profiling).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fd_violation_audit",
+    oracle="""
+    WITH fd1 AS (
+      SELECT 'orders: o_orderkey -> o_orderstatus' AS dependency,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating_keys
+      FROM (SELECT o_orderkey, COUNT(DISTINCT o_orderstatus) AS d
+            FROM orders GROUP BY o_orderkey)),
+    fd2 AS (
+      SELECT 'lineitem: l_partkey -> l_suppkey',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      FROM (SELECT l_partkey, COUNT(DISTINCT l_suppkey) AS d
+            FROM lineitem GROUP BY l_partkey)),
+    fd3 AS (
+      SELECT 'lineitem: l_orderkey -> l_returnflag',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      FROM (SELECT l_orderkey, COUNT(DISTINCT l_returnflag) AS d
+            FROM lineitem GROUP BY l_orderkey))
+    SELECT * FROM fd1 UNION ALL SELECT * FROM fd2 UNION ALL SELECT * FROM fd3
+    """,
+)
+def fd_violation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit: for each candidate dependency
+    A -> B, how many A-values map to MORE than one B — zero means the
+    dependency holds (a normalization / join-safety invariant); a
+    breached count localizes dirty keys before they fan out through a
+    join. The profiling query behind schema discovery tools
+    (o_orderkey -> o_orderstatus must hold — key; l_partkey ->
+    l_suppkey must NOT — parts ship from many suppliers; l_orderkey ->
+    l_returnflag is the interesting middle: order lines usually share
+    a flag but are not constrained to). Shape per dependency: grouped
+    distinct-count (two-phase expand, map-side partial) collapsed to a
+    2-number audit row; the three rows union. Integer counts,
+    engine-exact."""
+
+    def audit(name, df, a, b):
+        per_key = df.groupBy(a).agg(F.count_distinct(F.col(b)).alias("d"))
+        return per_key.agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum(F.when(F.col("d") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_violating_keys"),
+        ).select(F.lit(name).alias("dependency"), "n_keys", "n_violating_keys")
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    frames = [
+        audit("orders: o_orderkey -> o_orderstatus", o, "o_orderkey", "o_orderstatus"),
+        audit("lineitem: l_partkey -> l_suppkey", li, "l_partkey", "l_suppkey"),
+        audit("lineitem: l_orderkey -> l_returnflag", li, "l_orderkey", "l_returnflag"),
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
