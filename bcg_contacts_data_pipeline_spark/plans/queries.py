@@ -2474,3 +2474,4 @@ from bcg_contacts_data_pipeline_spark.plans import queries_ext  # noqa: E402,F40
 from bcg_contacts_data_pipeline_spark.plans import queries_r6  # noqa: E402,F401
 from bcg_contacts_data_pipeline_spark.plans import queries_r7  # noqa: E402,F401
 from bcg_contacts_data_pipeline_spark.plans import queries_r7b  # noqa: E402,F401
+from bcg_contacts_data_pipeline_spark.plans import queries_r7c  # noqa: E402,F401

@@ -1,0 +1,471 @@
+"""Round-7 second-continuation surface: four analytic shapes the board
+did not yet exercise, each chosen for a *distinct plan feature* plus a
+100 TB story.
+
+1. ``skyline_pareto`` — 2-D Pareto frontier (skyline) with the
+   distributive prune: skylines satisfy skyline(S) = skyline(skyline(S1)
+   ∪ skyline(S2)), so a data-independent bucket prune reduces the input
+   to frontier candidates before the exact value-RANGE window runs.
+   The only RANGE-frame (value-based window bounds) query on the board.
+2. ``drift_split_audit`` — train-monitoring distribution drift between
+   the first and second half of the event log: per-class total-variation
+   and Hellinger terms. Engineered bit-exact: integer epoch-micros
+   midpoint, integer counts, and only correctly-rounded IEEE ops
+   (single division, sqrt, multiply, abs) per output cell — no float
+   summation, no libm log (whose last-ulp differs across engines).
+3. ``basket_brand_lift`` — market-basket co-occurrence: support /
+   confidence / lift for brand pairs purchased in the same order. The
+   self-join fan-out is *naturally* capped by order width (a per-entity
+   property that does not grow with table size — p99 = 9 lines in this
+   corpus at every sf), the property that makes the shape safe at
+   100 TB without an explicit max_df-style cap.
+4. ``conversion_lag_curve`` — censored time-to-event (first view →
+   first purchase) distribution: day-bucketed conversions, censor
+   counts, at-risk population, cumulative conversion rate. Kaplan-Meier
+   numerators/denominators kept as exact integers; the one float is a
+   single division.
+
+Reference parity note: the reference pipeline
+(/root/reference/cleaning/clean_contacts.py and siblings) has no
+analytics surface — this module extends the beyond-reference board
+SURVEY.md §2 commits to, same determinism rules as queries_r7b.py
+(integer math until the last op; every float produced by ONE
+correctly-rounded IEEE operation written identically in both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bcg_contacts_data_pipeline_spark.plans.queries import (
+    _events,
+    _t,
+    register,
+)
+
+# ---------------------------------------------------------------------------
+# Pareto frontier (skyline): minimize price, maximize size.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "skyline_pareto",
+    oracle="""
+    WITH base AS (
+      SELECT p_partkey, p_brand, p_retailprice, p_size,
+             CAST(ROUND(p_retailprice * 100) AS BIGINT) AS cents
+      FROM part),
+    w AS (
+      SELECT *,
+             MAX(p_size) OVER (ORDER BY cents
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prior_max,
+             MAX(p_size) OVER (PARTITION BY cents) AS same_price_max
+      FROM base)
+    SELECT p_partkey, p_brand, p_retailprice, p_size
+    FROM w
+    WHERE (prior_max IS NULL OR p_size > prior_max)
+      AND p_size = same_price_max
+    """,
+)
+def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of ``part`` under (minimize p_retailprice,
+    maximize p_size): a part survives iff no other part is cheaper-or-
+    equal AND bigger-or-equal with at least one strict. Equal
+    (price, size) duplicates all survive (neither strictly dominates).
+
+    Two stages, exploiting that skylines are distributive:
+
+    1. **Bucket prune** (the 100 TB stage): group prices into
+       data-independent $5 buckets, take each bucket's max size (a tiny
+       map-side-combinable agg), cumulative-max those ~20 rows, and
+       broadcast-join back: any row whose size fails to beat the best
+       size of a *strictly cheaper* bucket is dominated and dropped.
+       Survivors are O(frontier), not O(table).
+    2. **Exact window** on the survivors: the cumulative-max-over-
+       strictly-smaller-price formulation of the 2-D skyline —
+       ``MAX(size) OVER (ORDER BY cents RANGE UNBOUNDED PRECEDING TO 1
+       PRECEDING)`` (value-based frame excludes price ties) plus a
+       same-price max for the tie rule. The global-order window is safe
+       *because* stage 1 shrank the input; the oracle runs the same
+       window over the full table, proving prune-losslessness at sf.
+
+    Prices are carried as exact integer cents (one ROUND of
+    double*100 — identical in both engines); sizes are ints.
+    """
+    base = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        "p_retailprice",
+        "p_size",
+        F.round(F.col("p_retailprice") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    # Stage 1: distributive prune on $5 (500-cent) buckets.
+    bucketed = base.withColumn("bucket", F.expr("cents DIV 500"))
+    bmax = bucketed.groupBy("bucket").agg(F.max("p_size").alias("msize"))
+    wprior = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prior = bmax.select(
+        "bucket", F.max("msize").over(wprior).alias("bucket_prior_max")
+    )
+    survivors = (
+        bucketed.join(F.broadcast(prior), "bucket")
+        .filter(
+            F.col("bucket_prior_max").isNull()
+            | (F.col("p_size") > F.col("bucket_prior_max"))
+        )
+        .drop("bucket", "bucket_prior_max")
+    )
+    # Stage 2: exact skyline window over the pruned candidates.
+    w1 = Window.orderBy("cents").rangeBetween(Window.unboundedPreceding, -1)
+    w2 = Window.partitionBy("cents")
+    flagged = survivors.select(
+        "p_partkey",
+        "p_brand",
+        "p_retailprice",
+        "p_size",
+        F.max("p_size").over(w1).alias("prior_max"),
+        F.max("p_size").over(w2).alias("same_price_max"),
+    )
+    return flagged.filter(
+        (F.col("prior_max").isNull() | (F.col("p_size") > F.col("prior_max")))
+        & (F.col("p_size") == F.col("same_price_max"))
+    ).select("p_partkey", "p_brand", "p_retailprice", "p_size")
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift audit: first half vs second half of the event log.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "drift_split_audit",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type, epoch_us(ts) AS us FROM events),
+    thr AS (
+      SELECT (MIN(us) + MAX(us)) // 2 AS thr FROM ev),
+    c AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN us <= thr THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_first,
+             CAST(SUM(CASE WHEN us > thr THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_second
+      FROM ev, thr GROUP BY event_type),
+    t AS (
+      SELECT CAST(SUM(n_first) AS BIGINT) AS tot_first,
+             CAST(SUM(n_second) AS BIGINT) AS tot_second
+      FROM c)
+    SELECT event_type, n_first, n_second,
+           CAST(n_first AS DOUBLE) / CAST(tot_first AS DOUBLE)
+             AS share_first,
+           CAST(n_second AS DOUBLE) / CAST(tot_second AS DOUBLE)
+             AS share_second,
+           ABS(CAST(n_first AS DOUBLE) / CAST(tot_first AS DOUBLE)
+               - CAST(n_second AS DOUBLE) / CAST(tot_second AS DOUBLE))
+             AS abs_diff,
+           (SQRT(CAST(n_first AS DOUBLE) / CAST(tot_first AS DOUBLE))
+            - SQRT(CAST(n_second AS DOUBLE) / CAST(tot_second AS DOUBLE)))
+           * (SQRT(CAST(n_first AS DOUBLE) / CAST(tot_first AS DOUBLE))
+              - SQRT(CAST(n_second AS DOUBLE) / CAST(tot_second AS DOUBLE)))
+             AS hellinger_term
+    FROM c, t
+    """,
+)
+def drift_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class distribution drift between the first and second half of
+    the event log — the audit a training pipeline runs before trusting
+    a temporal train/validation split (did the event mix shift under
+    us?). Per event_type: counts in each half, shares, total-variation
+    term |p - q|, and Hellinger term (sqrt(p) - sqrt(q))².
+
+    Determinism engineering (why TVD + Hellinger, not PSI/KL): every
+    output float is produced by correctly-rounded IEEE-754 ops only —
+    one division per share, sqrt (correctly rounded by spec), subtract,
+    multiply, abs. PSI/KL need libm ``log``, which is NOT correctly
+    rounded and differs in the last ulp between the JVM and DuckDB.
+    There is also no cross-row float summation anywhere (the per-class
+    terms are the deliverable; a total would sum doubles in engine-
+    dependent order). The half-split midpoint is exact integer
+    arithmetic on epoch microseconds (``(min+max) DIV 2``).
+
+    Scale: one scan; the scalar threshold is a 1-row broadcast attach;
+    the per-class agg is map-side combinable; the totals join is over
+    the 5-row class frame. No shuffle touches raw rows except the
+    class groupBy.
+    """
+    ev = _events(spark, sf_dir).select(
+        "event_type", F.unix_micros("ts").alias("us")
+    )
+    thr = ev.agg(
+        F.expr("(MIN(us) + MAX(us)) DIV 2").alias("thr")
+    )
+    c = (
+        ev.crossJoin(F.broadcast(thr))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("us") <= F.col("thr"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_first"),
+            F.sum(F.when(F.col("us") > F.col("thr"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_second"),
+        )
+    )
+    t = c.agg(
+        F.sum("n_first").cast("long").alias("tot_first"),
+        F.sum("n_second").cast("long").alias("tot_second"),
+    )
+    p = F.col("n_first").cast("double") / F.col("tot_first").cast("double")
+    q = F.col("n_second").cast("double") / F.col("tot_second").cast("double")
+    d = F.sqrt(p) - F.sqrt(q)
+    return c.crossJoin(F.broadcast(t)).select(
+        "event_type",
+        "n_first",
+        "n_second",
+        p.alias("share_first"),
+        q.alias("share_second"),
+        F.abs(p - q).alias("abs_diff"),
+        (d * d).alias("hellinger_term"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association: brand pairs co-purchased in one order.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "basket_brand_lift",
+    oracle="""
+    WITH ob AS (
+      SELECT DISTINCT l_orderkey, p_brand
+      FROM lineitem JOIN part ON l_partkey = p_partkey),
+    tot AS (
+      SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+      FROM ob),
+    per AS (
+      SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n FROM ob GROUP BY p_brand),
+    pairs AS (
+      SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+             CAST(COUNT(*) AS BIGINT) AS n_both
+      FROM ob a JOIN ob b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      GROUP BY a.p_brand, b.p_brand)
+    SELECT brand_a, brand_b, n_both,
+           CAST(n_both AS DOUBLE) / CAST(n_orders AS DOUBLE) AS support,
+           CAST(n_both AS DOUBLE) / CAST(pa.n AS DOUBLE)
+             AS confidence_a_to_b,
+           CAST(n_both * n_orders AS DOUBLE) / CAST(pa.n * pb.n AS DOUBLE)
+             AS lift
+    FROM pairs
+    JOIN per pa ON pa.p_brand = brand_a
+    JOIN per pb ON pb.p_brand = brand_b
+    CROSS JOIN tot
+    """,
+)
+def basket_brand_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining at brand granularity: for every
+    pair of brands bought together in at least one order, the support
+    (share of orders containing both), directional confidence
+    P(b | a), and lift (observed co-occurrence over the independence
+    expectation). Lift > 1 ⇒ brands attract, < 1 ⇒ repel.
+
+    Shape: fact-to-dim join for the brand label, DISTINCT to one row
+    per (order, brand), then a self-equi-join on the order key with an
+    anti-symmetry residual (brand_a < brand_b) so each pair counts
+    once. The pair fan-out is Σ C(orderwidth, 2): order width is a
+    per-entity property that does not grow with table size (p99 = 9
+    lines in this corpus at every sf), so the self-join output stays
+    LINEAR in orders — the structural analogue of the `max_df` cap the
+    n-gram pair generators need artificially, here held by the data
+    model itself (pinned by tests/test_queries_r7c.py). Brand
+    marginals (25 rows) and the scalar order total broadcast onto the
+    ≤300-row pair frame.
+
+    Floats: three divisions, each a single IEEE op over exact BIGINT
+    products (n_both·n_orders ≤ 2^40 at any realistic scale — exact in
+    BIGINT and as double).
+    """
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pt = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(pt, li.l_partkey == pt.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    tot = ob.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    per = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n"))
+    a, b = ob.alias("a"), ob.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("brand_a"),
+            F.col("b.p_brand").alias("brand_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    pa = per.select(
+        F.col("p_brand").alias("brand_a"), F.col("n").alias("n_a")
+    )
+    pb = per.select(
+        F.col("p_brand").alias("brand_b"), F.col("n").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(pa), "brand_a")
+        .join(F.broadcast(pb), "brand_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_both",
+            (
+                F.col("n_both").cast("double")
+                / F.col("n_orders").cast("double")
+            ).alias("support"),
+            (
+                F.col("n_both").cast("double") / F.col("n_a").cast("double")
+            ).alias("confidence_a_to_b"),
+            (
+                (F.col("n_both") * F.col("n_orders")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("lift"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Censored time-to-event: first view -> first purchase lag curve.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "conversion_lag_curve",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+    v AS (
+      SELECT user_id, MIN(us) AS t0 FROM ev
+      WHERE event_type = 'view' GROUP BY user_id),
+    conv AS (
+      SELECT v.user_id, v.t0, MIN(ev.us) AS te
+      FROM v JOIN ev ON ev.user_id = v.user_id
+      WHERE ev.event_type = 'purchase' AND ev.us >= v.t0
+      GROUP BY v.user_id, v.t0),
+    gmax AS (SELECT MAX(us) AS gus FROM ev),
+    durations AS (
+      SELECT (te - t0) // 86400000000 AS day, 1 AS event FROM conv
+      UNION ALL
+      SELECT (gus - t0) // 86400000000 AS day, 0 AS event
+      FROM v CROSS JOIN gmax
+      WHERE NOT EXISTS (SELECT 1 FROM conv WHERE conv.user_id = v.user_id)),
+    daily AS (
+      SELECT day,
+             CAST(SUM(event) AS BIGINT) AS n_conv,
+             CAST(SUM(1 - event) AS BIGINT) AS n_cens
+      FROM durations GROUP BY day),
+    tot AS (
+      SELECT CAST(SUM(n_conv + n_cens) AS BIGINT) AS n_total FROM daily)
+    SELECT day, n_conv, n_cens,
+           CAST(n_total
+                - COALESCE(SUM(n_conv + n_cens) OVER (ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS n_at_risk,
+           CAST(SUM(n_conv) OVER (ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) / CAST(n_total AS DOUBLE)
+             AS cum_conversion
+    FROM daily CROSS JOIN tot
+    """,
+)
+def conversion_lag_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Censored time-to-event distribution: for every user whose
+    journey starts with a 'view', the lag (in whole days) to their
+    first subsequent 'purchase'; users who never purchase are censored
+    at the end of the observation window. Per day-bucket: conversions,
+    censored exits, the population still at risk entering the day, and
+    the cumulative conversion rate — the exact integer numerators and
+    denominators of a Kaplan-Meier estimator without the cross-engine-
+    fragile cumulative float product (S(t) is derivable from the
+    columns; hazard = n_conv / n_at_risk).
+
+    Exactness: lags are integer floor-divisions of epoch-microsecond
+    differences (both engines: positive operands, truncating integer
+    division); all counts and the at-risk ledger are BIGINT window
+    sums; the single float is one division by the cohort size.
+
+    Scale: per-user firsts are map-side-combinable min-aggs keyed by
+    user; the censor set is a left-anti join on the same key; the
+    day-bucket frame the windows run over is |distinct lags| rows
+    (≤ observation days), so the unpartitioned cumulative windows are
+    over a post-aggregation frame, not raw data — the same justified-
+    tiny-global-window pattern as user_growth_curve.
+    """
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t0"))
+    )
+    pu = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("us").alias("pus")
+    )
+    conv = (
+        v.join(pu, "user_id")
+        .filter(F.col("pus") >= F.col("t0"))
+        .groupBy("user_id", "t0")
+        .agg(F.min("pus").alias("te"))
+    )
+    gmax = ev.agg(F.max("us").alias("gus"))
+    censored = v.join(conv.select("user_id"), "user_id", "left_anti")
+    durations = conv.select(
+        F.expr("(te - t0) DIV 86400000000").alias("day"),
+        F.lit(1).alias("event"),
+    ).unionByName(
+        censored.crossJoin(F.broadcast(gmax)).select(
+            F.expr("(gus - t0) DIV 86400000000").alias("day"),
+            F.lit(0).alias("event"),
+        )
+    )
+    daily = durations.groupBy("day").agg(
+        F.sum("event").cast("long").alias("n_conv"),
+        F.sum(F.lit(1) - F.col("event")).cast("long").alias("n_cens"),
+    )
+    tot = daily.agg(
+        F.sum(F.col("n_conv") + F.col("n_cens")).cast("long").alias("n_total")
+    )
+    wprior = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    wcur = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        daily.crossJoin(F.broadcast(tot))
+        .select(
+            "day",
+            "n_conv",
+            "n_cens",
+            (
+                F.col("n_total")
+                - F.coalesce(
+                    F.sum(F.col("n_conv") + F.col("n_cens")).over(wprior),
+                    F.lit(0),
+                )
+            )
+            .cast("long")
+            .alias("n_at_risk"),
+            (
+                F.sum("n_conv").over(wcur).cast("double")
+                / F.col("n_total").cast("double")
+            ).alias("cum_conversion"),
+        )
+    )

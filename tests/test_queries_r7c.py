@@ -1,0 +1,216 @@
+"""Tests for the round-7c analytic shapes (plans/queries_r7c.py):
+skyline vs an O(n²) brute-force dominance model, basket lift vs a
+Python itertools model, drift-audit invariants, and conversion-curve
+ledger invariants. Real testdata correctness is covered by the DuckDB
+oracle gate; these tests pin the *semantics* on adversarial tiny
+inputs (ties, duplicates, censoring) the testdata may not exercise.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import functions as F
+
+from bcg_contacts_data_pipeline_spark.plans.queries_r7c import (
+    basket_brand_lift,
+    conversion_lag_curve,
+    drift_split_audit,
+    skyline_pareto,
+)
+
+SF_SMALL = "/root/testdata/sf0.001"
+SF_MED = "/root/testdata/sf0.01"
+
+
+# ---------------------------------------------------------------------------
+# skyline_pareto
+# ---------------------------------------------------------------------------
+
+
+def brute_skyline(rows):
+    """O(n²) strict-dominance model: keep r iff no q with q.price <=
+    r.price and q.size >= r.size and at least one strict."""
+    out = []
+    for r in rows:
+        dominated = any(
+            q["price"] <= r["price"]
+            and q["size"] >= r["size"]
+            and (q["price"] < r["price"] or q["size"] > r["size"])
+            for q in rows
+        )
+        if not dominated:
+            out.append((r["pk"], r["size"]))
+    return sorted(out)
+
+
+def _run_skyline(spark, rows, tmp_path):
+    """Write a minimal part table and run the registered query on it."""
+    df = spark.createDataFrame(
+        [
+            (r["pk"], "B", f"Brand#{r['pk'] % 3}", "t", r["size"], r["price"])
+            for r in rows
+        ],
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    ).select("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/part.parquet")
+    return skyline_pareto(spark, str(tmp_path))
+
+
+def test_skyline_matches_bruteforce_with_ties(spark, tmp_path):
+    # Deliberate adversarial structure: price ties, size ties, exact
+    # duplicates, and a dominated row inside the cheapest bucket.
+    rows = [
+        {"pk": 1, "price": 900.10, "size": 10},
+        {"pk": 2, "price": 900.10, "size": 12},  # same price, bigger
+        {"pk": 3, "price": 900.10, "size": 12},  # exact duplicate pair
+        {"pk": 4, "price": 905.00, "size": 12},  # pricier, same size: dominated
+        {"pk": 5, "price": 905.00, "size": 20},
+        {"pk": 6, "price": 990.00, "size": 20},  # dominated across buckets
+        {"pk": 7, "price": 990.00, "size": 50},
+        {"pk": 8, "price": 900.05, "size": 1},  # cheapest overall: survives
+    ]
+    got = sorted(
+        (r["p_partkey"], r["p_size"])
+        for r in _run_skyline(spark, rows, tmp_path).collect()
+    )
+    assert got == brute_skyline(rows)
+    # Both duplicates survive (neither strictly dominates the other).
+    assert (2, 12) in got and (3, 12) in got
+
+
+def test_skyline_prune_is_lossless_on_testdata(spark):
+    # The bucket prune must not drop any frontier row: compare against
+    # a window-only evaluation of the same rule over the full table.
+    full = spark.read.parquet(f"{SF_MED}/part.parquet").select(
+        "p_partkey",
+        "p_size",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("cents"),
+    )
+    rows = [(r.cents, r.p_size, r.p_partkey) for r in full.collect()]
+    expect = set()
+    for c, s, pk in rows:
+        dominated = any(
+            qc <= c and qs >= s and (qc < c or qs > s) for qc, qs, _ in rows
+        )
+        if not dominated:
+            expect.add(pk)
+    got = {
+        r.p_partkey for r in skyline_pareto(spark, SF_MED).collect()
+    }
+    assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# basket_brand_lift
+# ---------------------------------------------------------------------------
+
+
+def test_basket_lift_matches_python_model(spark):
+    res = {
+        (r.brand_a, r.brand_b): r
+        for r in basket_brand_lift(spark, SF_SMALL).collect()
+    }
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    pt = spark.read.parquet(f"{SF_SMALL}/part.parquet").select(
+        "p_partkey", "p_brand"
+    )
+    rows = (
+        li.join(pt, li.l_partkey == pt.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+        .collect()
+    )
+    baskets = {}
+    for r in rows:
+        baskets.setdefault(r.l_orderkey, set()).add(r.p_brand)
+    n_orders = len(baskets)
+    per = {}
+    pair_n = {}
+    for brands in baskets.values():
+        for b in brands:
+            per[b] = per.get(b, 0) + 1
+        for x, y in itertools.combinations(sorted(brands), 2):
+            pair_n[(x, y)] = pair_n.get((x, y), 0) + 1
+    assert set(res) == set(pair_n)
+    for (x, y), n_both in pair_n.items():
+        r = res[(x, y)]
+        assert r.n_both == n_both
+        assert r.support == n_both / n_orders
+        assert r.confidence_a_to_b == n_both / per[x]
+        assert r.lift == (n_both * n_orders) / (per[x] * per[y])
+
+
+def test_basket_pairs_bounded_by_order_width(spark):
+    # Structural scale guarantee: pair rows = sum over orders of
+    # C(width, 2). Order width is a per-entity property that does NOT
+    # grow with table size (p99 = 9 in this corpus at every sf), so the
+    # self-join output stays linear in orders. Pin both facts.
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    w = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_partkey").alias("w")
+    )
+    stats = w.agg(
+        F.max("w").alias("mx"),
+        F.expr("percentile_approx(w, 0.99)").alias("p99"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("w") * (F.col("w") - 1) / 2).alias("n_pairs"),
+    ).collect()[0]
+    assert stats.p99 <= 12  # heavy tail would make the self-join risky
+    assert stats.mx <= 32
+    # realized fan-out is a small constant factor over order count
+    assert stats.n_pairs <= 40 * stats.n_orders
+
+
+# ---------------------------------------------------------------------------
+# drift_split_audit
+# ---------------------------------------------------------------------------
+
+
+def test_drift_shares_sum_to_one_and_bounds(spark):
+    rows = drift_split_audit(spark, SF_SMALL).collect()
+    assert abs(sum(r.share_first for r in rows) - 1.0) < 1e-9
+    assert abs(sum(r.share_second for r in rows) - 1.0) < 1e-9
+    for r in rows:
+        assert 0.0 <= r.abs_diff <= 1.0
+        assert 0.0 <= r.hellinger_term <= 2.0
+        assert r.abs_diff == abs(r.share_first - r.share_second)
+        # counts split the log exactly in two non-overlapping halves
+        assert r.n_first >= 0 and r.n_second >= 0
+    total = sum(r.n_first + r.n_second for r in rows)
+    n_events = spark.read.parquet(f"{SF_SMALL}/events.parquet").count()
+    assert total == n_events
+
+
+# ---------------------------------------------------------------------------
+# conversion_lag_curve
+# ---------------------------------------------------------------------------
+
+
+def test_conversion_curve_ledger_invariants(spark):
+    rows = sorted(
+        conversion_lag_curve(spark, SF_SMALL).collect(), key=lambda r: r.day
+    )
+    n_total = rows[0].n_at_risk  # day-0 at-risk = whole cohort
+    # at-risk ledger: each day's exits reduce the next day's population
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.n_at_risk == prev.n_at_risk - prev.n_conv - prev.n_cens
+    # everyone exits exactly once
+    assert sum(r.n_conv + r.n_cens for r in rows) == n_total
+    # cohort = users with at least one view
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    n_viewers = (
+        ev.filter(F.col("event_type") == "view")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert n_total == n_viewers
+    # cumulative conversion is monotone, ends at converted/total
+    cums = [r.cum_conversion for r in rows]
+    assert all(a <= b + 1e-15 for a, b in zip(cums, cums[1:]))
+    n_conv_total = sum(r.n_conv for r in rows)
+    assert cums[-1] == n_conv_total / n_total
