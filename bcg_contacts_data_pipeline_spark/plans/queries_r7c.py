@@ -38,6 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from bcg_contacts_data_pipeline_spark.operators.pins import PinScope, pin
 from bcg_contacts_data_pipeline_spark.plans.queries import (
     _events,
     _t,
@@ -176,7 +177,9 @@ def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM c, t
     """,
 )
-def drift_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def drift_split_audit(
+    spark: SparkSession, sf_dir: str, pins: PinScope | None = None
+) -> DataFrame:
     """Per-class distribution drift between the first and second half of
     the event log — the audit a training pipeline runs before trusting
     a temporal train/validation split (did the event mix shift under
@@ -204,7 +207,9 @@ def drift_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     thr = ev.agg(
         F.expr("(MIN(us) + MAX(us)) DIV 2").alias("thr")
     )
-    c = (
+    # Persisted once: the totals agg and the final projection both
+    # read it; tiny (one row per event_type).
+    c = pin(
         ev.crossJoin(F.broadcast(thr))
         .groupBy("event_type")
         .agg(
@@ -214,7 +219,8 @@ def drift_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("us") > F.col("thr"), 1).otherwise(0))
             .cast("long")
             .alias("n_second"),
-        )
+        ),
+        pins,
     )
     t = c.agg(
         F.sum("n_first").cast("long").alias("tot_first"),
@@ -268,7 +274,9 @@ def drift_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     CROSS JOIN tot
     """,
 )
-def basket_brand_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+def basket_brand_lift(
+    spark: SparkSession, sf_dir: str, pins: PinScope | None = None
+) -> DataFrame:
     """Market-basket association mining at brand granularity: for every
     pair of brands bought together in at least one order, the support
     (share of orders containing both), directional confidence
@@ -278,14 +286,19 @@ def basket_brand_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: fact-to-dim join for the brand label, DISTINCT to one row
     per (order, brand), then a self-equi-join on the order key with an
     anti-symmetry residual (brand_a < brand_b) so each pair counts
-    once. The pair fan-out is Σ C(orderwidth, 2): order width is a
-    per-entity property that does not grow with table size (p99 = 9
-    lines in this corpus at every sf), so the self-join output stays
-    LINEAR in orders — the structural analogue of the `max_df` cap the
-    n-gram pair generators need artificially, here held by the data
-    model itself (pinned by tests/test_queries_r7c.py). Brand
-    marginals (25 rows) and the scalar order total broadcast onto the
-    ≤300-row pair frame.
+    once (the oracle's formulation). The Spark plan generates pairs
+    WITHOUT a self-join: one groupBy(order) collects each order's
+    distinct-brand set, and an array expression emits, per order, its
+    C(width, 2) sorted pairs PLUS one single-brand marker per brand
+    PLUS one order marker — so pair counts, per-brand marginals, and
+    the order total all fall out of ONE second groupBy over the
+    exploded markers. Two data shuffles total, each over rows linear
+    in orders: order width is a per-entity property that does not grow
+    with table size (p99 = 9 lines in this corpus at every sf — pinned
+    by tests/test_queries_r7c.py), the structural analogue of the
+    `max_df` cap the n-gram pair generators need artificially. The
+    ≤300-row pair/marginal/total frames then recombine via broadcast
+    joins.
 
     Floats: three divisions, each a single IEEE op over exact BIGINT
     products (n_both·n_orders ≤ 2^40 at any realistic scale — exact in
@@ -295,29 +308,53 @@ def basket_brand_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     pt = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
     ob = (
         li.join(pt, li.l_partkey == pt.p_partkey)
-        .select("l_orderkey", "p_brand")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("p_brand")).alias("brands"))
     )
-    tot = ob.agg(F.countDistinct("l_orderkey").alias("n_orders"))
-    per = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n"))
-    a, b = ob.alias("a"), ob.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.p_brand") < F.col("b.p_brand")),
-        )
-        .groupBy(
-            F.col("a.p_brand").alias("brand_a"),
-            F.col("b.p_brand").alias("brand_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_both"))
+    # One exploded marker stream: (a, b) = pair, (a, NULL) = brand
+    # present in the order, (NULL, NULL) = the order itself.
+    markers = ob.select(
+        F.explode(
+            F.expr(
+                """
+                concat(
+                  flatten(transform(brands, (x, i) ->
+                    transform(slice(brands, i + 2, size(brands)),
+                              y -> named_struct('a', x, 'b', y)))),
+                  transform(brands, x ->
+                    named_struct('a', x, 'b', cast(null as string))),
+                  array(named_struct('a', cast(null as string),
+                                     'b', cast(null as string)))
+                )
+                """
+            )
+        ).alias("m")
     )
-    pa = per.select(
-        F.col("p_brand").alias("brand_a"), F.col("n").alias("n_a")
+    # Persisted once: four consumers (pairs, both marginals, the order
+    # total) would otherwise each replay the two big shuffles. The
+    # frame is tiny (≤ brands² + brands + 1 rows). Scoped when the
+    # caller passes a PinScope; session-lifetime otherwise.
+    counts = pin(
+        markers.groupBy(
+            F.col("m.a").alias("a"), F.col("m.b").alias("b")
+        ).agg(F.count(F.lit(1)).alias("n")),
+        pins,
     )
-    pb = per.select(
-        F.col("p_brand").alias("brand_b"), F.col("n").alias("n_b")
+    pairs = counts.filter(
+        F.col("a").isNotNull() & F.col("b").isNotNull()
+    ).select(
+        F.col("a").alias("brand_a"),
+        F.col("b").alias("brand_b"),
+        F.col("n").alias("n_both"),
+    )
+    pa = counts.filter(
+        F.col("a").isNotNull() & F.col("b").isNull()
+    ).select(F.col("a").alias("brand_a"), F.col("n").alias("n_a"))
+    pb = pa.select(
+        F.col("brand_a").alias("brand_b"), F.col("n_a").alias("n_b")
+    )
+    tot = counts.filter(F.col("a").isNull()).select(
+        F.col("n").alias("n_orders")
     )
     return (
         pairs.join(F.broadcast(pa), "brand_a")
@@ -386,7 +423,9 @@ def basket_brand_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM daily CROSS JOIN tot
     """,
 )
-def conversion_lag_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+def conversion_lag_curve(
+    spark: SparkSession, sf_dir: str, pins: PinScope | None = None
+) -> DataFrame:
     """Censored time-to-event distribution: for every user whose
     journey starts with a 'view', the lag (in whole days) to their
     first subsequent 'purchase'; users who never purchase are censored
@@ -402,44 +441,57 @@ def conversion_lag_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     division); all counts and the at-risk ledger are BIGINT window
     sums; the single float is one division by the cohort size.
 
-    Scale: per-user firsts are map-side-combinable min-aggs keyed by
-    user; the censor set is a left-anti join on the same key; the
-    day-bucket frame the windows run over is |distinct lags| rows
-    (≤ observation days), so the unpartitioned cumulative windows are
-    over a post-aggregation frame, not raw data — the same justified-
-    tiny-global-window pattern as user_growth_curve.
+    Scale: the oracle states the semantics as a viewers-to-purchases
+    join plus a left-anti censor join; the Spark plan needs NEITHER
+    join — ONE hash partitioning by user carries the whole per-user
+    phase: a user-partition window attaches t0 (first view) to every
+    event row, and the per-user groupBy that follows reuses that
+    partitioning (no second exchange), computing the first qualifying
+    purchase as a conditional min — null te IS the censor flag, so the
+    anti-join disappears into a CASE. The day-bucket frame the
+    cumulative windows run over is |distinct lags| rows (≤ observation
+    days), post-aggregation — the same justified-tiny-global-window
+    pattern as user_growth_curve. Scans: events twice (the per-user
+    pass and the ts-only global-max pass).
     """
     ev = _events(spark, sf_dir).select(
         "user_id", "event_type", F.unix_micros("ts").alias("us")
     )
-    v = (
-        ev.filter(F.col("event_type") == "view")
+    wu = Window.partitionBy("user_id")
+    ev2 = ev.withColumn(
+        "t0",
+        F.min(F.when(F.col("event_type") == "view", F.col("us"))).over(wu),
+    )
+    per_user = (
+        ev2.filter(F.col("t0").isNotNull())
         .groupBy("user_id")
-        .agg(F.min("us").alias("t0"))
-    )
-    pu = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", F.col("us").alias("pus")
-    )
-    conv = (
-        v.join(pu, "user_id")
-        .filter(F.col("pus") >= F.col("t0"))
-        .groupBy("user_id", "t0")
-        .agg(F.min("pus").alias("te"))
-    )
-    gmax = ev.agg(F.max("us").alias("gus"))
-    censored = v.join(conv.select("user_id"), "user_id", "left_anti")
-    durations = conv.select(
-        F.expr("(te - t0) DIV 86400000000").alias("day"),
-        F.lit(1).alias("event"),
-    ).unionByName(
-        censored.crossJoin(F.broadcast(gmax)).select(
-            F.expr("(gus - t0) DIV 86400000000").alias("day"),
-            F.lit(0).alias("event"),
+        .agg(
+            F.min("t0").alias("t0"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("us") >= F.col("t0")),
+                    F.col("us"),
+                )
+            ).alias("te"),
         )
     )
-    daily = durations.groupBy("day").agg(
-        F.sum("event").cast("long").alias("n_conv"),
-        F.sum(F.lit(1) - F.col("event")).cast("long").alias("n_cens"),
+    gmax = ev.agg(F.max("us").alias("gus"))
+    durations = per_user.crossJoin(F.broadcast(gmax)).select(
+        F.expr(
+            "CASE WHEN te IS NOT NULL THEN (te - t0) DIV 86400000000"
+            " ELSE (gus - t0) DIV 86400000000 END"
+        ).alias("day"),
+        F.when(F.col("te").isNotNull(), 1).otherwise(0).alias("event"),
+    )
+    # Persisted once: the totals agg and the windowed curve both read
+    # it; tiny (one row per distinct lag day).
+    daily = pin(
+        durations.groupBy("day").agg(
+            F.sum("event").cast("long").alias("n_conv"),
+            F.sum(F.lit(1) - F.col("event")).cast("long").alias("n_cens"),
+        ),
+        pins,
     )
     tot = daily.agg(
         F.sum(F.col("n_conv") + F.col("n_cens")).cast("long").alias("n_total")

@@ -147,6 +147,18 @@ BUDGET = {
     # two partial-agg exchanges feeding the merge agg; each phase scan
     # carries its pushed date predicate
     "incremental_rollup_merge": 2,
+    # bucket-prune agg + its tiny window + the candidate skyline window
+    "skyline_pareto": 3,
+    # threshold agg + per-class agg (printed twice: the pinned class
+    # frame's cached subtree renders inline under each of its two
+    # consumers) + totals gather
+    "drift_split_audit": 5,
+    # 2 data shuffles (per-order brand-set agg, marker agg); the pinned
+    # marker-count subtree prints inline under all four consumers
+    "basket_brand_lift": 8,
+    # user-partition exchange is shared by window + per-user agg; day
+    # agg + tiny gathers; pinned daily frame prints under two consumers
+    "conversion_lag_curve": 8,
 }
 
 
