@@ -521,3 +521,162 @@ def conversion_lag_curve(
             ).alias("cum_conversion"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-point PageRank over the nation trade-flow graph.
+# ---------------------------------------------------------------------------
+
+_PR_ORACLE = """
+    WITH e AS (
+      SELECT s_nationkey AS src, c_nationkey AS dst,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      GROUP BY 1, 2),
+    o AS (SELECT src, CAST(SUM(cnt) AS BIGINT) AS outc FROM e GROUP BY src),
+    p AS (SELECT e.src, e.dst, (cnt * 1000000) // outc AS pfp
+          FROM e JOIN o ON o.src = e.src),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nation),
+    r0 AS (SELECT n_nationkey AS node,
+                  1000000000000 // n AS r
+           FROM nation, nn),
+    d1 AS (SELECT CAST(COALESCE(SUM(r), 0) AS BIGINT) AS d
+           FROM r0 WHERE node NOT IN (SELECT src FROM o)),
+    c1 AS (SELECT dst AS node, CAST(SUM((r * pfp) // 1000000) AS BIGINT) AS s
+           FROM r0 JOIN p ON p.src = r0.node GROUP BY dst),
+    r1 AS (SELECT n_nationkey AS node,
+                  CAST((15 * 1000000000000) // (100 * n)
+                       + (85 * (COALESCE(s, 0) + d // n)) // 100 AS BIGINT)
+                    AS r
+           FROM nation CROSS JOIN nn CROSS JOIN d1
+           LEFT JOIN c1 ON c1.node = n_nationkey),
+    d2 AS (SELECT CAST(COALESCE(SUM(r), 0) AS BIGINT) AS d
+           FROM r1 WHERE node NOT IN (SELECT src FROM o)),
+    c2 AS (SELECT dst AS node, CAST(SUM((r * pfp) // 1000000) AS BIGINT) AS s
+           FROM r1 JOIN p ON p.src = r1.node GROUP BY dst),
+    r2 AS (SELECT n_nationkey AS node,
+                  CAST((15 * 1000000000000) // (100 * n)
+                       + (85 * (COALESCE(s, 0) + d // n)) // 100 AS BIGINT)
+                    AS r
+           FROM nation CROSS JOIN nn CROSS JOIN d2
+           LEFT JOIN c2 ON c2.node = n_nationkey),
+    d3 AS (SELECT CAST(COALESCE(SUM(r), 0) AS BIGINT) AS d
+           FROM r2 WHERE node NOT IN (SELECT src FROM o)),
+    c3 AS (SELECT dst AS node, CAST(SUM((r * pfp) // 1000000) AS BIGINT) AS s
+           FROM r2 JOIN p ON p.src = r2.node GROUP BY dst),
+    r3 AS (SELECT n_nationkey AS node,
+                  CAST((15 * 1000000000000) // (100 * n)
+                       + (85 * (COALESCE(s, 0) + d // n)) // 100 AS BIGINT)
+                    AS r
+           FROM nation CROSS JOIN nn CROSS JOIN d3
+           LEFT JOIN c3 ON c3.node = n_nationkey)
+    SELECT n_name, r AS rank_fp,
+           CAST(r AS DOUBLE) / 1000000000000.0 AS rank
+    FROM r3 JOIN nation ON n_nationkey = node
+"""
+
+
+@register("pagerank_nation_flow", oracle=_PR_ORACLE)
+def pagerank_nation_flow(
+    spark: SparkSession, sf_dir: str, pins: PinScope | None = None
+) -> DataFrame:
+    """Three damped PageRank iterations (d = 0.85) over the nation
+    trade-flow graph: an edge src -> dst weighted by the number of line
+    items a supplier in nation src shipped to a customer in nation dst.
+    The iterative-relaxation shape (rank vector times sparse transition
+    matrix, k times) that CC's min-label propagation does NOT cover —
+    PageRank redistributes *mass* through weighted edges rather than
+    propagating a min.
+
+    Determinism: the entire iteration runs in FIXED-POINT integer
+    arithmetic — ranks in units of 1e-12, transition probabilities in
+    units of 1e-6, every division a truncating integer DIV and every
+    cross-row reduction an exact BIGINT sum — so three chained
+    iterations are bit-identical across engines (a float PageRank
+    would accumulate order-dependent summation deltas each hop).
+    Bounds: rank mass ≤ 1e12 and pfp ≤ 1e6, so the per-edge product is
+    ≤ 1e18 < 2^63 regardless of data scale; edge counts up to 1e12
+    rows fit cnt * 1e6 the same way. The only float is the final
+    display division by 1e12.
+
+    Scale: the one heavy phase is the edge aggregation — a fact-table
+    groupBy after dimension joins (same join graph as q7), shrinking
+    100 TB of lineitem to |nations|² = 625 edge rows. Iterations then
+    run on the aggregated graph: tiny joins, pinned transition frame
+    (released by the caller's PinScope), no checkpoint needed at 3
+    hops. Dangling nodes (nations with no outgoing shipments — 15 of
+    25 at sf0.001!) get the standard treatment: their mass is summed
+    each hop (left-anti against the source set) and redistributed
+    uniformly, keeping total mass at 1e12 up to truncation — without
+    it, dangling mass evaporates and the vector decays toward the
+    damping floor.
+    """
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cu = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    su = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    na = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    e = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(cu, o.o_custkey == cu.c_custkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .groupBy(
+            F.col("s_nationkey").alias("src"),
+            F.col("c_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    out = e.groupBy("src").agg(F.sum("cnt").alias("outc"))
+    # Pinned: the transition matrix is re-read by every iteration.
+    p = pin(
+        e.join(out, "src").select(
+            "src", "dst", F.expr("(cnt * 1000000) DIV outc").alias("pfp")
+        ),
+        pins,
+    )
+    nn = na.agg(F.count(F.lit(1)).alias("n"))
+    srcs = p.select("src").distinct()
+    r = na.crossJoin(F.broadcast(nn)).select(
+        F.col("n_nationkey").alias("node"),
+        F.expr("1000000000000 DIV n").alias("r"),
+    )
+    base_nodes = na.crossJoin(F.broadcast(nn)).select(
+        F.col("n_nationkey").alias("node"), "n"
+    )
+    for _ in range(3):
+        dang = r.join(
+            srcs, r.node == srcs.src, "left_anti"
+        ).agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("d"))
+        contrib = (
+            r.join(p, r.node == p.src)
+            .groupBy("dst")
+            .agg(F.expr("CAST(SUM((r * pfp) DIV 1000000) AS BIGINT)").alias("s"))
+            .withColumnRenamed("dst", "node")
+        )
+        r = (
+            base_nodes.crossJoin(F.broadcast(dang))
+            .join(F.broadcast(contrib), "node", "left")
+            .select(
+                "node",
+                F.expr(
+                    "CAST((15 * 1000000000000) DIV (100 * n)"
+                    " + (85 * (COALESCE(s, 0) + d DIV n)) DIV 100 AS BIGINT)"
+                ).alias("r"),
+            )
+        )
+        # Same lineage hygiene as connected_components: each hop's rank
+        # vector (|nations| rows) is checkpointed so three chained
+        # iterations don't nest the whole prior plan under the next —
+        # without this the printed plan re-inlines the pinned
+        # transition frame ~5x per hop and the lineage grows
+        # geometrically with iteration count.
+        r = r.localCheckpoint(eager=False)
+    return r.join(F.broadcast(na), r.node == na.n_nationkey).select(
+        "n_name",
+        F.col("r").alias("rank_fp"),
+        (F.col("r").cast("double") / F.lit(1000000000000.0)).alias("rank"),
+    )

@@ -214,3 +214,35 @@ def test_conversion_curve_ledger_invariants(spark):
     assert all(a <= b + 1e-15 for a, b in zip(cums, cums[1:]))
     n_conv_total = sum(r.n_conv for r in rows)
     assert cums[-1] == n_conv_total / n_total
+
+
+# ---------------------------------------------------------------------------
+# pagerank_nation_flow
+# ---------------------------------------------------------------------------
+
+
+def test_pagerank_fixed_point_invariants(spark):
+    from bcg_contacts_data_pipeline_spark.plans.queries_r7c import (
+        pagerank_nation_flow,
+    )
+
+    rows = pagerank_nation_flow(spark, SF_SMALL).collect()
+    n = len(rows)
+    assert n == 25
+    total = sum(r.rank_fp for r in rows)
+    # Mass conservation up to truncation (dangling mass is
+    # redistributed, not dropped): every DIV floors, and the dominant
+    # loss is the per-source pfp deficit (sum of floored transition
+    # probabilities falls ~|dsts| millionths short of 1.0), i.e. a few
+    # 1e-5 of the mass per hop — far under 0.1% over 3 hops.
+    assert total <= 10**12
+    assert 10**12 - total < 10**9
+    # Damping floor: no rank below 0.15/N
+    floor = (15 * 10**12) // (100 * n)
+    assert all(r.rank_fp >= floor for r in rows)
+    # Fixed-point arithmetic is deterministic: a second run is identical
+    again = {r.n_name: r.rank_fp for r in pagerank_nation_flow(spark, SF_SMALL).collect()}
+    assert {r.n_name: r.rank_fp for r in rows} == again
+    # display float is exactly the single division of the fp value
+    for r in rows:
+        assert r.rank == r.rank_fp / 1e12
