@@ -680,3 +680,109 @@ def pagerank_nation_flow(
         F.col("r").alias("rank_fp"),
         (F.col("r").cast("double") / F.lit(1000000000000.0)).alias("rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval-overlap join: user sessions x error-heavy hours.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "session_error_overlap",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    numbered AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked),
+    sessions AS (
+      SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+             MIN(epoch_us(ts)) AS s_us, MAX(epoch_us(ts)) AS e_us
+      FROM numbered GROUP BY user_id, session_id),
+    err AS (
+      SELECT epoch_us(date_trunc('hour', ts)) AS w_us,
+             CAST(COUNT(*) AS BIGINT) AS n_err
+      FROM events WHERE event_type = 'error'
+      GROUP BY 1 HAVING COUNT(*) >= 5)
+    SELECT user_id, session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_err_windows,
+           CAST(SUM(n_err) AS BIGINT) AS n_errors
+    FROM sessions JOIN err
+      ON s_us < w_us + 3600000000 AND e_us >= w_us
+    GROUP BY user_id, session_id
+    """,
+)
+def session_error_overlap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Interval-overlap join: which user sessions (30-min-gap
+    sessionization) overlapped an error-heavy hour (≥5 'error' events
+    platform-wide), and how much error pressure they saw — the
+    incident-correlation query behind "did the outage touch this
+    user's session?".
+
+    The oracle states the semantics as a declarative non-equi range
+    join (s_start < w_end AND s_end >= w_start) — the formulation that
+    degenerates to a broadcast-nested-loop at scale. The Spark plan is
+    the BUCKETED interval join instead: each session explodes into the
+    hour chunks it spans (``sequence`` + ``explode`` — fan-out =
+    session duration in hours, bounded because a 30-min-gap session is
+    as long as its user stays active), error windows are hour-aligned
+    by construction, and the overlap becomes an exact EQUI-join on the
+    hour index — hash-partitionable, no nested loop, no residual
+    filter (a session touches hour h iff it overlaps [h, h+1), exact
+    in integer micros). The two formulations are provably identical
+    here; the driver hash-check is that proof at sf.
+
+    All interval math in integer epoch micros; counts BIGINT.
+    """
+    from bcg_contacts_data_pipeline_spark.operators.temporal import sessionize
+
+    e = _events(spark, sf_dir)
+    s = (
+        sessionize(e, "user_id", "ts", 1_800_000_000, "event_id")
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("s_us"),
+            F.max(F.unix_micros("ts")).alias("e_us"),
+        )
+        .select(
+            "user_id",
+            F.col("session_id").cast("long").alias("session_id"),
+            "s_us",
+            "e_us",
+        )
+    )
+    err = (
+        e.filter(F.col("event_type") == "error")
+        .groupBy(
+            F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("w_us")
+        )
+        .agg(F.count(F.lit(1)).alias("n_err"))
+        .filter(F.col("n_err") >= 5)
+        .withColumn("h", F.expr("w_us DIV 3600000000"))
+    )
+    spanned = s.select(
+        "user_id",
+        "session_id",
+        F.explode(
+            F.sequence(
+                F.expr("s_us DIV 3600000000"), F.expr("e_us DIV 3600000000")
+            )
+        ).alias("h"),
+    )
+    return (
+        spanned.join(err, "h")
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_err_windows"),
+            F.sum("n_err").cast("long").alias("n_errors"),
+        )
+    )

@@ -246,3 +246,55 @@ def test_pagerank_fixed_point_invariants(spark):
     # display float is exactly the single division of the fp value
     for r in rows:
         assert r.rank == r.rank_fp / 1e12
+
+
+# ---------------------------------------------------------------------------
+# session_error_overlap
+# ---------------------------------------------------------------------------
+
+
+def test_session_error_overlap_matches_nonequi_model(spark):
+    from bcg_contacts_data_pipeline_spark.plans.queries_r7c import (
+        session_error_overlap,
+    )
+
+    got = {
+        (r.user_id, r.session_id): (r.n_err_windows, r.n_errors)
+        for r in session_error_overlap(spark, SF_SMALL).collect()
+    }
+    # Python replay with the ORACLE's non-equi overlap formulation
+    # (s_start < w_end AND s_end >= w_start) over the same inputs.
+    from bcg_contacts_data_pipeline_spark.io.events import read_events
+
+    ev = (
+        read_events(spark, SF_SMALL)
+        .selectExpr("user_id", "event_type", "event_id", "unix_micros(ts) us")
+        .collect()
+    )
+    by_user = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append((r.us, r.event_id))
+    sessions = []
+    for u, rows in by_user.items():
+        rows.sort()
+        sid, start, last = 0, None, None
+        for us, _ in rows:
+            if last is None or us - last > 1_800_000_000:
+                if start is not None:
+                    sessions.append((u, sid, start, last))
+                sid += 1
+                start = us
+            last = us
+        sessions.append((u, sid, start, last))
+    hours = {}
+    for r in ev:
+        if r.event_type == "error":
+            h = r.us // 3_600_000_000 * 3_600_000_000
+            hours[h] = hours.get(h, 0) + 1
+    wins = {h: n for h, n in hours.items() if n >= 5}
+    expect = {}
+    for u, sid, s, e in sessions:
+        nw = [n for h, n in wins.items() if s < h + 3_600_000_000 and e >= h]
+        if nw:
+            expect[(u, sid)] = (len(nw), sum(nw))
+    assert got == expect
