@@ -1256,3 +1256,119 @@ def fuzzy_pairs_blocked(
         .filter(F.col("distance") <= max_distance)
         .select("id_a", "id_b", "name_a", "name_b", "distance")
     )
+
+
+def prefix_filter_pairs(
+    df: DataFrame,
+    id_col: str,
+    text: Column | str,
+    n: int = 3,
+    t_num: int = 1,
+    t_den: int = 2,
+    pins=None,
+) -> DataFrame:
+    """Exact set-similarity join via PREFIX FILTERING (the AllPairs /
+    PPJoin candidate rule, Bayardo et al. WWW'07 / Xiao et al.): for
+    Jaccard threshold t = t_num/t_den, order every document's shingle
+    set by one fixed global total order and index only each document's
+    PREFIX of length ``|d| - ceil(t·|d|) + 1``; any pair with
+    Jaccard >= t must share at least one prefix shingle (pigeonhole on
+    the required overlap ``ceil(t·|d|)``), so the inverted-index join
+    over prefixes alone generates a candidate superset, verified
+    exactly afterwards.
+
+    This is the second exact-candidate scale path next to banded
+    MinHash: LSH is probabilistic (recall < 1 by design, certified via
+    recall floors); prefix filtering is LOSSLESS for any fixed global
+    order. Ordering by ascending document frequency (rarest first,
+    ties by shingle hash — deterministic) makes the indexed prefixes
+    the RAREST shingles of each document, which is what keeps the
+    posting lists of the candidate join short on a skewed corpus: a
+    stop-shingle lands in a document's prefix only when the document
+    contains almost nothing rarer. (A pathological corpus of pure
+    stop-shingles degrades toward the uncapped inverted-index join —
+    the `max_df` interplay documented on ``ngram_jaccard_pairs``
+    applies if that corpus shows up.)
+
+    Exactness: prefix length in pure integer arithmetic
+    (``ceil(t*s) = (t_num*s + t_den - 1) DIV t_den``), shared counts
+    via ``array_intersect`` over distinct-hash arrays, one IEEE
+    division for the Jaccard. Output matches ``ngram_jaccard_pairs``:
+    (id_a, id_b, shared, size_a, size_b, jaccard).
+
+    Physical shape: shingle frame joins its own df-frequency (the one
+    heavy shuffle), per-doc sort is array_sort over a collected struct
+    array (no global rank — the (df, sh) pair itself is the total
+    order, so no single-partition window anywhere), candidates explode
+    only prefixes, and verification joins the candidate pairs back to
+    the pinned per-doc arrays by id.
+    """
+    from bcg_contacts_data_pipeline_spark.operators.pins import pin
+
+    shingles = shingle_hash_frame(df, id_col, text, n)
+    dfreq = shingles.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    # Per-doc shingle array sorted by the global (df asc, sh asc) order.
+    per_doc = pin(
+        shingles.join(dfreq, "sh")
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("df"), F.col("sh")))
+            ).alias("__arr")
+        )
+        .select(
+            F.col(id_col),
+            F.transform("__arr", lambda x: x["sh"]).alias("sh_arr"),
+            F.size("__arr").alias("sz"),
+        ),
+        pins,
+    )
+    # prefix length p = sz - ceil(t*sz) + 1, integer-exact.
+    p = (
+        F.col("sz")
+        - F.expr(f"({t_num} * sz + {t_den} - 1) DIV {t_den}")
+        + F.lit(1)
+    )
+    prefix = per_doc.select(
+        F.col(id_col), F.explode(F.slice("sh_arr", F.lit(1), p)).alias("sh")
+    )
+    a = prefix.select(F.col(id_col).alias("id_a"), "sh")
+    b = prefix.select(F.col(id_col).alias("id_b"), "sh")
+    cand = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    fa = per_doc.select(
+        F.col(id_col).alias("id_a"),
+        F.col("sh_arr").alias("arr_a"),
+        F.col("sz").alias("size_a"),
+    )
+    fb = per_doc.select(
+        F.col(id_col).alias("id_b"),
+        F.col("sh_arr").alias("arr_b"),
+        F.col("sz").alias("size_b"),
+    )
+    shared = F.size(F.array_intersect("arr_a", "arr_b"))
+    return (
+        cand.join(fa, "id_a")
+        .join(fb, "id_b")
+        .withColumn("shared", shared.cast("long"))
+        .withColumn(
+            "jaccard",
+            F.col("shared").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("shared")).cast(
+                "double"
+            ),
+        )
+        .filter(F.col("jaccard") >= F.lit(t_num) / F.lit(t_den))
+        .select(
+            "id_a",
+            "id_b",
+            "shared",
+            F.col("size_a").cast("long").alias("size_a"),
+            F.col("size_b").cast("long").alias("size_b"),
+            "jaccard",
+        )
+    )

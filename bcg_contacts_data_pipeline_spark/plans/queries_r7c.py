@@ -786,3 +786,66 @@ def session_error_overlap(
             F.sum("n_err").cast("long").alias("n_errors"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered exact set-similarity join (AllPairs/PPJoin rule).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "prefix_jaccard_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents WHERE length(trim(text)) > 0),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+      FROM toks WHERE len(t) >= 3),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT s.id_a, s.id_b, s.shared,
+           sa.n AS size_a, sb.n AS size_b,
+           CAST(s.shared AS DOUBLE) / CAST(sa.n + sb.n - s.shared AS DOUBLE)
+             AS jaccard
+    FROM shared s
+    JOIN sizes sa ON s.id_a = sa.doc_id
+    JOIN sizes sb ON s.id_b = sb.doc_id
+    WHERE CAST(s.shared AS DOUBLE) / CAST(sa.n + sb.n - s.shared AS DOUBLE)
+          >= 0.5
+    """,
+)
+def prefix_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, pins: PinScope | None = None
+) -> DataFrame:
+    """Exact 3-gram Jaccard >= 0.5 pairs via PREFIX FILTERING — the
+    third member of the near-dup join family and the second exact one:
+
+    - ``ngram_jaccard``: full inverted-index join (exact baseline,
+      every shared shingle generates candidates);
+    - ``minhash_recall`` / ``decontaminate``: banded LSH
+      (probabilistic, certified by recall floor);
+    - this query: candidates ONLY from each document's rarest-first
+      prefix (lossless by the pigeonhole/prefix theorem), then exact
+      verification — sub-quadratic candidate generation WITHOUT giving
+      up recall = 1.
+
+    The oracle is the declarative full O(shared-shingle) join at the
+    same threshold, so the driver's hash check IS the losslessness
+    proof of the prefix rule at sf (any missed pair would drop a row).
+    Determinism per the operator docstring: integer prefix lengths,
+    array_intersect counts, one IEEE division.
+    """
+    from bcg_contacts_data_pipeline_spark.operators.similarity import (
+        prefix_filter_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return prefix_filter_pairs(
+        docs, "doc_id", "text", n=3, t_num=1, t_den=2, pins=pins
+    )

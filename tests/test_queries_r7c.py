@@ -298,3 +298,45 @@ def test_session_error_overlap_matches_nonequi_model(spark):
         if nw:
             expect[(u, sid)] = (len(nw), sum(nw))
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# prefix_jaccard_pairs
+# ---------------------------------------------------------------------------
+
+
+def test_prefix_filter_lossless_and_pruning(spark):
+    from bcg_contacts_data_pipeline_spark.operators.similarity import (
+        ngram_jaccard_pairs,
+        prefix_filter_pairs,
+        shingle_hash_frame,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    # Losslessness: identical pair set and identical exact stats as the
+    # full inverted-index join at the same threshold.
+    via_prefix = {
+        (r.id_a, r.id_b): (r.shared, r.size_a, r.size_b)
+        for r in prefix_filter_pairs(docs, "doc_id", "text", 3, 1, 2).collect()
+    }
+    via_full = {
+        (r.id_a, r.id_b): (r.shared, r.size_a, r.size_b)
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.5
+        ).collect()
+    }
+    assert via_prefix == via_full
+    # Pruning: the prefix index must be materially smaller than the
+    # full shingle index (roughly half at t=0.5), so the candidate
+    # join runs over fewer postings.
+    full_postings = shingle_hash_frame(docs, "doc_id", "text", 3).count()
+    from pyspark.sql import functions as F2
+
+    sizes = (
+        shingle_hash_frame(docs, "doc_id", "text", 3)
+        .groupBy("doc_id")
+        .agg(F2.count(F2.lit(1)).alias("sz"))
+        .selectExpr("sum(sz - ((sz + 1) DIV 2) + 1) AS prefix_postings")
+        .collect()[0]
+    )
+    assert sizes.prefix_postings < 0.6 * full_postings
