@@ -849,3 +849,64 @@ def prefix_jaccard_pairs(
     return prefix_filter_pairs(
         docs, "doc_id", "text", n=3, t_num=1, t_den=2, pins=pins
     )
+
+
+# ---------------------------------------------------------------------------
+# Chained streaming window aggregation: hourly -> daily in one query.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_hourly_daily_rollup",
+    oracle="""
+    WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events)
+    SELECT date_trunc('day', ts) AS window_start,
+           date_trunc('day', ts) + INTERVAL 1 DAY AS window_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT date_trunc('hour', ts)) AS BIGINT)
+             AS n_active_hours
+    FROM events, wm
+    WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= wm.w
+    GROUP BY 1, 2
+    """,
+)
+def stream_hourly_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO chained event-time window aggregations in ONE streaming query
+    (hourly counts re-windowed to daily totals + active-hour counts) —
+    the multiple-stateful-operator feature (Spark >= 3.4) the streaming
+    family did not yet exercise. One query, two state stores; the
+    second groupBy windows over ``window_time(window)`` to keep the
+    event-time/watermark lineage (a flattened timestamp would be
+    rejected). This is the streaming form of the rollup hierarchy the
+    batch board certifies as ``incremental_rollup_merge``.
+
+    Append mode is mandatory with chained stateful operators, so the
+    finite AvailableNow drain emits exactly the daily windows whose end
+    the final watermark passed: ``window_end <= max(ts) - 1 hour`` (the
+    trailing no-data micro-batch flushes the hourly state downstream
+    and the daily state to the sink in the same pass; a held-back hour
+    always belongs to a held-back day — hour_end <= day_end — so the
+    cutoff is exact, never partial). The oracle states that cutoff
+    verbatim; per-day event totals and distinct-active-hour counts are
+    engine-exact integers.
+
+    State: hourly op holds <= watermark-delay of open hours; daily op
+    holds the open day — both fixed-size, RocksDB-backed at cluster
+    scale like every stateful op in streaming/ops.py.
+    """
+    from bcg_contacts_data_pipeline_spark import streaming as S
+
+    st = S.events_stream(spark, sf_dir)
+    d = S.chained_window_agg(
+        st,
+        "ts",
+        "1 hour",
+        "1 day",
+        [F.count(F.lit(1)).alias("n")],
+        [
+            F.sum("n").cast("long").alias("n_events"),
+            F.count(F.lit(1)).cast("long").alias("n_active_hours"),
+        ],
+        "1 hour",
+    )
+    return S.run_available_now(d, "append", shuffle_partitions=8)

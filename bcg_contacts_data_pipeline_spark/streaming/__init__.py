@@ -1,4 +1,5 @@
 from bcg_contacts_data_pipeline_spark.streaming.ops import (
+    chained_window_agg,
     dedup_within_watermark,
     stream_static_enrich,
     stream_stream_time_join,
@@ -21,6 +22,7 @@ from bcg_contacts_data_pipeline_spark.streaming.sources import (
 )
 
 __all__ = [
+    "chained_window_agg",
     "dedup_within_watermark",
     "events_stream",
     "file_stream",

@@ -394,3 +394,43 @@ def session_close_stream(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def chained_window_agg(
+    stream: DataFrame,
+    ts_col: str,
+    first_duration: str,
+    second_duration: str,
+    first_aggs: list,
+    second_aggs: list,
+    watermark: str,
+) -> DataFrame:
+    """TWO chained event-time window aggregations in one streaming query
+    (Spark >= 3.4 multiple-stateful-operator support): a fine window
+    (e.g. hourly) whose finalized rows feed a coarse re-window (e.g.
+    daily) downstream — the streaming rollup hierarchy (raw -> hourly ->
+    daily) as ONE query with two state stores, instead of two queries
+    glued by a sink.
+
+    The chain must preserve event-time lineage: the second groupBy
+    windows over ``window_time(window)`` (the struct column, NOT a
+    flattened timestamp — flattening drops the watermark metadata and
+    Spark rejects the second stateful operator). Append output mode is
+    required; each operator finalizes a window when the global watermark
+    passes its end, so on a finite AvailableNow drain the emitted coarse
+    windows are exactly those whose end <= final watermark — the cutoff
+    an oracle states with ``max(ts) - delay``.
+    """
+    fine = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, first_duration).alias("window"))
+        .agg(*first_aggs)
+    )
+    coarse = fine.groupBy(
+        F.window(F.window_time("window"), second_duration).alias("__w2")
+    ).agg(*second_aggs)
+    return coarse.select(
+        F.col("__w2.start").alias("window_start"),
+        F.col("__w2.end").alias("window_end"),
+        *[c for c in coarse.columns if c != "__w2"],
+    )

@@ -340,3 +340,42 @@ def test_prefix_filter_lossless_and_pruning(spark):
         .collect()[0]
     )
     assert sizes.prefix_postings < 0.6 * full_postings
+
+
+# ---------------------------------------------------------------------------
+# stream_hourly_daily_rollup
+# ---------------------------------------------------------------------------
+
+
+def test_chained_stream_rollup_matches_batch_with_cutoff(spark):
+    from bcg_contacts_data_pipeline_spark.io.events import read_events
+    from bcg_contacts_data_pipeline_spark.plans.queries_r7c import (
+        stream_hourly_daily_rollup,
+    )
+
+    got = {
+        r.window_start: (r.n_events, r.n_active_hours)
+        for r in stream_hourly_daily_rollup(spark, SF_SMALL).collect()
+    }
+    ev = read_events(spark, SF_SMALL)
+    import datetime
+
+    wm = ev.agg(F.max("ts")).collect()[0][0] - datetime.timedelta(hours=1)
+    batch = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("d"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(F.date_trunc("hour", "ts")).alias("h"),
+        )
+        .collect()
+    )
+    expect = {
+        r.d: (r.n, r.h)
+        for r in batch
+        if r.d + datetime.timedelta(days=1) <= wm
+    }
+    assert got == expect
+    # the held-back day is exactly the stream head, nothing else
+    held = {r.d for r in batch} - set(got)
+    assert all(d + datetime.timedelta(days=1) > wm for d in held)
+    assert len(held) in (1, 2)  # last day, plus maybe a boundary day
