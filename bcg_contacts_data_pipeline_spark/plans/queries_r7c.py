@@ -910,3 +910,167 @@ def stream_hourly_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "1 hour",
     )
     return S.run_available_now(d, "append", shuffle_partitions=8)
+
+
+# ---------------------------------------------------------------------------
+# Weighted median per group (exact, integer weights).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lang_weighted_median",
+    oracle="""
+    WITH toks AS (
+      SELECT lang,
+             CAST(CASE WHEN length(trim(text)) > 0
+                  THEN len(string_split_regex(trim(text), '\\s+'))
+                  ELSE 0 END AS BIGINT) AS tc,
+             n_chars
+      FROM documents),
+    g AS (
+      SELECT lang, tc, CAST(SUM(n_chars) AS BIGINT) AS w
+      FROM toks GROUP BY lang, tc),
+    cum AS (
+      SELECT lang, tc,
+             CAST(SUM(w) OVER (PARTITION BY lang ORDER BY tc
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cw,
+             CAST(SUM(w) OVER (PARTITION BY lang) AS BIGINT) AS tw
+      FROM g)
+    SELECT lang,
+           CAST(MIN(tc) AS BIGINT) AS weighted_median_tokens,
+           CAST(MIN(tw) AS BIGINT) AS total_weight
+    FROM cum WHERE 2 * cw >= tw
+    GROUP BY lang
+    """,
+)
+def lang_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact WEIGHTED median per group: the token count at which the
+    cumulative character mass of a language crosses half its total —
+    "the doc length where half this language's characters live below"
+    — the curation statistic that, unlike the unweighted median
+    (``lang_quantiles``), cannot be fooled by a swarm of tiny docs.
+
+    The weighted median has no distributive/sketch shortcut in either
+    engine, but it IS one pass of window algebra when the weights are
+    integers: pre-aggregate weight per (group, value) — compressing
+    duplicate values BEFORE the window, so the window frame is
+    |distinct values| not |rows| — then a per-group running weight sum,
+    then the smallest value whose doubled running weight reaches the
+    group total (``2*cw >= tw``: the half-compare stays in exact
+    integer arithmetic, no division anywhere). Lower-median convention,
+    deterministic for any weights.
+
+    Scale: both windows partition BY GROUP (no global window); the
+    windowed frame is the compressed (lang, token-count) grid.
+    """
+    from bcg_contacts_data_pipeline_spark.functions.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    g = (
+        docs.select(
+            "lang", token_count("text").alias("tc"), "n_chars"
+        )
+        .groupBy("lang", "tc")
+        .agg(F.sum("n_chars").cast("long").alias("w"))
+    )
+    wl = (
+        Window.partitionBy("lang")
+        .orderBy("tc")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("lang")
+    cum = g.select(
+        "lang",
+        "tc",
+        F.sum("w").over(wl).cast("long").alias("cw"),
+        F.sum("w").over(wt).cast("long").alias("tw"),
+    )
+    return (
+        cum.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("lang")
+        .agg(
+            F.min("tc").cast("long").alias("weighted_median_tokens"),
+            F.min("tw").cast("long").alias("total_weight"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT: wide per-column profile -> long (column, metric, value).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "profile_unpivot",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(COUNT(l_quantity) AS BIGINT) AS q_cnt,
+             CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS q_null,
+             CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS q_dist,
+             CAST(COUNT(l_discount) AS BIGINT) AS d_cnt,
+             CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS d_null,
+             CAST(COUNT(DISTINCT l_discount) AS BIGINT) AS d_dist,
+             CAST(COUNT(l_returnflag) AS BIGINT) AS s_cnt,
+             CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS s_null,
+             CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS s_dist
+      FROM lineitem)
+    SELECT 'l_quantity' AS col_name, 'count' AS metric, q_cnt AS value FROM s
+    UNION ALL SELECT 'l_quantity', 'n_null', q_null FROM s
+    UNION ALL SELECT 'l_quantity', 'n_distinct', q_dist FROM s
+    UNION ALL SELECT 'l_discount', 'count', d_cnt FROM s
+    UNION ALL SELECT 'l_discount', 'n_null', d_null FROM s
+    UNION ALL SELECT 'l_discount', 'n_distinct', d_dist FROM s
+    UNION ALL SELECT 'l_returnflag', 'count', s_cnt FROM s
+    UNION ALL SELECT 'l_returnflag', 'n_null', s_null FROM s
+    UNION ALL SELECT 'l_returnflag', 'n_distinct', s_dist FROM s
+    """,
+)
+def profile_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide -> long): a single-pass multi-column profile row
+    (count / nulls / distinct for three lineitem columns, one fused
+    aggregate job like ``profile_columns``) melted into the tidy
+    (col_name, metric, value) triple the metadata-catalog consumers of
+    a profiler want. ``stack()`` is the one relational-algebra shape
+    (UNPIVOT) the board did not yet exercise; it is a generator
+    expression, not a shuffle — the whole query is one scan, one
+    aggregate, and a 9-row projection.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.agg(
+        F.count("l_quantity").cast("long").alias("q_cnt"),
+        F.sum(F.when(F.col("l_quantity").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("q_null"),
+        F.countDistinct("l_quantity").cast("long").alias("q_dist"),
+        F.count("l_discount").cast("long").alias("d_cnt"),
+        F.sum(F.when(F.col("l_discount").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("d_null"),
+        F.countDistinct("l_discount").cast("long").alias("d_dist"),
+        F.count("l_returnflag").cast("long").alias("s_cnt"),
+        F.sum(F.when(F.col("l_returnflag").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("s_null"),
+        F.countDistinct("l_returnflag").cast("long").alias("s_dist"),
+    )
+    return wide.select(
+        F.expr(
+            """
+            stack(9,
+              'l_quantity', 'count',      q_cnt,
+              'l_quantity', 'n_null',     q_null,
+              'l_quantity', 'n_distinct', q_dist,
+              'l_discount', 'count',      d_cnt,
+              'l_discount', 'n_null',     d_null,
+              'l_discount', 'n_distinct', d_dist,
+              'l_returnflag', 'count',      s_cnt,
+              'l_returnflag', 'n_null',     s_null,
+              'l_returnflag', 'n_distinct', s_dist)
+              AS (col_name, metric, value)
+            """
+        )
+    )

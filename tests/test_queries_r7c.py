@@ -379,3 +379,39 @@ def test_chained_stream_rollup_matches_batch_with_cutoff(spark):
     held = {r.d for r in batch} - set(got)
     assert all(d + datetime.timedelta(days=1) > wm for d in held)
     assert len(held) in (1, 2)  # last day, plus maybe a boundary day
+
+
+# ---------------------------------------------------------------------------
+# lang_weighted_median
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_median_matches_python_model(spark):
+    from bcg_contacts_data_pipeline_spark.functions.text import token_count
+    from bcg_contacts_data_pipeline_spark.plans.queries_r7c import (
+        lang_weighted_median,
+    )
+
+    got = {
+        r.lang: (r.weighted_median_tokens, r.total_weight)
+        for r in lang_weighted_median(spark, SF_SMALL).collect()
+    }
+    docs = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("lang", token_count("text").alias("tc"), "n_chars")
+        .collect()
+    )
+    by_lang = {}
+    for r in docs:
+        by_lang.setdefault(r.lang, []).append((r.tc, r.n_chars))
+    expect = {}
+    for lang, rows in by_lang.items():
+        rows.sort()
+        tot = sum(w for _, w in rows)
+        cum = 0
+        for tc, w in rows:
+            cum += w
+            if 2 * cum >= tot:
+                expect[lang] = (tc, tot)
+                break
+    assert got == expect
