@@ -159,6 +159,16 @@ BUDGET = {
     # user-partition exchange is shared by window + per-user agg; day
     # agg + tiny gathers; pinned daily frame prints under two consumers
     "conversion_lag_curve": 8,
+    # session agg reuses the sessionize user partitioning; hour equi-join
+    # broadcasts the tiny error-window side; final per-session agg
+    "session_error_overlap": 2,
+    # (lang, tc) weight-grid agg + the lang-partition window exchange
+    "lang_weighted_median": 2,
+    # the one fused profile aggregate (partial + final single-partition)
+    "profile_unpivot": 2,
+    # df-frequency agg + per-doc grid agg + candidate/verify joins; the
+    # pinned per-doc array frame prints under its three consumers
+    "prefix_jaccard_pairs": 9,
 }
 
 
