@@ -556,3 +556,37 @@ def test_q9_infix_like_pushed_and_partial_agg(spark):
     assert any(
         "StringContains(p_name,red)" in pf for _, pf in _scan_filters(p)
     ), p
+
+
+def test_skyline_prune_broadcasts_and_range_frame(spark):
+    """skyline_pareto: the bucket prune must reach rows as a broadcast
+    hash join (a shuffled join would defeat the point of the tiny
+    bucket-max frame), and the exact stage must use the value-based
+    RANGE frame (a ROWS frame would include price ties and break the
+    dominance rule)."""
+    spark.catalog.clearCache()
+    p = _plan(QUERIES["skyline_pareto"](spark, SF))
+    assert "BroadcastHashJoin" in p, p
+    assert "RANGE BETWEEN" in p.upper() or "specifiedwindowframe(RangeFrame" in p, p
+
+
+def test_session_error_overlap_no_nested_loop(spark):
+    """The bucketed interval join exists to avoid the non-equi nested
+    loop the oracle formulation would plan; the equi-join on the hour
+    chunk must never degrade to BNLJ/cartesian."""
+    spark.catalog.clearCache()
+    p = _plan(QUERIES["session_error_overlap"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert "Generate explode" in p, p  # the session-to-hours fan-out
+
+
+def test_basket_lift_has_no_self_join(spark):
+    """basket_brand_lift generates pairs from per-order arrays; the
+    order-key self-join formulation (two shuffles of the full order-
+    brand frame joined on l_orderkey) must not reappear."""
+    spark.catalog.clearCache()
+    p = _plan(QUERIES["basket_brand_lift"](spark, SF))
+    assert "Generate explode" in p, p
+    assert "SortMergeJoin" not in p, p
+    assert "CartesianProduct" not in p, p
