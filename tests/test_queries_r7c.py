@@ -258,16 +258,19 @@ def test_session_error_overlap_matches_nonequi_model(spark):
         session_error_overlap,
     )
 
+    # sf0.01, not sf0.001: the smaller corpus has NO hour with >= 5
+    # errors, which would make this test a vacuous {} == {} pass.
     got = {
         (r.user_id, r.session_id): (r.n_err_windows, r.n_errors)
-        for r in session_error_overlap(spark, SF_SMALL).collect()
+        for r in session_error_overlap(spark, SF_MED).collect()
     }
+    assert got, "expected a non-empty overlap set at sf0.01"
     # Python replay with the ORACLE's non-equi overlap formulation
     # (s_start < w_end AND s_end >= w_start) over the same inputs.
     from bcg_contacts_data_pipeline_spark.io.events import read_events
 
     ev = (
-        read_events(spark, SF_SMALL)
+        read_events(spark, SF_MED)
         .selectExpr("user_id", "event_type", "event_id", "unix_micros(ts) us")
         .collect()
     )
