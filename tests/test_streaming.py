@@ -391,3 +391,91 @@ def test_session_close_timer_fires_and_holds(spark, tmp_path):
     # must still be open in state
     assert not any(u == 200 for u, *_ in got)
     assert len(got) == 2
+
+
+def test_windowed_agg_recovers_from_interrupted_drain(spark, events, tmp_path):
+    """Exactly-once across a mid-stream interruption: a windowed agg is
+    stopped partway through a multi-file drain, then a NEW query object
+    resumes from the same checkpoint — the state store must restore and
+    the final complete-mode table must equal the batch computation over
+    ALL files, with nothing lost and nothing double-counted. This is
+    the failure-recovery contract a cluster restart relies on; the
+    rerun-idempotency test above only covers the already-drained case."""
+    import time
+
+    from bcg_contacts_data_pipeline_spark.io.events import (
+        normalize_event_ts,
+    )
+
+    src = str(tmp_path / "src")
+    events.repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    ckpt = str(tmp_path / "ckpt")
+
+    def build():
+        raw = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        return S.windowed_agg(
+            normalize_event_ts(raw),
+            "ts",
+            "1 hour",
+            [],
+            [F.count(F.lit(1)).alias("n")],
+            watermark="1 hour",
+        )
+
+    # Phase 1: spaced micro-batches; stop after the first completes but
+    # (at the 2 s cadence) well before all four files are consumed.
+    q1 = (
+        build()
+        .writeStream.format("memory")
+        .queryName("recover_phase1")
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete")
+        .trigger(processingTime="2 seconds")
+        .start()
+    )
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        lp = q1.lastProgress
+        if lp is not None and lp["numInputRows"] > 0:
+            break
+        time.sleep(0.2)
+    q1.stop()
+    n_phase1 = spark.table("recover_phase1").agg(F.sum("n")).collect()[0][0]
+    total = events.count()
+
+    # Phase 2: new query, same checkpoint — drain whatever remains.
+    q2 = (
+        build()
+        .writeStream.format("memory")
+        .queryName("recover_phase2")
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q2.awaitTermination(120)
+    q2.stop()
+
+    if n_phase1 is not None and n_phase1 == total:
+        # Lost the race: phase 1 drained everything before stop(); the
+        # recovery path is then covered by the rerun-idempotency test.
+        # Assert phase 1 itself was already exact rather than skipping.
+        got = {
+            r.window_start: r.n for r in spark.table("recover_phase1").collect()
+        }
+    else:
+        got = {
+            r.window_start: r.n for r in spark.table("recover_phase2").collect()
+        }
+    expect = {
+        r.h: r.n
+        for r in events.groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == expect
