@@ -1074,3 +1074,175 @@ def profile_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             """
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive backtest: hourly counts vs the same hour one week ago.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "seasonal_naive_backtest",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2)
+    SELECT a.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_forecasts,
+           CAST(SUM(ABS(a.n - p.n)) AS BIGINT) AS total_abs_err,
+           CAST(SUM(ABS(a.n - p.n)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS mae,
+           CAST(SUM(CASE WHEN a.n = p.n THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact_hits
+    FROM hourly a
+    JOIN hourly p
+      ON p.event_type = a.event_type
+     AND p.h = a.h - INTERVAL 168 HOUR
+    GROUP BY a.event_type
+    """,
+)
+def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the seasonal-naive forecaster (predict this hour's
+    event count = the count at the same hour one week earlier) — the
+    baseline every anomaly detector and capacity forecast must beat,
+    and the query shape of a backtest harness: align a series with a
+    LAGGED COPY OF ITSELF by time arithmetic.
+
+    The alignment is deliberately an equi-join on (type, hour - 168h),
+    not a LAG window: the hourly series has holes (hours with zero
+    events produce no row), and a row-offset lag would silently compare
+    misaligned hours across gaps; the time-key join pairs exactly the
+    hours where both the actual and its week-ago reference exist —
+    gap-safe by construction, and hash-partitionable instead of
+    sort-window-bound. Per type: forecast count, total/mean absolute
+    error (exact BIGINT sum, one IEEE division), and exact-hit count.
+
+    Scale: one scan feeds the hourly pre-aggregate (map-side
+    combinable); the self-join runs on the aggregated series
+    (|types| x |hours|), not raw events.
+    """
+    hourly = (
+        _events(spark, sf_dir)
+        .groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    a = hourly.alias("a")
+    p = hourly.select(
+        F.col("event_type").alias("p_type"),
+        (F.col("h") + F.expr("INTERVAL 168 HOURS")).alias("p_h"),
+        F.col("n").alias("p_n"),
+    )
+    return (
+        a.join(
+            p,
+            (F.col("a.event_type") == F.col("p_type"))
+            & (F.col("a.h") == F.col("p_h")),
+        )
+        .groupBy("a.event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_forecasts"),
+            F.sum(F.abs(F.col("a.n") - F.col("p_n")))
+            .cast("long")
+            .alias("total_abs_err"),
+            (
+                F.sum(F.abs(F.col("a.n") - F.col("p_n"))).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mae"),
+            F.sum(F.when(F.col("a.n") == F.col("p_n"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_exact_hits"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Group-wise OLS trend via exact sufficient statistics.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "trend_ols_by_type",
+    oracle="""
+    WITH base AS (
+      SELECT event_type,
+             epoch_us(ts) // 1000000
+               - (SELECT MIN(epoch_us(ts) // 1000000) FROM events) AS dx,
+             CAST(value AS DECIMAL(18,4)) AS y
+      FROM events WHERE value IS NOT NULL),
+    stats AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(dx) AS BIGINT) AS sx,
+             CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+             CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(dx AS DECIMAL(10,0)) * y) AS DOUBLE) AS sxy
+      FROM base GROUP BY event_type)
+    SELECT event_type, n, sx, sxx,
+           (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+           (sy - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                 * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE) AS intercept
+    FROM stats
+    """,
+)
+def trend_ols_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary-least-squares trend (value vs time) computed
+    the distributed way: ONE pass accumulating the sufficient
+    statistics (n, Σx, Σx², Σy, Σxy) with map-side partial aggregation,
+    then the closed-form slope/intercept from the five scalars — the
+    regression never sees two rows at once, which is why OLS scales to
+    100 TB while iterative fitters need an optimizer loop.
+
+    Cross-engine exactness, the hard part of regression-as-SQL: x is
+    integer seconds RE-BASED to the corpus minimum (a scalar-subquery
+    attach) so Σx² fits BIGINT exactly (dx ≤ 2.6e6 here ⇒ Σx² ≤ 1e16);
+    y and the cross-moment accumulate as DECIMAL(18,4)/(29,4) — exact —
+    and only the FINISHED sums cast to double, after which slope and
+    intercept are a fixed dag of IEEE multiply/subtract/divide written
+    token-identically in both engines. A naive SUM(x*y) over doubles
+    would be order-dependent and could never hash-match.
+
+    The sufficient statistics (n, sx, sxx) are also emitted: they are
+    the mergeable partial state (same pattern as incremental_rollup_
+    merge — two shards' OLS states add componentwise).
+    """
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    ev = ev.select(
+        "event_type",
+        F.expr("unix_micros(ts) DIV 1000000").alias("xs"),
+        F.col("value").cast("decimal(18,4)").alias("y"),
+    )
+    xmin = ev.agg(F.min("xs").alias("xmin"))
+    base = ev.crossJoin(F.broadcast(xmin)).select(
+        "event_type", (F.col("xs") - F.col("xmin")).alias("dx"), "y"
+    )
+    stats = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dx").cast("long").alias("sx"),
+        F.sum(F.col("dx") * F.col("dx")).cast("long").alias("sxx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("dx").cast("decimal(10,0)") * F.col("y"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    sxxd = F.col("sxx").cast("double")
+    slope = (nd * F.col("sxy") - sxd * F.col("sy")) / (
+        nd * sxxd - sxd * sxd
+    )
+    return stats.select(
+        "event_type",
+        "n",
+        "sx",
+        "sxx",
+        slope.alias("slope"),
+        ((F.col("sy") - slope * sxd) / nd).alias("intercept"),
+    )

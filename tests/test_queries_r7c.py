@@ -418,3 +418,74 @@ def test_weighted_median_matches_python_model(spark):
                 expect[lang] = (tc, tot)
                 break
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# seasonal_naive_backtest / trend_ols_by_type
+# ---------------------------------------------------------------------------
+
+
+def test_seasonal_backtest_alignment_is_gap_safe(spark):
+    from bcg_contacts_data_pipeline_spark.io.events import read_events
+    from bcg_contacts_data_pipeline_spark.plans.queries_r7c import (
+        seasonal_naive_backtest,
+    )
+
+    got = {
+        r.event_type: r for r in seasonal_naive_backtest(spark, SF_SMALL).collect()
+    }
+    hourly = {}
+    for r in (
+        read_events(spark, SF_SMALL)
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ):
+        hourly[(r.event_type, r.h)] = r.n
+    import datetime
+
+    week = datetime.timedelta(hours=168)
+    expect = {}
+    for (t, h), n in hourly.items():
+        p = hourly.get((t, h - week))
+        if p is not None:
+            e = expect.setdefault(t, [0, 0, 0])
+            e[0] += 1
+            e[1] += abs(n - p)
+            e[2] += 1 if n == p else 0
+    for t, (cnt, err, hits) in expect.items():
+        r = got[t]
+        assert (r.n_forecasts, r.total_abs_err, r.n_exact_hits) == (cnt, err, hits)
+        assert r.mae == err / cnt
+
+
+def test_ols_matches_numpy_and_merges(spark):
+    import numpy as np
+
+    from bcg_contacts_data_pipeline_spark.io.events import read_events
+    from bcg_contacts_data_pipeline_spark.plans.queries_r7c import (
+        trend_ols_by_type,
+    )
+
+    got = {r.event_type: r for r in trend_ols_by_type(spark, SF_SMALL).collect()}
+    ev = (
+        read_events(spark, SF_SMALL)
+        .filter(F.col("value").isNotNull())
+        .selectExpr("event_type", "unix_micros(ts) DIV 1000000 AS xs", "value")
+        .collect()
+    )
+    xmin = min(r.xs for r in ev)
+    by_type = {}
+    for r in ev:
+        by_type.setdefault(r.event_type, []).append((r.xs - xmin, r.value))
+    for t, pts in by_type.items():
+        x = np.array([p[0] for p in pts], dtype=float)
+        # same quantization as the engine's decimal(18,4) accumulate
+        y = np.array([round(p[1], 4) for p in pts], dtype=float)
+        slope, intercept = np.polyfit(x, y, 1)
+        assert abs(got[t].slope - slope) < 1e-9 * max(1.0, abs(slope))
+        assert abs(got[t].intercept - intercept) < 1e-6 * max(1.0, abs(intercept))
+        # mergeable sufficient statistics: n/sx/sxx add componentwise
+        assert got[t].n == len(pts)
+        assert got[t].sx == sum(p[0] for p in pts)
+        assert got[t].sxx == sum(p[0] * p[0] for p in pts)
