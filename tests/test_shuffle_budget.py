@@ -169,6 +169,10 @@ BUDGET = {
     # df-frequency agg + per-doc grid agg + candidate/verify joins; the
     # pinned per-doc array frame prints under its three consumers
     "prefix_jaccard_pairs": 9,
+    # hourly agg feeds both join sides (one exchange each) + final agg
+    "seasonal_naive_backtest": 3,
+    # xmin scalar gather + the one sufficient-statistics aggregate
+    "trend_ols_by_type": 2,
 }
 
 
