@@ -1305,6 +1305,21 @@ def prefix_filter_pairs(
     """
     from bcg_contacts_data_pipeline_spark.operators.pins import pin
 
+    # t_num/t_den are interpolated into integer DIV expressions and set
+    # the prefix length: reject impossible thresholds loudly instead of
+    # surfacing them as a negative-length slice or a divide-by-zero
+    # deep inside the plan (same loud-rejection rule as
+    # gapfill_forward_fill's unit whitelist).
+    if not (
+        isinstance(t_num, int)
+        and isinstance(t_den, int)
+        and 0 < t_num <= t_den
+    ):
+        raise ValueError(
+            "prefix_filter_pairs: threshold must satisfy "
+            f"0 < t_num <= t_den with ints, got {t_num}/{t_den}"
+        )
+
     shingles = shingle_hash_frame(df, id_col, text, n)
     dfreq = shingles.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     # Per-doc shingle array sorted by the global (df asc, sh asc) order.

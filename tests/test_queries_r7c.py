@@ -489,3 +489,16 @@ def test_ols_matches_numpy_and_merges(spark):
         assert got[t].n == len(pts)
         assert got[t].sx == sum(p[0] for p in pts)
         assert got[t].sxx == sum(p[0] * p[0] for p in pts)
+
+
+def test_prefix_filter_rejects_bad_threshold(spark):
+    import pytest as _pytest
+
+    from bcg_contacts_data_pipeline_spark.operators.similarity import (
+        prefix_filter_pairs,
+    )
+
+    docs = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    for t_num, t_den in [(0, 2), (3, 2), (1, 0), (-1, 2)]:
+        with _pytest.raises(ValueError, match="prefix_filter_pairs"):
+            prefix_filter_pairs(docs, "doc_id", "text", 3, t_num, t_den)
