@@ -1,5 +1,5 @@
-"""Round-7 second-continuation surface: four analytic shapes the board
-did not yet exercise, each chosen for a *distinct plan feature* plus a
+"""Round-7 second-continuation surface: analytic shapes the board did
+not yet exercise, each chosen for a *distinct plan feature* plus a
 100 TB story.
 
 1. ``skyline_pareto`` — 2-D Pareto frontier (skyline) with the
@@ -14,16 +14,38 @@ did not yet exercise, each chosen for a *distinct plan feature* plus a
    (single division, sqrt, multiply, abs) per output cell — no float
    summation, no libm log (whose last-ulp differs across engines).
 3. ``basket_brand_lift`` — market-basket co-occurrence: support /
-   confidence / lift for brand pairs purchased in the same order. The
-   self-join fan-out is *naturally* capped by order width (a per-entity
-   property that does not grow with table size — p99 = 9 lines in this
-   corpus at every sf), the property that makes the shape safe at
-   100 TB without an explicit max_df-style cap.
+   confidence / lift for brand pairs purchased in the same order,
+   pairs generated from per-order arrays (no self-join); fan-out is
+   capped by order width, a per-entity property that does not grow
+   with table size.
 4. ``conversion_lag_curve`` — censored time-to-event (first view →
    first purchase) distribution: day-bucketed conversions, censor
    counts, at-risk population, cumulative conversion rate. Kaplan-Meier
    numerators/denominators kept as exact integers; the one float is a
    single division.
+5. ``pagerank_nation_flow`` — three damped PageRank hops in fixed-point
+   integer arithmetic (bit-identical across engines; dangling mass
+   redistributed; unrolled-CTE oracle).
+6. ``session_error_overlap`` — interval-overlap join stated as a
+   non-equi range join by the oracle, planned as a bucketed equi-join
+   on hour chunks (no nested loop).
+7. ``prefix_jaccard_pairs`` — exact set-similarity join by PREFIX
+   FILTERING (AllPairs/PPJoin): lossless sub-quadratic candidates,
+   certified by hash-matching the declarative full-join oracle.
+8. ``stream_hourly_daily_rollup`` — two chained event-time window
+   aggregations in one streaming query (multiple stateful operators),
+   finite-drain cutoff stated exactly.
+9. ``lang_weighted_median`` — exact weighted median per group via a
+   compressed (group, value) weight grid and an integer half-crossing
+   compare (no division).
+10. ``profile_unpivot`` — UNPIVOT: fused wide profile row melted via
+    ``stack()`` into tidy (col_name, metric, value) triples.
+11. ``seasonal_naive_backtest`` — a series equi-joined to its
+    week-lagged self by TIME key (gap-safe where a row-offset LAG
+    would misalign); per-type MAE from exact integer errors.
+12. ``trend_ols_by_type`` — single-pass distributed OLS from exact
+    sufficient statistics; slope/intercept as a fixed IEEE dag that
+    hash-matches the oracle.
 
 Reference parity note: the reference pipeline
 (/root/reference/cleaning/clean_contacts.py and siblings) has no
