@@ -46,6 +46,10 @@ not yet exercise, each chosen for a *distinct plan feature* plus a
 12. ``trend_ols_by_type`` — single-pass distributed OLS from exact
     sufficient statistics; slope/intercept as a fixed IEEE dag that
     hash-matches the oracle.
+13. ``stream_dedup_then_rollup`` — exactly-once daily counts from an
+    at-least-once (duplicated) source: dropDuplicatesWithinWatermark
+    chained into a windowed aggregation (the dedup -> agg
+    multiple-stateful-operator combination).
 
 Reference parity note: the reference pipeline
 (/root/reference/cleaning/clean_contacts.py and siblings) has no
@@ -1268,3 +1272,56 @@ def trend_ols_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope.alias("slope"),
         ((F.col("sy") - slope * sxd) / nd).alias("intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Chained streaming dedup -> window aggregation over an at-least-once
+# (duplicated) source.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_dedup_then_rollup",
+    oracle="""
+    WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events)
+    SELECT date_trunc('day', ts) AS window_start,
+           date_trunc('day', ts) + INTERVAL 1 DAY AS window_end,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_events
+    FROM events, wm
+    WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= wm.w
+    GROUP BY 1, 2
+    """,
+)
+def stream_dedup_then_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once daily counts from an AT-LEAST-ONCE source: the
+    stream delivers every event TWICE (the staged duplicated source —
+    what a replaying upstream or an at-least-once bus actually hands
+    you), a ``dropDuplicatesWithinWatermark`` on event_id collapses the
+    replays, and a chained event-time window aggregation counts the
+    survivors per day — the second multiple-stateful-operator
+    combination (dedup -> agg) next to stream_hourly_daily_rollup's
+    agg -> agg.
+
+    The oracle counts DISTINCT event_ids per day over the SINGLE-copy
+    table with the standard finite-drain cutoff — so the hash match
+    proves the dedup state removed every duplicate before it could
+    double a window count (a plain count over the duplicated source
+    would be exactly 2x and fail loudly). Dedup state expires with the
+    watermark (bounded, unlike plain streaming dropDuplicates);
+    RocksDB-backed at cluster scale like every stateful op here.
+    """
+    from bcg_contacts_data_pipeline_spark import streaming as S
+
+    st = S.events_stream_duplicated(spark, sf_dir, copies=2)
+    dd = st.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    agg = dd.groupBy(F.window("ts", "1 day").alias("__w")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    out = agg.select(
+        F.col("__w.start").alias("window_start"),
+        F.col("__w.end").alias("window_end"),
+        "n_events",
+    )
+    return S.run_available_now(out, "append", shuffle_partitions=8)

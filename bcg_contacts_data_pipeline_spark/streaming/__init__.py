@@ -17,6 +17,7 @@ from bcg_contacts_data_pipeline_spark.streaming.runner import (
 )
 from bcg_contacts_data_pipeline_spark.streaming.sources import (
     events_stream,
+    events_stream_duplicated,
     file_stream,
     stage_as_dir,
 )
@@ -25,6 +26,7 @@ __all__ = [
     "chained_window_agg",
     "dedup_within_watermark",
     "events_stream",
+    "events_stream_duplicated",
     "file_stream",
     "idempotent_batch_writer",
     "run_available_now",

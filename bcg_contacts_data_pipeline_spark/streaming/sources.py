@@ -77,3 +77,35 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = spark.read.parquet(path).schema
     raw = file_stream(spark, path, schema)
     return normalize_event_ts(raw)
+
+
+def events_stream_duplicated(
+    spark: SparkSession, sf_dir: str, copies: int = 2
+) -> DataFrame:
+    """The events stream with every event delivered ``copies`` times —
+    the at-least-once source a streaming dedup exists for. Stages the
+    events file N times (hard copies, stable digest-named dir so
+    repeated calls reuse the same source) and reads the directory as
+    one file stream; the consumer must collapse the replays (e.g.
+    ``dropDuplicatesWithinWatermark`` on event_id) to recover
+    exactly-once semantics. ``ts`` normalization is the shared
+    ``normalize_event_ts``, same as every other events reader."""
+    import shutil
+
+    from bcg_contacts_data_pipeline_spark.io.events import (
+        normalize_event_ts,
+        set_nanos_conf_if_needed,
+    )
+
+    path = f"{sf_dir}/events.parquet"
+    set_nanos_conf_if_needed(spark, path)
+    digest = hashlib.sha256(f"dup{copies}:{path}".encode()).hexdigest()[:16]
+    d = os.path.join(tempfile.gettempdir(), f"stream_dup_{digest}")
+    os.makedirs(d, exist_ok=True)
+    for i in range(copies):
+        dst = os.path.join(d, f"copy_{i}.parquet")
+        if not os.path.exists(dst):
+            shutil.copyfile(path, dst)
+    schema = spark.read.parquet(path).schema
+    raw = file_stream(spark, d, schema)
+    return normalize_event_ts(raw)

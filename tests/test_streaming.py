@@ -479,3 +479,26 @@ def test_windowed_agg_recovers_from_interrupted_drain(spark, events, tmp_path):
         .collect()
     }
     assert got == expect
+
+
+def test_duplicated_source_delivers_replays_and_dedup_collapses(spark, events):
+    """The at-least-once source must actually replay (2x raw rows) and
+    dropDuplicatesWithinWatermark must collapse it back to exactly the
+    single-copy row count — otherwise stream_dedup_then_rollup would
+    pass trivially."""
+    raw = S.run_available_now(
+        S.events_stream_duplicated(spark, SF, copies=2).select("event_id"),
+        "append",
+        shuffle_partitions=8,
+    )
+    n = events.count()
+    assert raw.count() == 2 * n
+    dd = S.run_available_now(
+        S.events_stream_duplicated(spark, SF, copies=2)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id"),
+        "append",
+        shuffle_partitions=8,
+    )
+    assert dd.count() == n
