@@ -50,6 +50,8 @@ not yet exercise, each chosen for a *distinct plan feature* plus a
     at-least-once (duplicated) source: dropDuplicatesWithinWatermark
     chained into a windowed aggregation (the dedup -> agg
     multiple-stateful-operator combination).
+14. ``lateral_top_parts`` — LATERAL correlated subquery with ORDER +
+    LIMIT, hash-pinned to its decorrelated window form.
 
 Reference parity note: the reference pipeline
 (/root/reference/cleaning/clean_contacts.py and siblings) has no
@@ -1325,3 +1327,47 @@ def stream_dedup_then_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
     )
     return S.run_available_now(out, "append", shuffle_partitions=8)
+
+
+# ---------------------------------------------------------------------------
+# LATERAL correlated subquery: top-k per group as a lateral join.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lateral_top_parts",
+    oracle="""
+    WITH ranked AS (
+      SELECT p_brand, p_partkey, p_retailprice,
+             ROW_NUMBER() OVER (PARTITION BY p_brand
+                                ORDER BY p_retailprice DESC, p_partkey)
+               AS rn
+      FROM part)
+    SELECT p_brand, p_partkey, p_retailprice
+    FROM ranked WHERE rn <= 2
+    """,
+)
+def lateral_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 parts per brand expressed as a LATERAL correlated subquery
+    (Spark >= 3.5 SQL): for each brand row, a correlated inner query
+    ordered with LIMIT — the form a user ports verbatim from
+    Postgres/DuckDB, and the last relational plan feature the board did
+    not exercise. Catalyst DECORRELATES it: the optimized plan is the
+    ranking-window top-k (no per-row re-execution, no nested loop), and
+    the oracle states exactly that window formulation — the hash match
+    pins the decorrelation as semantics-preserving, including the
+    deterministic (price DESC, partkey) tie order. ``LIMIT`` without
+    the ORDER requalification trap: the order lives INSIDE the lateral
+    subquery, so ties cannot reshuffle across the limit boundary.
+    """
+    _t(spark, sf_dir, "part").createOrReplaceTempView("__lat_part")
+    return spark.sql(
+        """
+        SELECT b.p_brand, t.p_partkey, t.p_retailprice
+        FROM (SELECT DISTINCT p_brand FROM __lat_part) b,
+        LATERAL (SELECT p_partkey, p_retailprice FROM __lat_part p
+                 WHERE p.p_brand = b.p_brand
+                 ORDER BY p_retailprice DESC, p_partkey
+                 LIMIT 2) t
+        """
+    )

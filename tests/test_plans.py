@@ -590,3 +590,14 @@ def test_basket_lift_has_no_self_join(spark):
     assert "Generate explode" in p, p
     assert "SortMergeJoin" not in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_lateral_topk_decorrelates(spark):
+    """The LATERAL correlated subquery must be decorrelated by Catalyst
+    into a window/rank plan — not executed as a per-outer-row nested
+    loop (the anti-plan a naive lateral implementation produces)."""
+    spark.catalog.clearCache()
+    p = _plan(QUERIES["lateral_top_parts"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert "Window" in p, p
