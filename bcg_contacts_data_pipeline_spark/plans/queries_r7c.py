@@ -52,6 +52,9 @@ not yet exercise, each chosen for a *distinct plan feature* plus a
     multiple-stateful-operator combination).
 14. ``lateral_top_parts`` — LATERAL correlated subquery with ORDER +
     LIMIT, hash-pinned to its decorrelated window form.
+15. ``compound_balance_rcte`` — a RECURSIVE CTE (Spark >= 4.0) driving
+    an 80-step integer recurrence (floor-interest compounding) that no
+    window rewrite can express; bit-identical across engines.
 
 Reference parity note: the reference pipeline
 (/root/reference/cleaning/clean_contacts.py and siblings) has no
@@ -1369,5 +1372,109 @@ def lateral_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                  WHERE p.p_brand = b.p_brand
                  ORDER BY p_retailprice DESC, p_partkey
                  LIMIT 2) t
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTE: integer compound-interest recurrence over monthly revenue.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "compound_balance_rcte",
+    oracle="""
+    WITH RECURSIVE dep AS (
+      SELECT r_name,
+             CAST(ym - MIN(ym) OVER () AS INTEGER) AS m,
+             CAST(ROUND(rev * 100) AS BIGINT) AS dep
+      FROM (
+        SELECT r_name,
+               EXTRACT(YEAR FROM o_orderdate) * 12
+                 + EXTRACT(MONTH FROM o_orderdate) AS ym,
+               SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+        FROM orders
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation   ON n_nationkey = c_nationkey
+        JOIN region   ON r_regionkey = n_regionkey
+        GROUP BY r_name, ym)),
+    bal(r_name, m, balance) AS (
+      SELECT r_name, CAST(-1 AS INTEGER), CAST(0 AS BIGINT) FROM region
+      UNION ALL
+      SELECT b.r_name, CAST(b.m + 1 AS INTEGER),
+             CAST(b.balance + b.balance // 100 + COALESCE(d.dep, 0)
+                  AS BIGINT)
+      FROM bal b
+      JOIN (SELECT MAX(m) AS mx FROM dep) x ON b.m + 1 <= x.mx
+      LEFT JOIN dep d ON d.r_name = b.r_name AND d.m = b.m + 1)
+    SELECT r_name, m, balance,
+           CAST(balance AS DOUBLE) / 100.0 AS balance_usd
+    FROM bal WHERE m >= 0
+    """,
+)
+def compound_balance_rcte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A linear recurrence computed with a RECURSIVE CTE (Spark >= 4.0,
+    UNION ALL form): per region, a balance that each month earns 1%
+    floor-integer interest on itself and receives that month's order
+    revenue as a deposit — ``bal[m+1] = bal[m] + bal[m] DIV 100 +
+    dep[m+1]``. Because the interest FLOORS every step, there is no
+    closed form and no window-function rewrite: each row genuinely
+    needs the previous row's output, the one dependence shape the rest
+    of the board's window algebra cannot express. Termination is
+    structural (month index bounded by the deposit frame's max — an
+    acyclic recursion, which matters because Spark's recursive CTE is
+    UNION ALL-only and a cyclic graph would never converge).
+
+    Exactness: deposits are decimal-summed revenue snapped to integer
+    cents; the whole recurrence is BIGINT adds and truncating DIVs —
+    80 chained months, bit-identical in both engines; the only float
+    is the display division. Scale: the recursion runs over the
+    |regions| x |months| aggregate (tiny), never the fact table — the
+    fact scan happens once in the deposit CTE with map-side partial
+    aggregation, the same aggregate-then-iterate layering as
+    pagerank_nation_flow.
+    """
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    monthly = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            "r_name",
+            F.expr(
+                "year(o_orderdate) * 12 + month(o_orderdate)"
+            ).alias("ym"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev"))
+    )
+    dep = (
+        monthly.crossJoin(F.broadcast(monthly.agg(F.min("ym").alias("ym0"))))
+        .select(
+            "r_name",
+            (F.col("ym") - F.col("ym0")).cast("int").alias("m"),
+            F.expr("CAST(round(rev * 100) AS BIGINT)").alias("dep"),
+        )
+    )
+    dep.createOrReplaceTempView("__cb_dep")
+    r.select("r_name").createOrReplaceTempView("__cb_regions")
+    return spark.sql(
+        """
+        WITH RECURSIVE bal(r_name, m, balance) AS (
+          SELECT r_name, CAST(-1 AS INT), CAST(0 AS BIGINT)
+          FROM __cb_regions
+          UNION ALL
+          SELECT b.r_name, CAST(b.m + 1 AS INT),
+                 CAST(b.balance + b.balance DIV 100 + COALESCE(d.dep, 0)
+                      AS BIGINT)
+          FROM bal b
+          JOIN (SELECT MAX(m) AS mx FROM __cb_dep) x ON b.m + 1 <= x.mx
+          LEFT JOIN __cb_dep d ON d.r_name = b.r_name AND d.m = b.m + 1
+        )
+        SELECT r_name, m, balance,
+               CAST(balance AS DOUBLE) / 100.0 AS balance_usd
+        FROM bal WHERE m >= 0
         """
     )

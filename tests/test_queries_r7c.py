@@ -502,3 +502,52 @@ def test_prefix_filter_rejects_bad_threshold(spark):
     for t_num, t_den in [(0, 2), (3, 2), (1, 0), (-1, 2)]:
         with _pytest.raises(ValueError, match="prefix_filter_pairs"):
             prefix_filter_pairs(docs, "doc_id", "text", 3, t_num, t_den)
+
+
+# ---------------------------------------------------------------------------
+# compound_balance_rcte
+# ---------------------------------------------------------------------------
+
+
+def test_compound_balance_matches_python_recurrence(spark):
+    from bcg_contacts_data_pipeline_spark.plans.queries_r7c import (
+        compound_balance_rcte,
+    )
+
+    got = {
+        (r.r_name, r.m): r.balance
+        for r in compound_balance_rcte(spark, SF_SMALL).collect()
+    }
+    o = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    c = spark.read.parquet(f"{SF_SMALL}/customer.parquet")
+    n = spark.read.parquet(f"{SF_SMALL}/nation.parquet")
+    rg = spark.read.parquet(f"{SF_SMALL}/region.parquet")
+    rows = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(rg, n.n_regionkey == rg.r_regionkey)
+        .selectExpr(
+            "r_name",
+            "year(o_orderdate)*12 + month(o_orderdate) AS ym",
+            "CAST(o_totalprice AS DECIMAL(18,4)) AS p",
+        )
+        .collect()
+    )
+    from collections import defaultdict
+    from decimal import Decimal
+
+    dep = defaultdict(Decimal)
+    for r in rows:
+        dep[(r.r_name, r.ym)] += r.p
+    ym0 = min(ym for _, ym in dep)
+    mmax = max(ym for _, ym in dep) - ym0
+    regions = {r.r_name for r in rg.collect()}
+    expect = {}
+    for reg in regions:
+        bal = 0
+        for m in range(0, mmax + 1):
+            d = dep.get((reg, m + ym0))
+            cents = int((d * 100).to_integral_value()) if d is not None else 0
+            bal = bal + bal // 100 + cents
+            expect[(reg, m)] = bal
+    assert got == expect
