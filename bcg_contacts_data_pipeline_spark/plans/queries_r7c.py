@@ -55,6 +55,9 @@ not yet exercise, each chosen for a *distinct plan feature* plus a
 15. ``compound_balance_rcte`` — a RECURSIVE CTE (Spark >= 4.0) driving
     an 80-step integer recurrence (floor-interest compounding) that no
     window rewrite can express; bit-identical across engines.
+16. ``sql_udf_pricing`` — named SQL-defined scalar functions (CREATE
+    FUNCTION ... RETURN expr) carrying the Q1 money math; plan-asserted
+    to inline fully into the Catalyst aggregate (zero Python).
 
 Reference parity note: the reference pipeline
 (/root/reference/cleaning/clean_contacts.py and siblings) has no
@@ -1476,5 +1479,72 @@ def compound_balance_rcte(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT r_name, m, balance,
                CAST(balance AS DOUBLE) / 100.0 AS balance_usd
         FROM bal WHERE m >= 0
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL-defined scalar functions (CREATE FUNCTION ... RETURN expr).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sql_udf_pricing",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+             AS revenue,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l_discount AS DECIMAL(18,4)))
+                    * (1 + CAST(l_tax AS DECIMAL(18,4)))) AS DOUBLE)
+             AS charge,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def sql_udf_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Q1 money math routed through NAMED SQL-defined scalar
+    functions (``CREATE FUNCTION ... RETURNS ... RETURN expr``,
+    Spark >= 3.5) — the engine's user-extensibility surface that stays
+    ENTIRELY JVM-side: a SQL UDF is inlined into the Catalyst plan at
+    resolution (plan-asserted: the aggregate still whole-stage-
+    codegens, zero Python eval nodes), so unlike a Python UDF it costs
+    nothing and loses nothing. The functions carry the same
+    decimal-exact signatures the inline board queries use; the oracle
+    computes the expressions inline — the hash match proves
+    define-then-call is semantically identical to inlining.
+    """
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION __disc_price(
+            p DECIMAL(18,4), d DECIMAL(18,4))
+        RETURNS DECIMAL(38,8)
+        RETURN p * (1 - d)
+        """
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION __charge(
+            p DECIMAL(18,4), d DECIMAL(18,4), t DECIMAL(18,4))
+        RETURNS DECIMAL(38,12)
+        RETURN p * (1 - d) * (1 + t)
+        """
+    )
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("__udf_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(__disc_price(CAST(l_extendedprice AS DECIMAL(18,4)),
+                                     CAST(l_discount AS DECIMAL(18,4))))
+                    AS DOUBLE) AS revenue,
+               CAST(SUM(__charge(CAST(l_extendedprice AS DECIMAL(18,4)),
+                                 CAST(l_discount AS DECIMAL(18,4)),
+                                 CAST(l_tax AS DECIMAL(18,4))))
+                    AS DOUBLE) AS charge,
+               COUNT(*) AS n_lines
+        FROM __udf_lineitem
+        GROUP BY l_returnflag, l_linestatus
         """
     )

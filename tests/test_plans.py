@@ -601,3 +601,17 @@ def test_lateral_topk_decorrelates(spark):
     assert "BroadcastNestedLoopJoin" not in p, p
     assert "CartesianProduct" not in p, p
     assert "Window" in p, p
+
+
+def test_sql_udf_inlines_into_codegen(spark):
+    """A SQL-defined function must inline at resolution: the plan shows
+    ordinary decimal arithmetic inside WholeStageCodegen — no Python
+    eval node, no blackbox UDF invocation."""
+    spark.catalog.clearCache()
+    p = _plan(QUERIES["sql_udf_pricing"](spark, SF))
+    # fully inlined: the function NAMES are gone from the physical plan,
+    # replaced by the raw decimal arithmetic inside the hash aggregate
+    assert "__disc_price" not in p and "__charge" not in p, p
+    assert "sum((p" in p, p  # the inlined expression, aggregated directly
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    assert "HashAggregate" in p, p
