@@ -173,6 +173,13 @@ BUDGET = {
     "seasonal_naive_backtest": 3,
     # xmin scalar gather + the one sufficient-statistics aggregate
     "trend_ols_by_type": 2,
+    # decorrelated to distinct-brands agg + ranking window exchange
+    "lateral_top_parts": 2,
+    # the recursion executes inside the UnionLoop node, whose per-step
+    # exchanges don't print in the static plan — 0 is the printed count
+    "compound_balance_rcte": 0,
+    # SQL UDFs inline: the single Q1-style aggregate exchange remains
+    "sql_udf_pricing": 1,
 }
 
 
