@@ -1435,7 +1435,11 @@ def compound_balance_rcte(spark: SparkSession, sf_dir: str) -> DataFrame:
     |regions| x |months| aggregate (tiny), never the fact table — the
     fact scan happens once in the deposit CTE with map-side partial
     aggregation, the same aggregate-then-iterate layering as
-    pagerank_nation_flow.
+    pagerank_nation_flow. Depth: the corpus spans 80 months at every
+    sf (the testdata date range is sf-invariant), under Spark's
+    default recursion ceiling (spark.sql.cteRecursionLevelLimit, 100);
+    a longer-horizon deployment raises that conf or windows the
+    recurrence per year.
     """
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
