@@ -53,8 +53,9 @@ not yet exercise, each chosen for a *distinct plan feature* plus a
 14. ``lateral_top_parts`` — LATERAL correlated subquery with ORDER +
     LIMIT, hash-pinned to its decorrelated window form.
 15. ``compound_balance_rcte`` — a RECURSIVE CTE (Spark >= 4.0) driving
-    an 80-step integer recurrence (floor-interest compounding) that no
-    window rewrite can express; bit-identical across engines.
+    an integer recurrence (floor-interest compounding) that no window
+    rewrite can express; bit-identical across engines; granularity
+    chosen from the measured per-iteration UnionLoop cost.
 16. ``sql_udf_pricing`` — named SQL-defined scalar functions (CREATE
     FUNCTION ... RETURN expr) carrying the Q1 money math; plan-asserted
     to inline fully into the Catalyst aggregate (zero Python).
@@ -1389,23 +1390,22 @@ def lateral_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH RECURSIVE dep AS (
       SELECT r_name,
-             CAST(ym - MIN(ym) OVER () AS INTEGER) AS m,
+             CAST(yr - MIN(yr) OVER () AS INTEGER) AS m,
              CAST(ROUND(rev * 100) AS BIGINT) AS dep
       FROM (
         SELECT r_name,
-               EXTRACT(YEAR FROM o_orderdate) * 12
-                 + EXTRACT(MONTH FROM o_orderdate) AS ym,
+               EXTRACT(YEAR FROM o_orderdate) AS yr,
                SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
         FROM orders
         JOIN customer ON c_custkey = o_custkey
         JOIN nation   ON n_nationkey = c_nationkey
         JOIN region   ON r_regionkey = n_regionkey
-        GROUP BY r_name, ym)),
+        GROUP BY r_name, yr)),
     bal(r_name, m, balance) AS (
       SELECT r_name, CAST(-1 AS INTEGER), CAST(0 AS BIGINT) FROM region
       UNION ALL
       SELECT b.r_name, CAST(b.m + 1 AS INTEGER),
-             CAST(b.balance + b.balance // 100 + COALESCE(d.dep, 0)
+             CAST(b.balance + b.balance // 10 + COALESCE(d.dep, 0)
                   AS BIGINT)
       FROM bal b
       JOIN (SELECT MAX(m) AS mx FROM dep) x ON b.m + 1 <= x.mx
@@ -1415,31 +1415,35 @@ def lateral_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM bal WHERE m >= 0
     """,
 )
-def compound_balance_rcte(spark: SparkSession, sf_dir: str) -> DataFrame:
+def compound_balance_rcte(
+    spark: SparkSession, sf_dir: str, pins: PinScope | None = None
+) -> DataFrame:
     """A linear recurrence computed with a RECURSIVE CTE (Spark >= 4.0,
-    UNION ALL form): per region, a balance that each month earns 1%
-    floor-integer interest on itself and receives that month's order
-    revenue as a deposit — ``bal[m+1] = bal[m] + bal[m] DIV 100 +
+    UNION ALL form): per region, a balance that each year earns 10%
+    floor-integer interest on itself and receives that year's order
+    revenue as a deposit — ``bal[m+1] = bal[m] + bal[m] DIV 10 +
     dep[m+1]``. Because the interest FLOORS every step, there is no
     closed form and no window-function rewrite: each row genuinely
     needs the previous row's output, the one dependence shape the rest
     of the board's window algebra cannot express. Termination is
-    structural (month index bounded by the deposit frame's max — an
+    structural (year index bounded by the deposit frame's max — an
     acyclic recursion, which matters because Spark's recursive CTE is
     UNION ALL-only and a cyclic graph would never converge).
 
     Exactness: deposits are decimal-summed revenue snapped to integer
     cents; the whole recurrence is BIGINT adds and truncating DIVs —
-    80 chained months, bit-identical in both engines; the only float
-    is the display division. Scale: the recursion runs over the
-    |regions| x |months| aggregate (tiny), never the fact table — the
-    fact scan happens once in the deposit CTE with map-side partial
-    aggregation, the same aggregate-then-iterate layering as
-    pagerank_nation_flow. Depth: the corpus spans 80 months at every
-    sf (the testdata date range is sf-invariant), under Spark's
-    default recursion ceiling (spark.sql.cteRecursionLevelLimit, 100);
-    a longer-horizon deployment raises that conf or windows the
-    recurrence per year.
+    chained years bit-identical in both engines; the only float is the
+    display division. Scale: the recursion runs over the pinned
+    |regions| x |years| aggregate (tiny), never the fact table — the
+    fact scan happens once with map-side partial aggregation, the same
+    aggregate-then-iterate layering as pagerank_nation_flow.
+    Iteration economics, measured: Spark's UnionLoop pays plan + job
+    latency PER ITERATION (~0.3 s each in local mode, data-size-
+    independent here), so the recurrence granularity IS the cost knob —
+    the monthly form of this query ran 80 iterations for 26 s; the
+    yearly form runs 8 for ~2.5 s. Pick the coarsest granularity the
+    semantics allow; window the recurrence if the horizon outgrows
+    spark.sql.cteRecursionLevelLimit (default 100).
     """
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
@@ -1451,34 +1455,44 @@ def compound_balance_rcte(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(
             "r_name",
-            F.expr(
-                "year(o_orderdate) * 12 + month(o_orderdate)"
-            ).alias("ym"),
+            F.expr("year(o_orderdate)").alias("ym"),
         )
         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev"))
     )
-    dep = (
+    # Pinned: the recursive UnionLoop re-executes its step plan once
+    # PER ITERATION — without this persist the 80 iterations re-scan
+    # and re-join the fact table 80 times (measured 57 s at sf0.1;
+    # ~1 s pinned). The frame is |regions| x |months| rows.
+    dep = pin(
         monthly.crossJoin(F.broadcast(monthly.agg(F.min("ym").alias("ym0"))))
         .select(
             "r_name",
             (F.col("ym") - F.col("ym0")).cast("int").alias("m"),
             F.expr("CAST(round(rev * 100) AS BIGINT)").alias("dep"),
         )
+        .coalesce(1),
+        pins,
     )
     dep.createOrReplaceTempView("__cb_dep")
     r.select("r_name").createOrReplaceTempView("__cb_regions")
+    # Bounded scalar collect (one int): embedding the month horizon as a
+    # literal keeps the per-iteration step plan to ONE broadcast join —
+    # a subquery bound would re-evaluate inside all 80 iterations. Same
+    # bounded-collect budget as the IVF centroids.
+    mx = dep.agg(F.max("m")).collect()[0][0]
     return spark.sql(
-        """
+        f"""
         WITH RECURSIVE bal(r_name, m, balance) AS (
           SELECT r_name, CAST(-1 AS INT), CAST(0 AS BIGINT)
           FROM __cb_regions
           UNION ALL
-          SELECT b.r_name, CAST(b.m + 1 AS INT),
-                 CAST(b.balance + b.balance DIV 100 + COALESCE(d.dep, 0)
+          SELECT /*+ BROADCAST(d) */
+                 b.r_name, CAST(b.m + 1 AS INT),
+                 CAST(b.balance + b.balance DIV 10 + COALESCE(d.dep, 0)
                       AS BIGINT)
           FROM bal b
-          JOIN (SELECT MAX(m) AS mx FROM __cb_dep) x ON b.m + 1 <= x.mx
           LEFT JOIN __cb_dep d ON d.r_name = b.r_name AND d.m = b.m + 1
+          WHERE b.m + 1 <= {int(mx)}
         )
         SELECT r_name, m, balance,
                CAST(balance AS DOUBLE) / 100.0 AS balance_usd

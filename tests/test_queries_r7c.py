@@ -528,7 +528,7 @@ def test_compound_balance_matches_python_recurrence(spark):
         .join(rg, n.n_regionkey == rg.r_regionkey)
         .selectExpr(
             "r_name",
-            "year(o_orderdate)*12 + month(o_orderdate) AS ym",
+            "year(o_orderdate) AS ym",
             "CAST(o_totalprice AS DECIMAL(18,4)) AS p",
         )
         .collect()
@@ -548,6 +548,6 @@ def test_compound_balance_matches_python_recurrence(spark):
         for m in range(0, mmax + 1):
             d = dep.get((reg, m + ym0))
             cents = int((d * 100).to_integral_value()) if d is not None else 0
-            bal = bal + bal // 100 + cents
+            bal = bal + bal // 10 + cents
             expect[(reg, m)] = bal
     assert got == expect
