@@ -175,9 +175,10 @@ BUDGET = {
     "trend_ols_by_type": 2,
     # decorrelated to distinct-brands agg + ranking window exchange
     "lateral_top_parts": 2,
-    # the recursion executes inside the UnionLoop node, whose per-step
-    # exchanges don't print in the static plan — 0 is the printed count
-    "compound_balance_rcte": 0,
+    # deposit-build exchanges (fact agg + min gather + coalesce feed)
+    # now print because the pinned frame renders inline; the recursion
+    # itself still executes inside the UnionLoop node (not printed)
+    "compound_balance_rcte": 4,
     # SQL UDFs inline: the single Q1-style aggregate exchange remains
     "sql_udf_pricing": 1,
 }
