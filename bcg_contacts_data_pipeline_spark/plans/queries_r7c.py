@@ -59,6 +59,9 @@ not yet exercise, each chosen for a *distinct plan feature* plus a
 16. ``sql_udf_pricing`` — named SQL-defined scalar functions (CREATE
     FUNCTION ... RETURN expr) carrying the Q1 money math; plan-asserted
     to inline fully into the Catalyst aggregate (zero Python).
+17. ``collation_group_dedup`` — case-insensitive COLLATE UTF8_LCASE
+    grouping with a binary-collated distinct in the same aggregate —
+    the typed form of the reference's lower-everything matching.
 
 Reference parity note: the reference pipeline
 (/root/reference/cleaning/clean_contacts.py and siblings) has no
@@ -1564,5 +1567,56 @@ def sql_udf_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
                COUNT(*) AS n_lines
         FROM __udf_lineitem
         GROUP BY l_returnflag, l_linestatus
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Collation-aware aggregation (Spark >= 4.0 string collations).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "collation_group_dedup",
+    oracle="""
+    SELECT lower(et) AS event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT et) AS BIGINT) AS n_forms
+    FROM (SELECT CASE WHEN event_id % 2 = 0 THEN upper(event_type)
+                      ELSE lower(event_type) END AS et
+          FROM events)
+    GROUP BY lower(et)
+    """,
+)
+def collation_group_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping under a CASE-INSENSITIVE COLLATION (Spark >= 4.0
+    ``COLLATE UTF8_LCASE``) — the declarative form of the reference's
+    lower-case-all-headers / case-insensitive matching habit
+    (/root/reference/cleaning/validate_fields.py:50,
+    merge_contacts_kindaworks.py:56): instead of wrapping every
+    comparison in lower(), the COLUMN carries the equality semantics
+    and every comparison, group and join against it is
+    case-insensitive by type. The fixture deterministically re-cases
+    event_type by row parity (upper on even event_ids), so each class
+    arrives in exactly two binary-distinct forms; the collated groupBy
+    must merge them while the binary-collated COUNT(DISTINCT) inside
+    the same aggregate still sees both — one aggregate, two collations.
+    Output keys are lower()-normalized (a collated group's
+    representative casing is arrival-order-dependent — never expose
+    it) and cast back to the default collation for a stable schema.
+    """
+    _events(spark, sf_dir).selectExpr(
+        "CASE WHEN event_id % 2 = 0 THEN upper(event_type)"
+        " ELSE lower(event_type) END AS et"
+    ).createOrReplaceTempView("__coll_events")
+    return spark.sql(
+        """
+        SELECT CAST(lower(k) AS STRING) AS event_type, n_events, n_forms
+        FROM (
+          SELECT et COLLATE UTF8_LCASE AS k,
+                 COUNT(*) AS n_events,
+                 COUNT(DISTINCT et COLLATE UTF8_BINARY) AS n_forms
+          FROM __coll_events
+          GROUP BY et COLLATE UTF8_LCASE)
         """
     )
