@@ -181,6 +181,8 @@ BUDGET = {
     "compound_balance_rcte": 4,
     # SQL UDFs inline: the single Q1-style aggregate exchange remains
     "sql_udf_pricing": 1,
+    # collated-key distinct-agg expand is two-phase (partial + merge)
+    "collation_group_dedup": 2,
 }
 
 
