@@ -62,6 +62,8 @@ not yet exercise, each chosen for a *distinct plan feature* plus a
 17. ``collation_group_dedup`` — case-insensitive COLLATE UTF8_LCASE
     grouping with a binary-collated distinct in the same aggregate —
     the typed form of the reference's lower-everything matching.
+18. ``order_percentile_position`` — percent_rank / cume_dist relative
+    ranks per class, top-percentile filtered.
 
 Reference parity note: the reference pipeline
 (/root/reference/cleaning/clean_contacts.py and siblings) has no
@@ -1619,4 +1621,50 @@ def collation_group_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM __coll_events
           GROUP BY et COLLATE UTF8_LCASE)
         """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relative-rank window functions: percent_rank / cume_dist.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "order_percentile_position",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderkey, o_orderpriority, o_totalprice,
+             percent_rank() OVER w AS pr,
+             cume_dist() OVER w AS cd
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice))
+    SELECT o_orderkey, o_orderpriority, o_totalprice, pr, cd
+    FROM ranked WHERE pr >= 0.99
+    """,
+)
+def order_percentile_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every order's RELATIVE rank position within its priority class —
+    ``percent_rank`` ((rank-1)/(N-1)) and ``cume_dist`` (rank'/N), the
+    two relative-rank window functions the board's ranking queries
+    (row_number / rank / ntile) did not yet exercise — filtered to the
+    top percentile (pr >= 0.99), the "flag the biggest orders per
+    class" report. Exactness: both functions are a single IEEE division
+    of exact integer rank/count operands computed identically by both
+    engines (ties share a rank, so the outputs are deterministic
+    without a tiebreak column). Scale: one partitioned sort per class —
+    no global window; the filter cannot push below the window (the
+    rank needs the whole partition) but column pruning keeps the
+    sorted payload to the three projected columns.
+    """
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderpriority",
+            "o_totalprice",
+            F.percent_rank().over(w).alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
+        )
+        .filter(F.col("pr") >= 0.99)
     )
