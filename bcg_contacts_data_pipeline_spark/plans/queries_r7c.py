@@ -64,6 +64,10 @@ not yet exercise, each chosen for a *distinct plan feature* plus a
     the typed form of the reference's lower-everything matching.
 18. ``order_percentile_position`` — percent_rank / cume_dist relative
     ranks per class, top-percentile filtered.
+19. ``grouping_sets_revenue`` — explicit GROUPING SETS (arbitrary
+    slice subset) with portable GROUPING-bit slice ids.
+20. ``user_value_bookends`` — first/last_value IGNORE NULLS window
+    navigation over a sentinel projection.
 
 Reference parity note: the reference pipeline
 (/root/reference/cleaning/clean_contacts.py and siblings) has no
@@ -1667,4 +1671,124 @@ def order_percentile_position(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.cume_dist().over(w).alias("cd"),
         )
         .filter(F.col("pr") >= 0.99)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Explicit GROUPING SETS with grouping_id.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "grouping_sets_revenue",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+                AS BIGINT) AS gid,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+             AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the third grouping-lattice form next to
+    the board's ROLLUP (hierarchy prefixes) and CUBE (full lattice):
+    an ARBITRARY subset of slices in one pass — here the two
+    one-dimensional marginals plus the grand total, skipping the
+    (flag, status) cells a CUBE would also pay for. ``grouping_id``
+    (recomputed portably as GROUPING(a)*2+GROUPING(b) — Spark and
+    DuckDB number grouping_id() differently, the per-column GROUPING
+    bit is the standard both agree on) disambiguates which slice a
+    NULL key row belongs to — the reason the function exists, since a
+    real NULL key and a rolled-up key are otherwise indistinguishable.
+    One Expand + one aggregate exchange; decimal-exact money math.
+    """
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("__gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+                    AS BIGINT) AS gid,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * (1 - CAST(l_discount AS DECIMAL(18,4))))
+                    AS DOUBLE) AS revenue,
+               COUNT(*) AS n_lines
+        FROM __gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# IGNORE NULLS window navigation: first/last known value per user.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "user_value_bookends",
+    oracle="""
+    WITH w AS (
+      SELECT user_id,
+             first_value(pv IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS first_purchase_value,
+             last_value(pv IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS last_purchase_value,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM (SELECT user_id, ts, event_id,
+                   CASE WHEN event_type = 'purchase' THEN value END AS pv
+            FROM events))
+    SELECT user_id, first_purchase_value, last_purchase_value
+    FROM w WHERE rn = 1 AND first_purchase_value IS NOT NULL
+    """,
+)
+def user_value_bookends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per user, the FIRST and LAST known purchase value across a
+    timeline where most rows carry no purchase — ``first_value`` /
+    ``last_value`` with IGNORE NULLS over an unbounded frame, the
+    null-skipping window-navigation feature the board's lag/lead and
+    gap-fill queries approximate with joins and conditional mins. The
+    sentinel projection (value only on purchase rows, NULL elsewhere)
+    is the standard trick that turns "latest known reading" into one
+    window; one row per user survives via row_number. All three
+    windows share ONE user partitioning and sort. Values are raw
+    doubles carried, never arithmetic — engine-exact.
+    """
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", F.col("value")).alias(
+            "pv"
+        ),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    wn = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            F.first("pv", ignorenulls=True)
+            .over(w)
+            .alias("first_purchase_value"),
+            F.last("pv", ignorenulls=True)
+            .over(w)
+            .alias("last_purchase_value"),
+            F.row_number().over(wn).alias("rn"),
+        )
+        .filter(
+            (F.col("rn") == 1)
+            & F.col("first_purchase_value").isNotNull()
+        )
+        .drop("rn")
     )
