@@ -68,6 +68,9 @@ not yet exercise, each chosen for a *distinct plan feature* plus a
     slice subset) with portable GROUPING-bit slice ids.
 20. ``user_value_bookends`` — first/last_value IGNORE NULLS window
     navigation over a sentinel projection.
+21. ``try_functions_audit`` — the try_divide / try_to_timestamp /
+    try_cast family: ANSI-mode failure as a countable fact (the
+    reference's errors='coerce' habit, typed).
 
 Reference parity note: the reference pipeline
 (/root/reference/cleaning/clean_contacts.py and siblings) has no
@@ -1791,4 +1794,69 @@ def user_value_bookends(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("first_purchase_value").isNotNull()
         )
         .drop("rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# try_* error-tolerant functions under ANSI mode.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "try_functions_audit",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN value / NULLIF(CAST(event_id % 5 AS DOUBLE),
+                                             0.0) IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_div_null,
+           CAST(COUNT(TRY_CAST(
+                  CASE WHEN event_id % 3 = 0 THEN 'not-a-date'
+                       ELSE strftime(ts, '%Y-%m-%d %H:%M:%S') END
+                  AS TIMESTAMP)) AS BIGINT) AS n_ts_parsed,
+           CAST(COUNT(TRY_CAST(
+                  CASE WHEN event_id % 4 = 0 THEN 'abc'
+                       ELSE CAST(CAST(value AS DECIMAL(18,4)) AS VARCHAR)
+                       END AS DOUBLE)) AS BIGINT) AS n_num_parsed
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def try_functions_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``try_`` function family under ANSI mode — the reference's
+    pandas ``errors='coerce'`` habit (clean_contacts.py:151
+    pd.to_datetime, :50 pd.to_numeric) re-expressed as typed NULLs
+    instead of engine errors: the driver runs ANSI ON (Spark 4
+    default), where a plain division by zero or a bad cast THROWS;
+    ``try_divide`` / ``try_to_timestamp`` / ``try_cast`` return NULL,
+    making dirty-input failure a COUNTABLE data-quality fact. Dirt is
+    synthesized deterministically (zero divisors on event_id%5, garbage
+    timestamps on %3, garbage numerics on %4) so every branch of every
+    function exercises on every run. The oracle states the same
+    semantics in DuckDB's vocabulary (NULLIF-guarded division,
+    TRY_CAST); numeric round-trips go through a decimal snap so the
+    string forms match across engines. Counts only — engine-exact.
+    """
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    dirty_ts = F.when(
+        F.col("event_id") % 3 == 0, F.lit("not-a-date")
+    ).otherwise(F.date_format("ts", "yyyy-MM-dd HH:mm:ss"))
+    dirty_num = F.when(F.col("event_id") % 4 == 0, F.lit("abc")).otherwise(
+        F.col("value").cast("decimal(18,4)").cast("string")
+    )
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(
+                F.expr(
+                    "try_divide(value, CAST(event_id % 5 AS DOUBLE))"
+                ).isNull(),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_div_null"),
+        F.count(F.try_to_timestamp(dirty_ts)).alias("n_ts_parsed"),
+        F.count(dirty_num.try_cast("double")).alias("n_num_parsed"),
     )
