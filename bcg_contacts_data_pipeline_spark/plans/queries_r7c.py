@@ -71,6 +71,9 @@ not yet exercise, each chosen for a *distinct plan feature* plus a
 21. ``try_functions_audit`` — the try_divide / try_to_timestamp /
     try_cast family: ANSI-mode failure as a countable fact (the
     reference's errors='coerce' habit, typed).
+22. ``bitmap_distinct_users`` — bitmap partials (Spark >= 3.5): the
+    distinct-count that is mergeable AND exact on dense integer keys,
+    completing the COUNT(DISTINCT) / HLL / bitmap trilogy.
 
 Reference parity note: the reference pipeline
 (/root/reference/cleaning/clean_contacts.py and siblings) has no
@@ -1859,4 +1862,54 @@ def try_functions_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_div_null"),
         F.count(F.try_to_timestamp(dirty_ts)).alias("n_ts_parsed"),
         F.count(dirty_num.try_cast("double")).alias("n_num_parsed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bitmap exact-distinct aggregation (mergeable, two-level).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bitmap_distinct_users",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting through BITMAPS (Spark >= 3.5
+    bitmap_construct_agg family) — the third member of the
+    distinct-count trilogy: COUNT(DISTINCT) re-shuffles raw values
+    (two-phase expand), HLL sketches are mergeable but approximate
+    (approx_distinct_users / hll_sketch_rollup); a bitmap partial is
+    BOTH — mergeable (bitwise OR) AND exact — whenever the key domain
+    is dense integers, the id-shaped case warehouses hit constantly.
+    Shape: keys bucket into 32k-bit bitmaps (bitmap_bucket_number /
+    bitmap_bit_position), one bitmap per (group, bucket) builds
+    map-side and ORs in the combine — state per group is
+    |id range| / 8 bits regardless of row count — then bitmap_count
+    per bucket and an integer sum collapse to the exact distinct. The
+    oracle is plain COUNT(DISTINCT): the hash match proves the bitmap
+    path loses nothing. At 100 TB the partial bitmaps are also the
+    INCREMENTAL state (OR yesterday's bitmap with today's — the
+    incremental_rollup_merge pattern with exact distincts, which
+    sum-of-counts partials can never give).
+    """
+    ev = _events(spark, sf_dir)
+    per_bucket = (
+        ev.groupBy(
+            "event_type",
+            F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+        )
+        .agg(
+            F.expr(
+                "bitmap_count(bitmap_construct_agg("
+                "bitmap_bit_position(user_id)))"
+            ).alias("cnt")
+        )
+    )
+    return per_bucket.groupBy("event_type").agg(
+        F.sum("cnt").cast("long").alias("n_users")
     )
