@@ -183,6 +183,16 @@ BUDGET = {
     "sql_udf_pricing": 1,
     # collated-key distinct-agg expand is two-phase (partial + merge)
     "collation_group_dedup": 2,
+    # one class-partitioned sort carries both relative-rank functions
+    "order_percentile_position": 1,
+    # one Expand pass + one aggregate exchange for all three slices
+    "grouping_sets_revenue": 1,
+    # three windows share one user partitioning
+    "user_value_bookends": 1,
+    # all try_* columns ride the single per-type aggregate
+    "try_functions_audit": 1,
+    # (group, bucket) bitmap agg + the per-group integer collapse
+    "bitmap_distinct_users": 2,
 }
 
 
