@@ -489,6 +489,28 @@ def test_ols_matches_numpy_and_merges(spark):
         assert got[t].n == len(pts)
         assert got[t].sx == sum(p[0] for p in pts)
         assert got[t].sxx == sum(p[0] * p[0] for p in pts)
+    # Spark's built-in regr_slope agrees within float-summation noise —
+    # it accumulates raw doubles (order-dependent), which is exactly why
+    # the certified query uses exact sufficient statistics instead.
+    builtin = {
+        r.event_type: r.s
+        for r in (
+            read_events(spark, SF_SMALL)
+            .filter(F.col("value").isNotNull())
+            .selectExpr(
+                "event_type",
+                "CAST(unix_micros(ts) DIV 1000000 AS DOUBLE) AS x",
+                "CAST(round(value, 4) AS DOUBLE) AS y",
+            )
+            .groupBy("event_type")
+            .agg(F.expr("regr_slope(y, x)").alias("s"))
+            .collect()
+        )
+    }
+    for t in got:
+        assert abs(builtin[t] - got[t].slope) < 1e-6 * max(
+            1.0, abs(got[t].slope)
+        )
 
 
 def test_prefix_filter_rejects_bad_threshold(spark):
