@@ -74,6 +74,9 @@ not yet exercise, each chosen for a *distinct plan feature* plus a
 22. ``bitmap_distinct_users`` — bitmap partials (Spark >= 3.5): the
     distinct-count that is mergeable AND exact on dense integer keys,
     completing the COUNT(DISTINCT) / HLL / bitmap trilogy.
+23. ``csv_line_roundtrip`` — from_csv expression parsing of TSV lines
+    (the reference's wire format) proven lossless by aggregating the
+    parsed struct against the original columns.
 
 Reference parity note: the reference pipeline
 (/root/reference/cleaning/clean_contacts.py and siblings) has no
@@ -1912,4 +1915,62 @@ def bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return per_bucket.groupBy("event_type").agg(
         F.sum("cnt").cast("long").alias("n_users")
+    )
+
+
+# ---------------------------------------------------------------------------
+# from_csv: delimited-line parsing as an expression.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "csv_line_roundtrip",
+    oracle="""
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+             AS sum_bal,
+           CAST(SUM(CASE WHEN c_name IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_names
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+)
+def csv_line_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delimited-line parsing as a pure EXPRESSION (``from_csv``): each
+    customer row is serialized to a TSV line (the reference's wire
+    format — /root/reference's whole pipeline speaks tab-separated
+    text) and parsed straight back by ``from_csv`` with an explicit
+    schema and separator, never touching a file reader; the aggregate
+    then runs entirely over the PARSED struct's fields. The oracle
+    aggregates the original columns — the hash match proves the
+    serialize->parse round trip is lossless, including the decimal
+    re-parse of the balance. This is the expression-level sibling of
+    io/readers.py's file-level TSV surface: the shape that handles
+    embedded delimited payloads (a CSV column inside a parquet table)
+    without a detour through RDDs or Python.
+    """
+    c = _t(spark, sf_dir, "customer")
+    line = F.concat_ws(
+        "\t",
+        F.col("c_name"),
+        F.col("c_nationkey").cast("string"),
+        F.col("c_acctbal").cast("decimal(18,4)").cast("string"),
+    )
+    parsed = c.select(
+        F.from_csv(
+            line,
+            "name STRING, nationkey BIGINT, acctbal DECIMAL(18,4)",
+            {"sep": "\t"},
+        ).alias("r")
+    )
+    return (
+        parsed.groupBy(F.col("r.nationkey").alias("c_nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("r.acctbal").cast("double").alias("sum_bal"),
+            F.sum(F.when(F.col("r.name").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_names"),
+        )
     )
