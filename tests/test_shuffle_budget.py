@@ -193,6 +193,8 @@ BUDGET = {
     "try_functions_audit": 1,
     # (group, bucket) bitmap agg + the per-group integer collapse
     "bitmap_distinct_users": 2,
+    # serialize->from_csv->aggregate rides one groupBy exchange
+    "csv_line_roundtrip": 1,
 }
 
 
