@@ -77,6 +77,10 @@ not yet exercise, each chosen for a *distinct plan feature* plus a
 23. ``csv_line_roundtrip`` — from_csv expression parsing of TSV lines
     (the reference's wire format) proven lossless by aggregating the
     parsed struct against the original columns.
+24. ``stream_join_then_rollup`` — stream-stream join chained into a
+    windowed aggregation (join -> agg), completing the
+    multiple-stateful-operator trilogy; global-watermark cutoff stated
+    exactly by the oracle.
 
 Reference parity note: the reference pipeline
 (/root/reference/cleaning/clean_contacts.py and siblings) has no
@@ -1974,3 +1978,84 @@ def csv_line_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_names"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Chained stream-stream join -> window aggregation.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_join_then_rollup",
+    oracle="""
+    WITH wm AS (
+      SELECT LEAST(
+               (SELECT max(ts) FROM events WHERE event_type = 'view'),
+               (SELECT max(ts) FROM events WHERE event_type = 'click'))
+             - INTERVAL 1 HOUR AS w)
+    SELECT date_trunc('day', c.ts) AS window_start,
+           date_trunc('day', c.ts) + INTERVAL 1 DAY AS window_end,
+           CAST(COUNT(*) AS BIGINT) AS n_attributed
+    FROM events v
+    JOIN events c
+      ON c.user_id = v.user_id
+     AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 6 HOUR
+    CROSS JOIN wm
+    WHERE v.event_type = 'view' AND c.event_type = 'click'
+      AND date_trunc('day', c.ts) + INTERVAL 1 DAY <= wm.w
+    GROUP BY 1, 2
+    """,
+)
+def stream_join_then_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream JOIN chained into a windowed aggregation — the
+    third and last multiple-stateful-operator combination
+    (join -> agg, next to agg -> agg in stream_hourly_daily_rollup and
+    dedup -> agg in stream_dedup_then_rollup): attributed clicks
+    (view-to-click pairs within 6 hours, the stream_click_attribution
+    join) rolled up to daily counts INSIDE the same streaming query —
+    the production form of an attribution dashboard, where shipping
+    the raw pair stream to a second job would double the state cost.
+
+    The daily window groups on the CLICK timestamp (the join output
+    column that still carries watermark metadata); matched pairs flow
+    to the aggregation in the micro-batch they match, and the window
+    flushes when the GLOBAL watermark — the minimum over both inputs'
+    (max event time - delay), as for every two-input stateful op —
+    passes its end. The oracle states exactly that cutoff with
+    LEAST(max view, max click) - 1 hour, the same convention
+    stream_click_attribution_outer certifies for null emission.
+    """
+    from bcg_contacts_data_pipeline_spark import streaming as S
+
+    views = (
+        S.events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select("user_id", F.col("ts").alias("view_ts"))
+    )
+    clicks = (
+        S.events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    joined = S.stream_stream_time_join(
+        views,
+        clicks,
+        left_key="user_id",
+        right_key="c_user_id",
+        left_ts="view_ts",
+        right_ts="click_ts",
+        within="6 HOURS",
+        watermark="1 hour",
+    )
+    daily = joined.groupBy(
+        F.window("click_ts", "1 day").alias("__w")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_attributed"))
+    out = daily.select(
+        F.col("__w.start").alias("window_start"),
+        F.col("__w.end").alias("window_end"),
+        "n_attributed",
+    )
+    return S.run_available_now(out, "append", shuffle_partitions=8)
