@@ -80,10 +80,17 @@ def _certification_rounds(root: str | None = None) -> dict[str, int]:
 #: Names here sort as if never certified. Curate per round; stale names
 #: are harmless (they just re-verify).
 _FORCE_HEAD = {
-    "dedup_components",  # r7: max_df cap added, oracle mirrored
-    "media_image_meta",  # r7: real header parse, new oracle
-    "media_audio_stats",  # r7: real WAV parse, new oracle
-    "media_frame_sample",  # r7: real ISO-BMFF demux, new oracle
+    # r8: reshaped from array outputs to exploded scalar rows (the r7
+    # driver-err fix); oracles unrolled to match. Both are also
+    # never-certified so they'd sort to the head anyway — listed for
+    # the audit trail.
+    "embedding_project",
+    "embedding_centroids",
+    # r8: NULL fields now serialize as empty TSV fields (coalesce),
+    # oracle mirrored
+    "csv_line_roundtrip",
+    # r8: degenerate hi==lo guard added on both engines
+    "value_histogram",
 }
 
 

@@ -177,9 +177,14 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     board — lineitem against FIVE dimensions plus orders — with the
     nation table joined in two distinct roles (customer's nation gates
     the region filter and is then DISCARDED; supplier's nation feeds
-    the CASE numerator). Plan features under test: every dimension
-    broadcasts (one fact scan, zero dim-side shuffles — the only
-    hash exchange belongs to the year groupBy), and the share is
+    the CASE numerator). Plan features under test: the BOUNDED
+    dimensions broadcast (filtered part, nation x2, filtered region —
+    tables that stay small or shrink under their filters at any
+    scale), while customer and supplier — which GROW with the fact
+    table in TPC-H and would OOM a forced broadcast at 100 TB — carry
+    no hint: AQE picks broadcast at bench SF (both fit) and degrades
+    to shuffle joins at scale instead of failing, which a hard hint
+    would (the hint overrides AQE's size check). The share is
     computed in the SAME single aggregate as the denominator (CASE
     inside SUM, the Q14 pattern lifted from scalar to grouped).
     Decimal-exact volume; one IEEE division per row written identically
@@ -213,13 +218,13 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(p.filter(F.col("p_type") == "ECONOMY")),
             F.col("p_partkey") == F.col("l_partkey"),
         )
-        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(n1), F.col("n1_key") == F.col("c_nationkey"))
         .join(
             F.broadcast(r.filter(F.col("r_name") == "ASIA")),
             F.col("r_regionkey") == F.col("n1_region"),
         )
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(n2), F.col("n2_key") == F.col("s_nationkey"))
         .groupBy(F.year("o_orderdate").alias("yr"))
         .agg(
@@ -529,12 +534,21 @@ def _projection_oracle(dim: int = 64, k: int = 16, seed: int = 7) -> str:
         for row in matrix
     )
     sq = "list_reduce(list_transform(proj, p -> p * p), (acc, v) -> acc + v)"
+    # pos is 0-based to match Spark's posexplode; the parallel unnests
+    # zip element-wise in DuckDB, unrolling the list into scalar rows so
+    # the driver's sort-based canonicalizer can hash the output.
     return f"""
     WITH projected AS (
-      SELECT vec_id, embedding, [{dims}] AS proj FROM embeddings)
-    SELECT vec_id, proj,
+      SELECT vec_id, embedding, [{dims}] AS proj FROM embeddings),
+    scored AS (
+      SELECT vec_id, proj,
            {sq} / {_DOT_SQL.format(a='embedding', b='embedding')} AS norm_ratio
-    FROM projected
+      FROM projected)
+    SELECT vec_id,
+           unnest(range(0, len(proj))) AS pos,
+           unnest(proj) AS value,
+           norm_ratio
+    FROM scored
     """
 
 
@@ -549,11 +563,15 @@ def embedding_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: a single narrow projection — k*dim multiply-adds in
     whole-stage codegen, ZERO shuffles, no Python — the kind of op that
-    runs at 100 TB at scan speed. Oracle is EXACT, not statistical: the
-    matrix embeds as literals and both engines run the identical
-    sequential left-fold, so even the float ratios hash-match. The JL
-    concentration property (ratios near 1) is pinned separately by a
-    unit test; this query pins the arithmetic."""
+    runs at 100 TB at scan speed. Output is EXPLODED to scalar
+    ``(vec_id, pos, value, norm_ratio)`` rows (posexplode is narrow: no
+    shuffle) so the result is plain-scalar hashable; downstream callers
+    wanting the array form project it back with one collect_list.
+    Oracle is EXACT, not statistical: the matrix embeds as literals and
+    both engines run the identical sequential left-fold, so even the
+    float ratios hash-match. The JL concentration property (ratios near
+    1) is pinned separately by a unit test; this query pins the
+    arithmetic."""
     from bcg_contacts_data_pipeline_spark.functions.vectors import (
         dot,
         rademacher_matrix,
@@ -567,12 +585,17 @@ def embedding_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         random_projection("embedding", matrix).alias("proj"),
     )
-    return projected.select(
+    scored = projected.select(
         "vec_id",
         "proj",
         (dot("proj", "proj") / dot("embedding", "embedding")).alias(
             "norm_ratio"
         ),
+    )
+    return scored.select(
+        "vec_id",
+        F.posexplode("proj").alias("pos", "value"),
+        "norm_ratio",
     )
 
 
@@ -581,14 +604,55 @@ def embedding_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _centroid_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(label, pos, mean_val) per-dimension centroid means — the
+    distributed core shared by ``embedding_centroids`` (scalar output)
+    and ``centroid_arrays`` (array form for k-means). pos is 0-based
+    (posexplode). See ``embedding_centroids`` for the determinism
+    argument behind the dyadic quantization."""
+    emb = _t(spark, sf_dir, "embeddings")
+    two40 = F.lit(1099511627776.0)
+    flat = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "val")
+    )
+    return flat.groupBy("label", "pos").agg(
+        (
+            (
+                F.sum(
+                    F.floor(F.col("val").cast("double") * two40).cast(
+                        "decimal(28,0)"
+                    )
+                ).cast("double")
+                / two40
+            )
+            / F.count(F.lit(1))
+        ).alias("mean_val"),
+    )
+
+
+def centroid_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(label, centroid: array<double>) — the reassembled per-label
+    centroid vectors, for callers that need the array form (the k x d
+    broadcast table in ``kmeans_assign_step``). k x d rows reassemble
+    into k arrays; the collect_list group is one centroid (d elements),
+    never a whole label's worth of input vectors."""
+    dims = _centroid_dims(spark, sf_dir)
+    return dims.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mean_val"))),
+            lambda s: s["mean_val"],
+        ).alias("centroid")
+    )
+
+
 @register(
     "embedding_centroids",
     oracle="""
     WITH flat AS (
       -- parallel unnests in one SELECT zip element-wise in DuckDB,
-      -- giving (pos, value) rows like Spark's posexplode
+      -- giving 0-based (pos, value) rows like Spark's posexplode
       SELECT label,
-             unnest(range(1, len(embedding) + 1)) AS pos,
+             unnest(range(0, len(embedding))) AS pos,
              CAST(unnest(embedding) AS DOUBLE) AS val
       FROM embeddings),
     dims AS (
@@ -599,9 +663,9 @@ def embedding_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes AS (SELECT label, COUNT(*) AS n_vectors FROM embeddings GROUP BY label)
     SELECT d.label,
            CAST(s.n_vectors AS BIGINT) AS n_vectors,
-           list(d.mean_val ORDER BY d.pos) AS centroid
+           d.pos,
+           d.mean_val
     FROM dims d JOIN sizes s USING (label)
-    GROUP BY d.label, s.n_vectors
     """,
 )
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -609,11 +673,14 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation every clustering / class-prototype / dataset-cartography
     pass needs. The DISTRIBUTED shape, not the collect shape: posexplode
     to (label, dim, value) rows, ONE groupBy (label, dim) with map-side
-    partial aggregation, then reassemble the centroid with an
-    order-pinned list aggregate. Nothing ever materializes a whole
-    group of vectors in one task (``collect_list(embedding)`` would —
-    the memory cliff at 100 TB when a label holds millions of rows);
-    state per reducer key is a single running (sum, count).
+    partial aggregation. Output stays in that scalar shape —
+    ``(label, n_vectors, pos, mean_val)``, one row per centroid
+    dimension — so the result hashes as plain scalars; callers wanting
+    the k x d array form use ``centroid_arrays``. Nothing ever
+    materializes a whole group of vectors in one task
+    (``collect_list(embedding)`` would — the memory cliff at 100 TB
+    when a label holds millions of rows); state per reducer key is a
+    single running (sum, count).
 
     Determinism: the mean is over DYADICALLY QUANTIZED values —
     ``floor(val * 2^40)`` is EXACT double arithmetic on float32 inputs
@@ -628,38 +695,10 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     headroom past 10^15 rows per group.
     """
     emb = _t(spark, sf_dir, "embeddings")
-    two40 = F.lit(1099511627776.0)
-    flat = emb.select(
-        "label", F.posexplode("embedding").alias("pos", "val")
-    )
-    dims = flat.groupBy("label", "pos").agg(
-        (
-            (
-                F.sum(
-                    F.floor(F.col("val").cast("double") * two40).cast(
-                        "decimal(28,0)"
-                    )
-                ).cast("double")
-                / two40
-            )
-            / F.count(F.lit(1))
-        ).alias("mean_val"),
-    )
+    dims = _centroid_dims(spark, sf_dir)
     sizes = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vectors"))
-    centroids = dims.groupBy("label").agg(
-        F.array_sort(
-            F.collect_list(F.struct("pos", "mean_val"))
-        ).alias("__pairs")
-    )
-    return (
-        centroids.join(F.broadcast(sizes), "label")
-        .select(
-            "label",
-            "n_vectors",
-            F.transform(F.col("__pairs"), lambda s: s["mean_val"]).alias(
-                "centroid"
-            ),
-        )
+    return dims.join(F.broadcast(sizes), "label").select(
+        "label", "n_vectors", "pos", "mean_val"
     )
 
 
@@ -725,10 +764,8 @@ def kmeans_assign_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical doubles and the argmin (with the c_label tiebreak)
     picks the same centroid on both engines — integer counts then
     compare exactly."""
-    from bcg_contacts_data_pipeline_spark.plans.queries import QUERIES
-
     emb = _t(spark, sf_dir, "embeddings")
-    cents = QUERIES["embedding_centroids"](spark, sf_dir).select(
+    cents = centroid_arrays(spark, sf_dir).select(
         F.col("label").alias("c_label"), "centroid"
     )
     sqdist = F.aggregate(
@@ -766,8 +803,11 @@ def kmeans_assign_step(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT MIN(value) AS lo, MAX(value) AS hi FROM events
       WHERE value IS NOT NULL),
     bucketed AS (
-      SELECT LEAST(CAST(floor((value - lo) / ((hi - lo) / 20.0)) AS BIGINT),
-                   19) AS bucket,
+      -- hi = lo (degenerate constant column) would make width 0 and
+      -- 0/0 -> NaN; pin every row to bucket 0 instead (same as Spark)
+      SELECT CASE WHEN hi = lo THEN 0
+                  ELSE LEAST(CAST(floor((value - lo) / ((hi - lo) / 20.0))
+                                  AS BIGINT), 19) END AS bucket,
              lo, hi
       FROM events, stats WHERE value IS NOT NULL)
     SELECT bucket,
@@ -794,7 +834,12 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: subtraction, division, floor, and the edge
     reconstruction are the same IEEE ops in the same order on both
     engines (bit-identical doubles in, bit-identical out); the max
-    value lands in the top bucket via the LEAST clamp on both sides."""
+    value lands in the top bucket via the LEAST clamp on both sides.
+    Degenerate guard: a constant column makes hi = lo, width = 0, and
+    the bucket expression 0/0 -> NaN (floor(NaN) casts to NULL, or
+    errors under ANSI mode) — exactly the input a profiling query
+    meets on an all-equal column, so both engines pin that case to
+    bucket 0 with a CASE before the division."""
     from bcg_contacts_data_pipeline_spark.plans.queries import _events
 
     ev = _events(spark, sf_dir).filter(F.col("value").isNotNull())
@@ -802,9 +847,13 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("__lo"), F.max("value").alias("__hi")
     )
     width = (F.col("__hi") - F.col("__lo")) / F.lit(20.0)
-    bucket = F.least(
-        F.floor((F.col("value") - F.col("__lo")) / width).cast("long"),
-        F.lit(19).cast("long"),
+    bucket = F.when(
+        F.col("__hi") == F.col("__lo"), F.lit(0).cast("long")
+    ).otherwise(
+        F.least(
+            F.floor((F.col("value") - F.col("__lo")) / width).cast("long"),
+            F.lit(19).cast("long"),
+        )
     )
     return (
         ev.crossJoin(F.broadcast(stats))

@@ -1953,13 +1953,24 @@ def csv_line_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     io/readers.py's file-level TSV surface: the shape that handles
     embedded delimited payloads (a CSV column inside a parquet table)
     without a detour through RDDs or Python.
+
+    NULL handling: concat_ws silently DROPS null arguments, which would
+    shift every subsequent field left — so each field is coalesced to
+    the empty string first. An empty unquoted field is exactly how the
+    reference's TSV wire format carries a missing value, and from_csv
+    parses it back to NULL (CSV nullValue defaults to ""), keeping the
+    round trip lossless on null-bearing rows too (pinned by a unit
+    test with injected NULLs, not just the testdata's dense columns).
     """
     c = _t(spark, sf_dir, "customer")
     line = F.concat_ws(
         "\t",
-        F.col("c_name"),
-        F.col("c_nationkey").cast("string"),
-        F.col("c_acctbal").cast("decimal(18,4)").cast("string"),
+        F.coalesce(F.col("c_name"), F.lit("")),
+        F.coalesce(F.col("c_nationkey").cast("string"), F.lit("")),
+        F.coalesce(
+            F.col("c_acctbal").cast("decimal(18,4)").cast("string"),
+            F.lit(""),
+        ),
     )
     parsed = c.select(
         F.from_csv(

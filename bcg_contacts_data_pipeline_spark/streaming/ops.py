@@ -351,7 +351,12 @@ def _make_session_close_fn(gap_us: int):
                 closed.append((st, en, n))
                 st, en, n = t, t, 1
             else:
-                en, n = t, n + 1
+                # t may be BEFORE the stored session end: the batch is
+                # sorted, but an event legal under the watermark can
+                # arrive in a LATER micro-batch than a larger ts.
+                # max() keeps the end monotone (and the timer with it);
+                # st can only move earlier the same way.
+                st, en, n = min(st, t), max(en, t), n + 1
         state.update((st, en, n))
         # timeout in MS (the GroupState API's unit), ceil'd so the
         # session cannot fire a hair before its gap truly elapsed

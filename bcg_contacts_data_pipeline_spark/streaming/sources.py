@@ -99,7 +99,14 @@ def events_stream_duplicated(
 
     path = f"{sf_dir}/events.parquet"
     set_nanos_conf_if_needed(spark, path)
-    digest = hashlib.sha256(f"dup{copies}:{path}".encode()).hexdigest()[:16]
+    # the digest keys on source mtime+size as well as path: if the
+    # events file is regenerated in place, the staged dir name changes
+    # and the copies are rebuilt instead of silently streaming stale
+    # data from a prior staging
+    st = os.stat(path)
+    digest = hashlib.sha256(
+        f"dup{copies}:{path}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:16]
     d = os.path.join(tempfile.gettempdir(), f"stream_dup_{digest}")
     os.makedirs(d, exist_ok=True)
     for i in range(copies):

@@ -525,10 +525,14 @@ def test_q7_disjunctive_pair_stays_hash_join(spark):
 
 def test_q8_widest_join_all_dims_broadcast(spark):
     """Q8 joins the fact against five dimensions plus orders with
-    nation in two roles; every dim side must broadcast (zero dim-side
-    shuffles — the only hash exchange is the year groupBy's), and both
-    selective dim filters (p_type, r_name) must prune their build
-    sides before broadcast."""
+    nation in two roles; at this SF every dim side broadcasts (zero
+    dim-side shuffles — the only hash exchange is the year groupBy's).
+    Only the BOUNDED dims (filtered part, nation, filtered region)
+    carry explicit hints — customer/supplier broadcast here via the
+    optimizer's own size check, which degrades to a shuffle join at
+    scale instead of OOMing like a hard hint would. Both selective dim
+    filters (p_type, r_name) must prune their build sides before
+    broadcast."""
     p = _plan(QUERIES["q8_market_share"](spark, SF))
     assert p.count("BroadcastHashJoin") == 7, p
     import re

@@ -216,7 +216,10 @@ def test_jl_projection_concentration(spark):
     from bcg_contacts_data_pipeline_spark.plans.queries import QUERIES
 
     df = QUERIES["embedding_project"](spark, "/root/testdata/sf0.001")
-    stats = df.agg(
+    # output is exploded (vec_id, pos, value, norm_ratio); norm_ratio is
+    # per-vector, so dedup to one row per vec_id before the stats
+    per_vec = df.select("vec_id", "norm_ratio").distinct()
+    stats = per_vec.agg(
         F.avg("norm_ratio").alias("mean"),
         F.min("norm_ratio").alias("lo"),
         F.max("norm_ratio").alias("hi"),
@@ -225,8 +228,15 @@ def test_jl_projection_concentration(spark):
     assert 0.9 < stats.mean < 1.1, stats
     assert stats.lo > 0.1 and stats.hi < 4.0, stats
     assert stats.n == 500
-    # every projected vector has the right width
-    assert df.select(F.size("proj").alias("k")).distinct().collect()[0].k == 16
+    # every projected vector has the right width (16 exploded rows)
+    widths = (
+        df.groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .select("k")
+        .distinct()
+        .collect()
+    )
+    assert [r.k for r in widths] == [16]
 
 
 def test_centroid_matches_naive_mean_within_quantization(spark):
@@ -238,9 +248,19 @@ def test_centroid_matches_naive_mean_within_quantization(spark):
     from bcg_contacts_data_pipeline_spark.plans.queries import QUERIES
 
     sf = "/root/testdata/sf0.001"
+    # query output is exploded (label, n_vectors, pos, mean_val);
+    # reassemble the centroid vectors by 0-based pos
+    rows = QUERIES["embedding_centroids"](spark, sf).collect()
+    got = {}
+    for r in rows:
+        vec, _ = got.setdefault(r.label, ({}, r.n_vectors))
+        vec[r.pos] = r.mean_val
     got = {
-        r.label: (np.array(r.centroid), r.n_vectors)
-        for r in QUERIES["embedding_centroids"](spark, sf).collect()
+        lab: (
+            np.array([vec[p] for p in sorted(vec)]),
+            n,
+        )
+        for lab, (vec, n) in got.items()
     }
     emb = spark.read.parquet(f"{sf}/embeddings.parquet").collect()
     by_label = {}
@@ -252,3 +272,29 @@ def test_centroid_matches_naive_mean_within_quantization(spark):
         cent, n = got[lab]
         assert n == len(vecs)
         assert np.max(np.abs(cent - naive)) < 2.0**-38, lab
+
+
+def test_value_histogram_degenerate_constant_column(spark, tmp_path):
+    """An all-equal value column makes hi == lo and the equi-width
+    bucket expression 0/0 -> NaN without the guard (floor(NaN) casts
+    to NULL, or errors under ANSI mode). The CASE guard must pin every
+    row to bucket 0 with lo == hi edges — the input a profiling query
+    actually meets on constant columns."""
+    import datetime as dt
+
+    from bcg_contacts_data_pipeline_spark.plans.queries import QUERIES
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1, 0, i), 1, "view", 42.5, "{}")
+        for i in range(7)
+    ] + [(99, dt.datetime(2024, 1, 1, 1, 0), 2, "view", None, "{}")]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+    got = QUERIES["value_histogram"](spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.bucket, r.bucket_lo, r.bucket_hi, r.n) == (0, 42.5, 42.5, 7)

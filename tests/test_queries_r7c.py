@@ -573,3 +573,33 @@ def test_compound_balance_matches_python_recurrence(spark):
             bal = bal + bal // 10 + cents
             expect[(reg, m)] = bal
     assert got == expect
+
+
+def test_csv_roundtrip_preserves_nulls(spark, tmp_path):
+    """NULL fields must serialize as EMPTY TSV fields, not vanish:
+    concat_ws drops null args, which would shift every later field
+    left (a NULL c_name would make nationkey parse as the name). Pin
+    the lossless round trip on a null-bearing customer table — one
+    NULL per column position plus a dense row."""
+    from bcg_contacts_data_pipeline_spark.plans.queries_r7c import (
+        csv_line_roundtrip,
+    )
+
+    rows = [
+        ("Customer#1", 5, 100.5),
+        (None, 5, 200.25),  # NULL name: nationkey must NOT shift into name
+        ("Customer#3", 5, None),  # NULL balance
+        ("Customer#4", 7, 50.0),
+    ]
+    spark.createDataFrame(
+        rows, "c_name string, c_nationkey long, c_acctbal double"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/customer.parquet")
+
+    got = {
+        r.c_nationkey: (r.n, r.sum_bal, r.n_names)
+        for r in csv_line_roundtrip(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        5: (3, 300.75, 2),  # NULL balance excluded from sum, NULL name from n_names
+        7: (1, 50.0, 1),
+    }

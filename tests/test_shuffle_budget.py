@@ -98,13 +98,14 @@ BUDGET = {
     "hll_sketch_rollup": 4,
     # JL projection is a pure narrow projection — scan-speed at 100 TB
     "embedding_project": 0,
-    # (label,dim) partial-agg shuffle + centroid reassembly + the size
-    # agg (broadcast-joined back); never a whole group in one task
-    "embedding_centroids": 3,
-    # centroid build (3) + per-vector argmin agg + contingency agg; the
-    # centroid attach is a 10-row broadcast nested-loop (the scalar-
-    # attach pattern, k rows per probe row — not a data shuffle)
-    "kmeans_assign_step": 5,
+    # (label,dim) partial-agg shuffle + the size agg (broadcast-joined
+    # back); output stays exploded so no reassembly shuffle remains
+    "embedding_centroids": 2,
+    # centroid build (2: the exploded form needs no size agg) + per-
+    # vector argmin agg + contingency agg; the centroid attach is a
+    # 10-row broadcast nested-loop (the scalar-attach pattern, k rows
+    # per probe row — not a data shuffle)
+    "kmeans_assign_step": 4,
     # min/max SinglePartition + the bucket agg; bounds attach is a
     # 1-row broadcast
     "value_histogram": 2,

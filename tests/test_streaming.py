@@ -502,3 +502,160 @@ def test_duplicated_source_delivers_replays_and_dedup_collapses(spark, events):
         shuffle_partitions=8,
     )
     assert dd.count() == n
+
+
+def test_session_close_fn_out_of_order_across_batches():
+    """An event legal under the watermark can arrive in a LATER
+    micro-batch than a larger timestamp; the extend branch must keep
+    the stored session end MONOTONE (max), not drag it backwards —
+    a backwards end mis-times the close timer and can mis-split the
+    session on the next batch. Drives the state fn directly with a
+    stub GroupState across two batches."""
+    import pandas as pd
+
+    from bcg_contacts_data_pipeline_spark.streaming.ops import (
+        _make_session_close_fn,
+    )
+
+    class StubState:
+        def __init__(self):
+            self._v = None
+            self.hasTimedOut = False
+            self.timeout = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+        def remove(self):
+            self._v = None
+
+        def setTimeoutTimestamp(self, ms):
+            self.timeout = ms
+
+    gap_us = 60_000_000  # 1 minute
+    fn = _make_session_close_fn(gap_us)
+    state = StubState()
+
+    def batch(*ts_s):
+        return [
+            pd.DataFrame({"ts": pd.to_datetime(list(ts_s), unit="s")})
+        ]
+
+    # batch 1: events at t=100s and t=130s -> open session [100, 130]
+    list(fn((1,), iter(batch(100, 130)), state))
+    assert state.get == (100_000_000, 130_000_000, 2)
+    t1 = state.timeout
+
+    # batch 2: out-of-order event at t=110s (within the session span).
+    # End must stay 130s (monotone), count incremented, timer unmoved.
+    list(fn((1,), iter(batch(110)), state))
+    assert state.get == (100_000_000, 130_000_000, 3)
+    assert state.timeout == t1
+
+    # batch 3: t=115s then a gap-breaking t=300s -> session closes with
+    # the TRUE end 130s, not a dragged-back one
+    out = list(fn((1,), iter(batch(115, 300)), state))
+    assert len(out) == 1
+    closed = out[0]
+    assert closed["session_end"].iloc[0] == pd.Timestamp(130, unit="s")
+    assert closed["n_events"].iloc[0] == 4
+    assert state.get == (300_000_000, 300_000_000, 1)
+
+
+def test_processing_time_trigger_micro_batch_loop(spark, tmp_path):
+    """The operators must not be AvailableNow-only: drive a watermarked
+    windowed aggregation under a real ``processingTime`` trigger — the
+    production micro-batch loop — feeding the file source
+    incrementally and letting ``processAllAvailable`` drain between
+    feeds. Proves (a) the query starts and advances batches under the
+    wall-clock trigger, (b) late-batch data lands in the right window
+    across separate micro-batches, (c) counts match the batch twin."""
+    import datetime as dt
+    import os
+
+    src = f"{tmp_path}/src"
+    os.makedirs(src)
+    ckpt = f"{tmp_path}/ckpt"
+
+    def write_batch(name, rows):
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, event_type string"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/{name}")
+        # move the part file into the watched dir atomically
+        import glob
+        import shutil
+
+        part = glob.glob(f"{tmp_path}/{name}/part-*.parquet")[0]
+        shutil.move(part, f"{src}/{name}.parquet")
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+    write_batch(
+        "b0",
+        [
+            (1, t0, "view"),
+            (2, t0 + dt.timedelta(minutes=10), "view"),
+            (3, t0 + dt.timedelta(hours=1, minutes=5), "click"),
+        ],
+    )
+
+    schema = "event_id long, ts timestamp, event_type string"
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    out = S.windowed_agg(
+        stream, "ts", "1 hour", ["event_type"],
+        [F.count(F.lit(1)).alias("n")], watermark="2 hours",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("__proc_time_smoke")
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first_batch = q.lastProgress["batchId"]
+        got1 = {
+            (r.window_start, r.event_type): r.n
+            for r in spark.sql("SELECT * FROM __proc_time_smoke").collect()
+        }
+        assert got1 == {
+            (t0, "view"): 2,
+            (t0 + dt.timedelta(hours=1), "click"): 1,
+        }
+
+        # second feed: one event into the FIRST window (in-watermark
+        # late data, arriving in a later micro-batch) and one new
+        write_batch(
+            "b1",
+            [
+                (4, t0 + dt.timedelta(minutes=30), "view"),
+                (5, t0 + dt.timedelta(hours=2, minutes=1), "view"),
+            ],
+        )
+        q.processAllAvailable()
+        assert q.lastProgress["batchId"] > first_batch  # the loop advanced
+        got2 = {
+            (r.window_start, r.event_type): r.n
+            for r in spark.sql("SELECT * FROM __proc_time_smoke").collect()
+        }
+        assert got2 == {
+            (t0, "view"): 3,
+            (t0 + dt.timedelta(hours=1), "click"): 1,
+            (t0 + dt.timedelta(hours=2), "view"): 1,
+        }
+    finally:
+        q.stop()
