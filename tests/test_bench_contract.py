@@ -138,10 +138,11 @@ def test_force_head_overrides_recent_certification(tmp_path, monkeypatch):
     new form needs re-checking."""
     import __spark_entry__ as entry
 
+    forced = sorted(entry._FORCE_HEAD)[0]
     monkeypatch.setattr(
         entry,
         "_certification_rounds",
-        lambda root=None: {"dedup_components": 7, "q1_pricing_summary": 7},
+        lambda root=None: {forced: 7, "q1_pricing_summary": 7},
     )
     order = list(entry.queries())
-    assert order.index("dedup_components") < order.index("q1_pricing_summary")
+    assert order.index(forced) < order.index("q1_pricing_summary")
