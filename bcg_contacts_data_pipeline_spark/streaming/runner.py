@@ -50,7 +50,10 @@ def run_available_now(
     partition count for THIS drain (restored afterwards). Every stateful
     streaming operator initializes one state store per shuffle partition
     — per-query fixed cost that dwarfs the data cost on a finite test
-    drain (measured at sf0.1: 32 partitions ≈ 1.4 s/query, 8 ≈ 0.85 s,
+    drain (measured at sf0.1: 32 partitions ≈ 1.4 s/query, 8 ≈ 0.85 s;
+    4 measured within noise of 8 for JVM-stateful shapes but 1.2x
+    SLOWER for the applyInPandasWithState drains, whose per-partition
+    Python workers want the parallelism — so the registry stays at 8,
     identical results). Size it to the drain's state volume; leave None
     to inherit the session setting (what a production stream does).
     """
