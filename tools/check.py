@@ -58,10 +58,23 @@ def main() -> int:
     import __spark_entry__ as entrymod
     from bcg_contacts_data_pipeline_spark.session import TABLES, get_spark
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--vanilla"]
+    vanilla = "--vanilla" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
-    spark = get_spark("correctness-check")
+    if vanilla:
+        # Driver-parity mode: the driver runs queries() under its OWN
+        # bare SparkSession (ANSI on, default 200 shuffle partitions,
+        # no Arrow conf, default driver memory) — none of get_spark's
+        # tuning. Engine semantics must not depend on session config;
+        # this mode proves it. Use a head-count arg (e.g. "head:50")
+        # to replicate the driver's window.
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").getOrCreate()
+    else:
+        spark = get_spark("correctness-check")
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
 
@@ -73,8 +86,16 @@ def main() -> int:
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
+    head = None
+    for o in list(only):
+        if o.startswith("head:"):
+            head = int(o.split(":", 1)[1])
+            only.discard(o)
+
     failures = []
-    for name, fn in queries.items():
+    for i, (name, fn) in enumerate(queries.items()):
+        if head is not None and i >= head:
+            break
         if only and name not in only:
             continue
         try:
