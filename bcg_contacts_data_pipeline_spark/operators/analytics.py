@@ -100,9 +100,11 @@ def funnel_summary(
                 F.lit(i).cast("int").alias("stage"),
                 F.lit(s).alias("event_type"),
                 F.col(f"_n{i}").cast("long").alias("users"),
-                (
-                    F.col(f"_n{i}").cast("double")
-                    / F.col("_n0").cast("double")
+                # try_divide: zero users at stage 0 (empty input) must
+                # yield NULL (DuckDB x/0 semantics), not an ANSI error.
+                F.try_divide(
+                    F.col(f"_n{i}").cast("double"),
+                    F.col("_n0").cast("double"),
                 ).alias("conversion"),
             )
             for i, s in enumerate(stages)

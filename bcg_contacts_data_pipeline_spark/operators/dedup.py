@@ -216,15 +216,22 @@ def renumber(
     for row in sorted(counts, key=lambda r: r["__pid"]):
         offsets[row["__pid"]] = running
         running += row["count"]
-    offset_expr = F.create_map(
-        *[F.lit(x) for kv in offsets.items() for x in kv]
+    # Zero-row input leaves `offsets` empty and create_map() with no args
+    # is map<void,void> — unresolvable under a long lookup key. The offset
+    # is 0 for every (nonexistent) row, so a literal keeps the plan valid.
+    offset_expr = (
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])[
+            F.col("__pid")
+        ]
+        if offsets
+        else F.lit(0)
     )
     w = Window.partitionBy("__pid").orderBy(*cols)
     # Single select (not withColumn+withColumn+drop): each op re-analyzes
     # the full upstream tree — significant driver time on deep plans.
     out = parted.select(
         *[c for c in df.columns],
-        (offset_expr[F.col("__pid")] + F.row_number().over(w)).cast("long").alias(seq_name),
+        (offset_expr + F.row_number().over(w)).cast("long").alias(seq_name),
     )
     # `running` is the total row count the offset pass already paid for;
     # with_total hands it to callers (quantile binning needs N) so they

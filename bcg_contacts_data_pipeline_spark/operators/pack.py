@@ -59,8 +59,14 @@ def global_running_sum(
     for row in sorted(sums, key=lambda r: r["__pid"]):
         offsets[row["__pid"]] = running
         running += row["s"] or 0
-    offset_expr = F.create_map(
-        *[F.lit(x) for kv in offsets.items() for x in kv]
+    # Empty create_map() (zero-row input) is map<void,void> and fails to
+    # resolve under a long key — fall back to a 0 literal (see renumber).
+    offset_expr = (
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])[
+            F.col("__pid")
+        ]
+        if offsets
+        else F.lit(0)
     )
     frame = (
         Window.partitionBy("__pid")
@@ -70,7 +76,7 @@ def global_running_sum(
     local = F.coalesce(F.sum("__v").over(frame), F.lit(0))
     return parted.select(
         *df.columns,
-        (offset_expr[F.col("__pid")] + local).cast("long").alias(out_name),
+        (offset_expr + local).cast("long").alias(out_name),
     )
 
 

@@ -927,7 +927,11 @@ def _recall_frame(found_pairs: DataFrame, truth: DataFrame) -> DataFrame:
     ).select(
         "n_true",
         "n_found",
-        (F.col("n_found").cast("double") / F.col("n_true")).alias("recall"),
+        # try_divide: an empty corpus gives n_true=0; ANSI x/0 throws where
+        # DuckDB (the oracle engine) yields NULL — try_divide matches it.
+        F.try_divide(F.col("n_found").cast("double"), F.col("n_true")).alias(
+            "recall"
+        ),
     )
 
 
@@ -1381,7 +1385,9 @@ def q_jdbc_stage_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = _t(spark, sf_dir, "supplier")
     url = J.scratch_derby_url(f"stage_{sf_dir}")
     J.write_jdbc(sup, url, "supplier_stage", num_partitions=2)
-    hi = sup.agg(F.max("s_suppkey")).first()[0]
+    # max() over an empty staged table is NULL; any positive bound keeps
+    # the partitioned read valid (it just scans zero rows per stride).
+    hi = sup.agg(F.max("s_suppkey")).first()[0] or 0
     back = J.read_jdbc(
         spark,
         url,

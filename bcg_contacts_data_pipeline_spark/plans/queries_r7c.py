@@ -1501,7 +1501,11 @@ def compound_balance_rcte(
     # literal keeps the per-iteration step plan to ONE broadcast join —
     # a subquery bound would re-evaluate inside all 80 iterations. Same
     # bounded-collect budget as the IVF centroids.
+    # max() over zero rows is NULL: horizon -1 makes the recursive step's
+    # WHERE m+1 <= -1 immediately false, so the anchor-only rows (m = -1)
+    # are filtered by the final m >= 0 and an empty input yields 0 rows.
     mx = dep.agg(F.max("m")).collect()[0][0]
+    mx = -1 if mx is None else mx
     return spark.sql(
         f"""
         WITH RECURSIVE bal(r_name, m, balance) AS (

@@ -39,6 +39,19 @@ def get_spark(
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    # cloudpickle serializes package-level UDFs (the mapInPandas media /
+    # similarity kernels) BY REFERENCE, so the Python workers must be able
+    # to import this package. When running from a repo checkout that's only
+    # true if the driver happens to cwd at the repo root (python -m
+    # pyspark.daemon picks up cwd) — put the package parent on PYTHONPATH
+    # explicitly so a driver launched from any directory still works. Must
+    # happen before the gateway JVM starts (workers inherit its env).
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pypath = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pypath.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_root}{os.pathsep}{pypath}" if pypath else pkg_root
+        )
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", cpus))
 

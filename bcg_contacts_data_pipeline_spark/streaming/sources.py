@@ -103,16 +103,32 @@ def events_stream_duplicated(
     # events file is regenerated in place, the staged dir name changes
     # and the copies are rebuilt instead of silently streaming stale
     # data from a prior staging
+    # the table may be a single file (the shipped testdata) or a
+    # Spark-written DIRECTORY of part files — stage the actual data files
+    # either way (flat, so the file stream sees no partition-dir layout)
+    if os.path.isdir(path):
+        srcs = sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    else:
+        srcs = [path]
     st = os.stat(path)
+    sizes = ":".join(str(os.stat(s).st_size) for s in srcs)
+    # "v2" = the flat copy_{i}_{j} naming; a digest that collides with the
+    # pre-directory-support scheme would mix both generations of copies in
+    # one staged dir and over-deliver replays
     digest = hashlib.sha256(
-        f"dup{copies}:{path}:{st.st_mtime_ns}:{st.st_size}".encode()
+        f"dupv2-{copies}:{path}:{st.st_mtime_ns}:{sizes}".encode()
     ).hexdigest()[:16]
     d = os.path.join(tempfile.gettempdir(), f"stream_dup_{digest}")
     os.makedirs(d, exist_ok=True)
     for i in range(copies):
-        dst = os.path.join(d, f"copy_{i}.parquet")
-        if not os.path.exists(dst):
-            shutil.copyfile(path, dst)
+        for j, src in enumerate(srcs):
+            dst = os.path.join(d, f"copy_{i}_{j}.parquet")
+            if not os.path.exists(dst):
+                shutil.copyfile(src, dst)
     schema = spark.read.parquet(path).schema
     raw = file_stream(spark, d, schema)
     return normalize_event_ts(raw)
