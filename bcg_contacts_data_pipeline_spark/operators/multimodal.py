@@ -40,6 +40,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 # ---------------------------------------------------------------------------
@@ -187,7 +188,11 @@ def synthesize_image_payload(
                 }
             )
 
-    return df.select(id_col, text_col).mapInPandas(
+    # NULL text -> no fixture row: the kernels call len(text), and a
+    # row with no text has no derivable media payload
+    return df.select(id_col, text_col).filter(
+        F.col(text_col).isNotNull()
+    ).mapInPandas(
         batches, IMAGE_PAYLOAD_SCHEMA
     )
 
@@ -233,6 +238,11 @@ def decode_image_meta(
                 continue
             rows = []
             for b in pdf[payload_col]:
+                if b is None:
+                    # scrape reality: the row exists, the blob never
+                    # landed — quarantine, don't kill the worker
+                    rows.append((None, None, None, "null payload"))
+                    continue
                 try:
                     w, h, fmt = parse_image_meta(b)
                     rows.append((w, h, fmt, None))
@@ -241,7 +251,10 @@ def decode_image_meta(
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
-                    "n_bytes": [len(b) for b in pdf[payload_col]],
+                    "n_bytes": [
+                        0 if b is None else len(b)
+                        for b in pdf[payload_col]
+                    ],
                     "width": pd.array(
                         [r[0] for r in rows], dtype="Int32"
                     ),
@@ -413,7 +426,11 @@ def synthesize_video_payload(
                 }
             )
 
-    return df.select(id_col, text_col).mapInPandas(
+    # NULL text -> no fixture row: the kernels call len(text), and a
+    # row with no text has no derivable media payload
+    return df.select(id_col, text_col).filter(
+        F.col(text_col).isNotNull()
+    ).mapInPandas(
         batches, VIDEO_PAYLOAD_SCHEMA
     )
 
@@ -531,7 +548,11 @@ def synthesize_audio_payload(
                 }
             )
 
-    return df.select(id_col, text_col).mapInPandas(
+    # NULL text -> no fixture row: the kernels call len(text), and a
+    # row with no text has no derivable media payload
+    return df.select(id_col, text_col).filter(
+        F.col(text_col).isNotNull()
+    ).mapInPandas(
         batches, AUDIO_PAYLOAD_SCHEMA
     )
 

@@ -604,6 +604,17 @@ def simhash_pairs(
     )
 
 
+def _non_null_vectors(df: DataFrame, vec_col: str) -> DataFrame:
+    """Exclude rows whose vector is NULL before any numpy kernel sees the
+    batch: ``np.stack`` over a column with None cells raises (ragged
+    shapes), and a row with no embedding cannot participate in similarity
+    anyway — the same eligibility rule the text operators apply to docs
+    with no tokens. Dirty corpora at scale DO carry null vectors (a failed
+    embed job writes the row with the column missing); dropping them here
+    is the semantics every caller wants and keeps every kernel total."""
+    return df.filter(F.col(vec_col).isNotNull())
+
+
 def _seq_norms(arr: np.ndarray) -> np.ndarray:
     """L2 norms via dimension-sequential accumulation — the exact IEEE add
     order of the ``aggregate(zip_with(...))`` SQL fold (functions/vectors.py),
@@ -672,9 +683,12 @@ def embedding_topk(
 
     out_schema = "query_id long, neighbor_id long, score double"
 
+    df = _non_null_vectors(df, vec_col)
     if queries is not None:
         spark = df.sparkSession
-        qrows = queries.select(id_col, vec_col).collect()
+        qrows = _non_null_vectors(queries, vec_col).select(
+            id_col, vec_col
+        ).collect()
         bc = spark.sparkContext.broadcast(
             ([r[0] for r in qrows], [list(r[1]) for r in qrows])
         )
@@ -810,6 +824,7 @@ def embedding_ann_lsh(
     concentrates, which AQE cannot split (single group key) — the dial
     is more planes, fewer per-bucket rows.
     """
+    df = _non_null_vectors(df, vec_col)
     if num_planes == "auto":
         num_planes = lsh_num_planes(df.count(), target_bucket_rows)
     planes = _hyperplanes(dim, num_planes, seed)
@@ -889,7 +904,9 @@ def embedding_pairs(
     Output: (id_a, id_b) with id_a < id_b, possibly with duplicates.
     """
     B = corpus_blocks
-    base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    base = _non_null_vectors(df, vec_col).select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+    )
     own = F.pmod(F.xxhash64(F.col("__id")), F.lit(B)).cast("int")
     tagged = base.select("__id", "__v", own.alias("__b"))
     # lower side owns block bi, visits cells (bi, bj) for bj >= bi;
@@ -1037,6 +1054,7 @@ def embedding_ann_ivf(
 
         return assign
 
+    df = _non_null_vectors(df, vec_col)
     init = df.orderBy(id_col).limit(n_centroids).select(vec_col).collect()
     cent = np.asarray([list(r[0]) for r in init], dtype=np.float64)
 
@@ -1171,6 +1189,7 @@ def embedding_pairs_lsh(
 
     Output: (id_a, id_b) with id_a < id_b, no duplicates.
     """
+    df = _non_null_vectors(df, vec_col)
     if num_planes == "auto":
         num_planes = lsh_num_planes(df.count(), target_bucket_rows)
     planes = _hyperplanes(dim, num_planes, seed)
