@@ -1,0 +1,125 @@
+"""S12 HTTP control plane parity (reference: backend_api.py:11-52).
+
+Starts the stdlib server on an ephemeral port inside the test process
+(sharing the session fixture's SparkSession so no second JVM spins up)
+and drives the four endpoints with urllib, mirroring what the reference
+frontend does: list scripts, run one, list outputs, fetch the output.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import pytest
+
+from bcg_contacts_data_pipeline_spark.api import make_server
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def server(spark, tmp_path_factory):
+    out = tmp_path_factory.mktemp("control_plane_out")
+    srv = make_server(str(out), sf_dir=SF, spark_factory=lambda: spark)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv, out
+    srv.shutdown()
+    srv.server_close()
+
+
+def _get(srv, path):
+    port = srv.server_address[1]
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}") as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def _post(srv, path, payload):
+    port = srv.server_address[1]
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_scripts_lists_registry(server):
+    srv, _ = server
+    status, body = _get(srv, "/scripts")
+    assert status == 200
+    assert "error_histogram" in body["scripts"]
+    assert "contacts_pipeline_e2e" in body["scripts"]
+    # reference shape: a dict with one "scripts" list
+    assert set(body) == {"scripts"}
+
+
+def test_run_list_fetch_roundtrip(server):
+    srv, out = server
+    status, body = _post(srv, "/run", {"script": "error_histogram"})
+    assert status == 200
+    assert body["returncode"] == 0
+    assert body["rows"] > 0
+    assert body["output"] == "error_histogram.tsv"
+    assert "error_histogram" in body["stdout"]
+
+    status, files = _get(srv, "/output-files")
+    assert status == 200
+    assert "error_histogram.tsv" in files["files"]
+
+    status, content = _get(srv, "/output/error_histogram.tsv")
+    assert status == 200
+    # header row from the engine's single-file TSV sink
+    header = content["content"].splitlines()[0]
+    assert "\t" in header
+    assert len(content["content"].splitlines()) == body["rows"] + 1
+
+
+def test_run_rejects_bad_names(server):
+    srv, _ = server
+    status, body = _post(srv, "/run", {"script": ""})
+    assert status == 400
+    assert body["error"] == "Invalid script name"
+
+    status, body = _post(srv, "/run", {"script": "no_such_query"})
+    assert status == 404
+    assert body["error"] == "Script not found"
+
+
+def test_output_traversal_guarded(server):
+    srv, _ = server
+    status, body = _get(srv, "/output/..%2F..%2Fetc%2Fpasswd")
+    assert status == 404
+    status, body = _get(srv, "/output/missing.tsv")
+    assert status == 404
+
+
+def test_run_spark_error_is_surfaced_not_fatal(server, monkeypatch):
+    """A query that throws returns returncode 1 + stderr, and the server
+    keeps serving (reference behavior: 500 with the error string)."""
+    srv, _ = server
+    from bcg_contacts_data_pipeline_spark.plans import queries as Q
+
+    def boom(spark, sf):
+        raise RuntimeError("synthetic failure")
+
+    monkeypatch.setitem(Q.QUERIES, "error_histogram", boom)
+    status, body = _post(srv, "/run", {"script": "error_histogram"})
+    assert status == 500
+    assert body["returncode"] == 1
+    assert "synthetic failure" in body["stderr"]
+    monkeypatch.undo()
+    # server still alive
+    status, _ = _get(srv, "/scripts")
+    assert status == 200
