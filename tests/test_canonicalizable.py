@@ -61,6 +61,38 @@ def test_output_schema_is_driver_hashable(spark, name):
     )
 
 
+def test_oracle_outputs_are_driver_hashable():
+    """The driver canonicalizes the ORACLE result the same way it does
+    the Spark result, so a DuckDB query returning list/struct cells
+    (e.g. an un-unrolled list(...) constructor) errs identically. Sweep
+    every oracle at sf0.001 — DuckDB-only, no Spark, so it's cheap —
+    and assert all cells are scalars."""
+    import duckdb
+    import numpy as np
+
+    from bcg_contacts_data_pipeline_spark.plans.queries import ORACLE
+    from bcg_contacts_data_pipeline_spark.session import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'"
+        )
+    bad: dict[str, list[str]] = {}
+    for name, sql in ORACLE.items():
+        df = con.execute(sql).df()
+        for c in df.columns:
+            if any(
+                isinstance(v, (list, tuple, dict, np.ndarray))
+                for v in df[c].head(50)
+            ):
+                bad.setdefault(name, []).append(c)
+    assert not bad, (
+        f"oracles returning complex-typed cells (driver canonicalizer "
+        f"cannot hash them): {bad}"
+    )
+
+
 def test_streaming_outputs_are_driver_hashable(spark):
     """One combined sweep for the streaming family (each call runs a
     real availableNow stream, so don't parametrize into N restarts —
