@@ -1,0 +1,188 @@
+"""Measured scale-up probe: does the plan shape survive 10x / 100x data?
+
+Builds a referentially-consistent Fx replica of sf0.1 under
+``.scale/x{F}/`` (gitignored, deletable), then times one representative
+query per architecture family at 1x and Fx and reports the wall-clock
+ratio next to the ideal-linear bound. This turns the per-query "scales"
+claims (PLANS.md, docstrings) into numbers: a linear-design query at 10x
+data should cost <= ~10x wall (usually much less, since per-query fixed
+overhead — planning, codegen, Python worker spin-up — amortizes).
+
+Scale model ("more data, same distribution"): each fact/entity table is
+replicated F times with every key column shifted by ``i * stride`` so
+joins stay valid, group COUNT scales Fx while per-group size stays
+constant for TPC-H-ish keys, and the two fixed dimensions (region,
+nation) keep their real-world shape: they do NOT grow with the fact
+data, which is exactly why the engine broadcast-joins them.
+
+Documents/embeddings replicate with their text/vector payload UNCHANGED,
+so every document gains F-1 exact cross-replica duplicates. That is
+deliberate: web-scale corpora are full of exact dups, and the dedup /
+similarity operators' caps (max_df posting-list caps, LSH auto-planes,
+hot-bucket caps) exist precisely for this shape — the probe measures
+them under it.
+
+Usage:
+    python tools/scale_probe.py [--factor 10] [--tier2 100] [--keep]
+
+Writes SCALE.md at the repo root. Cleans .scale/ afterwards unless
+--keep.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+SRC = "/root/testdata/sf0.1"
+
+# key columns to shift per table: {table: {column: stride}}
+# strides are clean decimal powers above each keyspace's max so replica
+# key ranges never collide.
+KEYS = {
+    "customer": {"c_custkey": 100_000},
+    "orders": {"o_orderkey": 1_000_000, "o_custkey": 100_000},
+    "lineitem": {
+        "l_orderkey": 1_000_000,
+        "l_partkey": 100_000,
+        "l_suppkey": 10_000,
+    },
+    "part": {"p_partkey": 100_000},
+    "supplier": {"s_suppkey": 10_000},
+    "events": {"event_id": 1_000_000, "user_id": 1_000_000},
+    "documents": {"doc_id": 100_000},
+    "embeddings": {"vec_id": 100_000},
+}
+DIMS = ["region", "nation"]  # fixed-shape dimensions: copied once
+
+# One query per architecture family; (name, claimed design) pairs. The
+# claim is what PLANS.md / the docstring asserts; the probe checks it.
+PROBE = [
+    ("q1_pricing_summary", "scan + codegen aggregate"),
+    ("q9_product_profit", "multi-join, broadcast dims"),
+    ("exact_dedup", "hash-groupBy dedup"),
+    ("dedup_merge", "most-complete merge (max_by)"),
+    ("orders_global_rank", "two-pass global renumber"),
+    ("pack_shards", "partition-offset shard packing"),
+    ("hll_sketch_rollup", "mergeable sketch rollup"),
+    ("token_stats", "text Catalyst expressions"),
+    ("ngram_jaccard", "capped posting-list pair gen"),
+    ("dedup_components", "iterative CC, capped edges"),
+    ("embedding_ann_lsh", "LSH ANN, auto planes"),
+    ("sessionize", "window sessionization"),
+    ("stream_hourly_counts", "streaming AvailableNow drain"),
+    ("contacts_pipeline_e2e", "flagship e2e pipeline"),
+]
+# cheapest strictly-linear ops, re-run at the second tier for a
+# two-decade scaling curve
+TIER2 = ["q1_pricing_summary", "exact_dedup", "hll_sketch_rollup",
+         "orders_global_rank"]
+
+
+def build_scaled(factor: int, dest: str) -> None:
+    import duckdb
+
+    os.makedirs(dest, exist_ok=True)
+    con = duckdb.connect()
+    for t in DIMS:
+        con.execute(
+            f"COPY (SELECT * FROM '{SRC}/{t}.parquet') TO "
+            f"'{dest}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    for t, shifts in KEYS.items():
+        cols = [
+            r[0]
+            for r in con.execute(
+                f"DESCRIBE SELECT * FROM '{SRC}/{t}.parquet'"
+            ).fetchall()
+        ]
+        sel = ", ".join(
+            f"({c} + r.i * {shifts[c]}) AS {c}" if c in shifts else c
+            for c in cols
+        )
+        con.execute(
+            f"COPY (SELECT {sel} FROM '{SRC}/{t}.parquet', "
+            f"range(0, {factor}) r(i)) TO '{dest}/{t}.parquet' "
+            f"(FORMAT PARQUET)"
+        )
+    con.close()
+
+
+def time_query(spark, name: str, sf_dir: str, runs: int = 2) -> float:
+    from bcg_contacts_data_pipeline_spark.plans.queries import QUERIES
+
+    best = None
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        dt = time.perf_counter() - t0
+        best = dt if best is None or dt < best else best
+        spark.catalog.clearCache()
+    return best
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--tier2", type=int, default=100)
+    ap.add_argument("--keep", action="store_true")
+    args = ap.parse_args()
+
+    from bcg_contacts_data_pipeline_spark.session import get_spark
+
+    scale_root = os.path.join(ROOT, ".scale")
+    d1 = os.path.join(scale_root, f"x{args.factor}")
+    d2 = os.path.join(scale_root, f"x{args.tier2}")
+    for factor, dest in ((args.factor, d1), (args.tier2, d2)):
+        if os.path.exists(os.path.join(dest, "lineitem.parquet")):
+            print(f"# reusing {dest}", file=sys.stderr)
+            continue
+        print(f"# building {factor}x replica ...", file=sys.stderr)
+        build_scaled(factor, dest)
+
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm-up, untimed (same rationale as bench.py)
+    spark.read.parquet(f"{SRC}/lineitem.parquet").groupBy(
+        "l_returnflag"
+    ).count().write.format("noop").mode("overwrite").save()
+    spark.range(1000).mapInPandas(lambda it: it, "id long").write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    rows: list[dict] = []
+    for name, claim in PROBE:
+        t1 = time_query(spark, name, SRC)
+        tf = time_query(spark, name, d1)
+        entry = {
+            "query": name,
+            "claim": claim,
+            "t_1x": round(t1, 2),
+            f"t_{args.factor}x": round(tf, 2),
+            "ratio": round(tf / t1, 1),
+        }
+        if name in TIER2:
+            t2 = time_query(spark, name, d2)
+            entry[f"t_{args.tier2}x"] = round(t2, 2)
+            entry["ratio2"] = round(t2 / t1, 1)
+        rows.append(entry)
+        print(f"# {json.dumps(entry)}", file=sys.stderr)
+
+    print(json.dumps({"factor": args.factor, "rows": rows}))
+
+    if not args.keep:
+        shutil.rmtree(scale_root, ignore_errors=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
