@@ -100,7 +100,8 @@ def read_jdbc(
 
 
 def jdbc_upsert_writer(url: str, table: str, keys: list[str],
-                       driver: str = DERBY_DRIVER):
+                       driver: str = DERBY_DRIVER,
+                       max_keys: int = 100_000):
     """foreachBatch function maintaining a keyed JDBC table from an
     update-mode stream: each micro-batch's rows REPLACE the table's
     rows with the same key (latest batch wins, tracked by a __v
@@ -120,6 +121,13 @@ def jdbc_upsert_writer(url: str, table: str, keys: list[str],
     (keys x metrics, not events); against Postgres/MySQL swap the body
     for a real `INSERT .. ON CONFLICT` via the DB driver and nothing
     else changes.
+
+    The bound is ENFORCED, not just documented: before collecting, the
+    base table's row count is checked against ``max_keys`` (default
+    100k). A sink whose key cardinality outgrows that — i.e. the
+    "aggregate table" is silently becoming an event table — fails fast
+    with the ON CONFLICT guidance instead of degrading into a
+    driver-side collect of the whole materialized view.
     """
     from pyspark.sql import functions as F
 
@@ -130,10 +138,24 @@ def jdbc_upsert_writer(url: str, table: str, keys: list[str],
         updates = batch_df.withColumn("__v", F.lit(int(batch_id)).cast("long"))
         try:
             base_lazy = read_jdbc(spark, url, table, driver=driver)
-            base = spark.createDataFrame(
-                base_lazy.collect(), updates.schema
-            )
+            n = base_lazy.count()
         except Exception:
+            base_lazy, n = None, 0
+        if n > max_keys:
+            raise RuntimeError(
+                f"jdbc_upsert_writer: base table {table!r} holds {n} rows, "
+                f"over the max_keys={max_keys} driver-collect bound. This "
+                "sink materializes the keyed aggregate on the driver each "
+                "micro-batch (Derby has no MERGE through Spark's JDBC "
+                "writer); at this key cardinality, point the sink at "
+                "Postgres/MySQL and swap the merge body for a per-batch "
+                "`INSERT ... ON CONFLICT (keys) DO UPDATE` via the DB "
+                "driver, or raise max_keys explicitly if the collect is "
+                "genuinely acceptable."
+            )
+        if base_lazy is not None:
+            base = spark.createDataFrame(base_lazy.collect(), updates.schema)
+        else:
             base = spark.createDataFrame([], updates.schema)
         merged = upsert_latest(base, updates, keys, "__v")
         write_jdbc(merged, url, table, mode="overwrite", driver=driver)

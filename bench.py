@@ -91,7 +91,7 @@ def main() -> None:
     # Isolation pass: this host swings per-query wall times ±30% (one 9×
     # outlier on record), so a full-run delta alone can't distinguish a
     # regression from co-tenant noise. Any query whose full-run number
-    # moved >40% vs the prior round's bench_full.json is re-measured
+    # moved >30% vs the prior round's bench_full.json is re-measured
     # cold-ish: min of 3 back-to-back runs after a cache clear. The
     # artifact records full-run, isolated, and prior side by side, so a
     # round-over-round delta is adjudicated machine-readably instead of
@@ -102,7 +102,7 @@ def main() -> None:
             for n, t in timings.items()
             if n in prior
             and prior[n] > 0
-            and abs(t - prior[n]) / prior[n] > 0.40
+            and abs(t - prior[n]) / prior[n] > 0.30
         ]
         movers.sort(key=lambda n: timings[n], reverse=True)
         isolated: dict[str, dict[str, float]] = {}

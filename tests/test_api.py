@@ -123,3 +123,45 @@ def test_run_spark_error_is_surfaced_not_fatal(server, monkeypatch):
     # server still alive
     status, _ = _get(srv, "/scripts")
     assert status == 200
+
+
+def test_run_timeout_cancels_job_group(server, spark, monkeypatch):
+    """Reference parity for backend_api.py:26's 300 s subprocess timeout:
+    the subprocess kill maps to Spark job-group cancellation. A run that
+    outlives its deadline must (a) return an error response instead of
+    hanging, and (b) leave NO orphaned Spark jobs behind — the job group
+    is actually cancelled, not abandoned."""
+    import time
+
+    srv, _ = server
+    from bcg_contacts_data_pipeline_spark.plans import queries as Q
+
+    def eternal(spark_, sf):
+        # pure-JVM long scan: whole-stage codegen checks shouldStop()
+        # between batches, so cancellation lands promptly
+        return spark_.range(1 << 60).selectExpr("sum(id) as s")
+
+    monkeypatch.setitem(Q.QUERIES, "error_histogram", eternal)
+    t0 = time.time()
+    status, body = _post(srv, "/run", {"script": "error_histogram", "timeout": 1})
+    took = time.time() - t0
+    monkeypatch.undo()
+
+    assert status == 500
+    assert body["returncode"] == 1
+    assert body["stderr"]  # the cancellation surfaced as an error string
+    # returned promptly (cancelled), not after the scan finished
+    assert took < 60
+
+    # no orphaned jobs: the cancelled group's jobs drain from the tracker
+    tracker = spark.sparkContext.statusTracker()
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        if not tracker.getActiveJobsIds():
+            break
+        time.sleep(0.5)
+    assert not tracker.getActiveJobsIds(), "cancelled run left active jobs"
+
+    # server still alive and able to run real work afterwards
+    status, body = _post(srv, "/run", {"script": "error_histogram"})
+    assert status == 200 and body["rows"] > 0

@@ -160,3 +160,38 @@ def test_streaming_upsert_maintains_jdbc_rollup(spark, tmp_path):
         for r in J.read_jdbc(spark, url, table).collect()
     }
     assert again == want
+
+
+def test_upsert_writer_refuses_oversized_base(spark, tmp_path):
+    """The upsert sink's driver-side merge collect is bounded: once the
+    maintained table's key cardinality exceeds max_keys, the writer must
+    fail fast with the documented ON CONFLICT guidance instead of
+    silently collecting the whole materialized view on the driver."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from bcg_contacts_data_pipeline_spark.io import jdbc as J
+
+    url = J.scratch_derby_url(f"upsert_guard_{tmp_path.name}")
+    table = "guarded_rollup"
+
+    # seed a 5-key base table that already carries the writer's __v column
+    base = spark.range(5).select(
+        F.col("id").alias("k"),
+        F.lit(1.0).alias("metric"),
+        F.lit(0).cast("long").alias("__v"),
+    )
+    J.write_jdbc(base, url, table)
+
+    batch = spark.range(1).select(
+        F.col("id").alias("k"), F.lit(9.0).alias("metric")
+    )
+    writer = J.jdbc_upsert_writer(url, table, ["k"], max_keys=3)
+    with pytest.raises(RuntimeError, match="ON CONFLICT"):
+        writer(batch, 1)
+
+    # under the bound the same batch merges fine (latest batch wins)
+    ok_writer = J.jdbc_upsert_writer(url, table, ["k"], max_keys=100)
+    ok_writer(batch, 1)
+    got = {r.k: r.metric for r in J.read_jdbc(spark, url, table).collect()}
+    assert got[0] == 9.0 and len(got) == 5

@@ -659,3 +659,85 @@ def test_processing_time_trigger_micro_batch_loop(spark, tmp_path):
         }
     finally:
         q.stop()
+
+
+def test_statestore_reader_reconciles_open_sessions(spark, events, tmp_path):
+    """Production state introspection (Spark 4 state data source): after a
+    finite drain of the emit-on-close sessionizer, read the checkpoint's
+    state store back as a batch DataFrame and reconcile EXACTLY:
+
+        emitted sessions  ∪  open sessions still in state
+            ==  batch sessionization of the full input
+
+    This is the engine's analogue of the reference's audit-log-as-oracle
+    pattern (`fill_missing_contacts.py:124-131`: every mutation is
+    journaled so the final state can be re-derived and checked) — here
+    the journal is the checkpoint itself, and the state source makes it
+    queryable for ops/debugging without touching the running stream.
+    """
+    from bcg_contacts_data_pipeline_spark.operators.temporal import sessionize
+
+    gap_us = 1_800_000_000  # 30 minutes
+
+    # drain to a durable file sink so the checkpoint survives the query
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    st = S.events_stream(spark, SF).select("user_id", "ts")
+    sess = S.session_close_stream(
+        st, "ts", gap="30 minutes", watermark="30 minutes"
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        S.run_to_files(sess, out_dir, ckpt, output_mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    emitted = {
+        (r.user_id, r.start_us, r.end_us, r.n_events)
+        for r in spark.read.parquet(out_dir)
+        .select(
+            "user_id",
+            F.unix_micros("session_start").alias("start_us"),
+            F.unix_micros("session_end").alias("end_us"),
+            "n_events",
+        )
+        .collect()
+    }
+
+    # the state-metadata source names the operator and its store layout
+    md = spark.read.format("state-metadata").load(ckpt).collect()
+    assert [m.operatorName for m in md] == ["applyInPandasWithState"]
+    assert md[0].numPartitions == 8
+
+    # the statestore source exposes key + user state + registered timer
+    state = spark.read.format("statestore").option("path", ckpt).load()
+    open_rows = state.select(
+        F.col("key.user_id").alias("user_id"),
+        F.col("value.groupState.start").alias("start_us"),
+        F.col("value.groupState.end").alias("end_us"),
+        F.col("value.groupState.n").alias("n_events"),
+        F.col("value.timeoutTimestamp").alias("timer_ms"),
+    ).collect()
+    in_state = {
+        (r.user_id, r.start_us, r.end_us, r.n_events) for r in open_rows
+    }
+    assert in_state, "finite drain should leave at least one open session"
+
+    # each open session's registered timer is exactly ceil((end+gap)/1ms)
+    for r in open_rows:
+        assert r.timer_ms == -(-(r.end_us + gap_us) // 1000)
+
+    # exact reconciliation against the batch twin
+    want = {
+        (r.user_id, r.start_us, r.end_us, r.n)
+        for r in sessionize(events, "user_id", "ts", gap_us, "event_id")
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.unix_micros(F.min("ts")).alias("start_us"),
+            F.unix_micros(F.max("ts")).alias("end_us"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert emitted.isdisjoint(in_state)
+    assert emitted | in_state == want

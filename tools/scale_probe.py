@@ -41,7 +41,8 @@ import time
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
-SRC = "/root/testdata/sf0.1"
+# same env override as bench.py so the two tools agree on data location
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # key columns to shift per table: {table: {column: stride}}
 # strides are clean decimal powers above each keyspace's max so replica
@@ -143,11 +144,17 @@ def main() -> int:
     d1 = os.path.join(scale_root, f"x{args.factor}")
     d2 = os.path.join(scale_root, f"x{args.tier2}")
     for factor, dest in ((args.factor, d1), (args.tier2, d2)):
-        if os.path.exists(os.path.join(dest, "lineitem.parquet")):
+        if os.path.isdir(dest):
+            # the atomic rename below guarantees a dest dir is complete
             print(f"# reusing {dest}", file=sys.stderr)
             continue
         print(f"# building {factor}x replica ...", file=sys.stderr)
-        build_scaled(factor, dest)
+        # build into a temp dir and rename on success so an interrupted
+        # build never leaves a partial replica that a rerun would trust
+        tmp = dest + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        build_scaled(factor, tmp)
+        os.rename(tmp, dest)
 
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -178,10 +185,75 @@ def main() -> int:
         print(f"# {json.dumps(entry)}", file=sys.stderr)
 
     print(json.dumps({"factor": args.factor, "rows": rows}))
+    write_scale_md(rows, args.factor, args.tier2)
 
     if not args.keep:
         shutil.rmtree(scale_root, ignore_errors=True)
     return 0
+
+
+def write_scale_md(rows: list[dict], factor: int, tier2: int) -> None:
+    """Render the measured ratio table to SCALE.md at the repo root.
+
+    A query passes when its measured wall-clock ratio at Fx data is <=
+    the ideal-linear bound F (fixed per-query overhead — planning,
+    codegen, Python worker spin-up — means well-designed queries land
+    well under F). Super-linear rows are flagged and must get a named
+    fix in PERF.md.
+    """
+    fx, f2 = f"t_{factor}x", f"t_{tier2}x"
+    lines = [
+        "# SCALE — measured scale-up probe",
+        "",
+        f"`tools/scale_probe.py` run against `{SRC}` on local[32]: each",
+        f"query timed (min of 2, noop sink, cache cleared between runs) at",
+        f"1x and {factor}x data; the strictly-linear tier additionally at",
+        f"{tier2}x. The replica is referentially consistent (keys shifted",
+        "per replica; region/nation dimensions stay fixed-shape, which is",
+        "why they broadcast). Documents/embeddings replicate with payloads",
+        "unchanged, so every document gains exact cross-replica duplicates",
+        "— deliberately stressing the dedup/similarity caps.",
+        "",
+        f"**Pass rule:** ratio <= ideal-linear bound ({factor}x data ->",
+        f"<= {factor}x wall; {tier2}x -> <= {tier2}x wall).",
+        "",
+        f"| query | claimed design | t_1x (s) | t_{factor}x (s) |"
+        f" ratio | bound | t_{tier2}x (s) | ratio | bound | verdict |",
+        "|---|---|---|---|---|---|---|---|---|---|",
+    ]
+    worst = []
+    for r in rows:
+        ok1 = r["ratio"] <= factor
+        has2 = f2 in r
+        ok2 = (not has2) or r["ratio2"] <= tier2
+        verdict = "linear-ok" if (ok1 and ok2) else "SUPER-LINEAR"
+        if verdict != "linear-ok":
+            worst.append(r["query"])
+        lines.append(
+            f"| `{r['query']}` | {r['claim']} | {r['t_1x']} | {r[fx]} |"
+            f" {r['ratio']}x | {factor}x |"
+            f" {r.get(f2, '—')} | {str(r.get('ratio2', '—')) + 'x' if has2 else '—'} |"
+            f" {tier2 if has2 else '—'}{'x' if has2 else ''} | {verdict} |"
+        )
+    lines += [
+        "",
+        (
+            "**All probed families are at or under the ideal-linear bound.**"
+            if not worst
+            else "**SUPER-LINEAR rows needing a PERF.md fix:** "
+            + ", ".join(f"`{q}`" for q in worst)
+        ),
+        "",
+        "Raw rows (machine-readable, mirrored on stdout):",
+        "",
+        "```json",
+        json.dumps({"factor": factor, "tier2": tier2, "rows": rows}),
+        "```",
+        "",
+    ]
+    with open(os.path.join(ROOT, "SCALE.md"), "w") as f:
+        f.write("\n".join(lines))
+    print(f"# wrote {os.path.join(ROOT, 'SCALE.md')}", file=sys.stderr)
 
 
 if __name__ == "__main__":
