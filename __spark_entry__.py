@@ -79,18 +79,10 @@ def _certification_rounds(root: str | None = None) -> dict[str, int]:
 #: driver's 50-row window exactly when its new form needs re-checking.
 #: Names here sort as if never certified. Curate per round; stale names
 #: are harmless (they just re-verify).
-_FORCE_HEAD = {
-    # r8: reshaped from array outputs to exploded scalar rows (the r7
-    # driver-err fix); oracles unrolled to match. Both are also
-    # never-certified so they'd sort to the head anyway — listed for
-    # the audit trail.
-    "embedding_project",
-    "embedding_centroids",
-    # r8: NULL fields now serialize as empty TSV fields (coalesce),
-    # oracle mirrored
-    "csv_line_roundtrip",
-    # r8: degenerate hi==lo guard added on both engines
-    "value_histogram",
+_FORCE_HEAD: set[str] = {
+    # r9: no existing query's semantics or oracle changed this round.
+    # The round's one new query (statestore_open_sessions) is
+    # never-certified, so it sorts to the head without a listing.
 }
 
 

@@ -60,11 +60,15 @@ import glob as globmod
 import json
 import os
 
+import uuid
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 
@@ -129,6 +133,9 @@ class ContactsTSVDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> "ContactsTSVStreamReader":
         return ContactsTSVStreamReader(dict(self.options))
+
+    def writer(self, schema, overwrite: bool) -> "ContactsTSVWriter":
+        return ContactsTSVWriter(dict(self.options), schema, overwrite)
 
 
 def _parse_registry(options: dict) -> dict[str, list[str]]:
@@ -298,3 +305,110 @@ class ContactsTSVStreamReader(SimpleDataSourceStreamReader):
                 f"replay needs committed files that vanished: {sorted(missing)}"
             )
         return iter(list(self._rows(paths)))
+
+
+class _TSVCommit(WriterCommitMessage):
+    """One per task: (staged temp basename or None if the partition was
+    empty, final basename, row count). Must stay picklable."""
+
+    def __init__(self, tmp: str | None, final: str, rows: int):
+        self.tmp = tmp
+        self.final = final
+        self.rows = rows
+
+
+class ContactsTSVWriter(DataSourceWriter):
+    """Batch write path of ``contacts_tsv`` — the third leg of the API
+    surface next to the batch and streaming readers:
+
+        df.write.format("contacts_tsv").option("path", dir)
+          .mode("overwrite" | "append").save()
+
+    (an explicit mode is required: Spark rejects Python data-source
+    writes in the default ErrorIfExists/Ignore modes)
+
+    Emits one header-ful TSV per non-empty partition (``part-<id>.tsv``)
+    using the same dialect the engine's single-file exporter and the
+    reference's `to_csv(sep='\\t')` produce (tab delimiter, minimal
+    quoting, NULL as empty field) — so a directory written here reads
+    straight back through the ``contacts_tsv`` reader or `read_tsv`.
+
+    Commit protocol (two-phase, task-failure safe):
+
+    - each task writes to a job-unique hidden temp name
+      (``.contacts-tsv-<job>-<uuid>.tmp``) and returns a commit message;
+    - ``commit`` (driver, all tasks succeeded) renames temps to their
+      final names — and in overwrite mode first deletes the *.tsv files
+      that predate this job;
+    - ``abort`` deletes every temp the job staged, including orphans
+      from retried/speculative attempts (matched by the job prefix), so
+      a failed job leaves the directory byte-identical to before.
+
+    Same filesystem contract as the reader: one POSIX directory visible
+    at the same path on driver and executors. Values serialize with
+    ``str()``; non-string columns round-trip through the all-string
+    reader schema as their string forms.
+    """
+
+    def __init__(self, options: dict, schema, overwrite: bool):
+        if "path" not in options:
+            raise ValueError(
+                "contacts_tsv requires a 'path' option (target directory)"
+            )
+        self.directory = options["path"]
+        self.fields = [f.name for f in schema.fields]
+        self.overwrite = overwrite
+        self.job_id = uuid.uuid4().hex[:12]
+
+    def _tmp_name(self) -> str:
+        return f".contacts-tsv-{self.job_id}-{uuid.uuid4().hex[:8]}.tmp"
+
+    def write(self, iterator) -> _TSVCommit:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        # job id in the final name (Spark part-file convention): append
+        # jobs never collide with files from earlier jobs, and a task
+        # retry of the same partition still maps to one final name
+        final = f"part-{pid:05d}-{self.job_id}.tsv"
+        os.makedirs(self.directory, exist_ok=True)
+        tmp = self._tmp_name()
+        tmp_path = os.path.join(self.directory, tmp)
+        rows = 0
+        with open(tmp_path, "w", newline="", encoding="utf-8") as fh:
+            w = csv.writer(fh, delimiter="\t")
+            w.writerow(self.fields)
+            for row in iterator:
+                w.writerow(
+                    "" if v is None else str(v) for v in row
+                )
+                rows += 1
+        if rows == 0:
+            os.remove(tmp_path)
+            return _TSVCommit(None, final, 0)
+        return _TSVCommit(tmp, final, rows)
+
+    def _job_temps(self) -> list[str]:
+        return globmod.glob(
+            os.path.join(self.directory, f".contacts-tsv-{self.job_id}-*.tmp")
+        )
+
+    def commit(self, messages) -> None:
+        staged = {
+            m.tmp: m.final for m in messages if m is not None and m.tmp
+        }
+        if self.overwrite:
+            for old in globmod.glob(os.path.join(self.directory, "*.tsv")):
+                os.remove(old)
+        for tmp, final in staged.items():
+            os.replace(
+                os.path.join(self.directory, tmp),
+                os.path.join(self.directory, final),
+            )
+        # orphaned temps from retried/speculative attempts
+        for leftover in self._job_temps():
+            os.remove(leftover)
+
+    def abort(self, messages) -> None:
+        for leftover in self._job_temps():
+            os.remove(leftover)

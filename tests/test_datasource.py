@@ -196,3 +196,110 @@ def test_streaming_source_picks_up_new_files_exactly_once(
 
     S.run_to_files(st, out, ckpt)  # no new files -> no new rows
     assert spark.read.parquet(out).count() == 3
+
+
+# ---------------------------------------------------------------------------
+# Batch WRITE path (df.write.format("contacts_tsv"))
+# ---------------------------------------------------------------------------
+
+
+def test_writer_roundtrips_through_reader(registered, tmp_path):
+    """Write a DataFrame out as a TSV directory and read it straight back
+    through the same format: values, NULL-as-empty-field, and the header
+    dialect must all survive the round trip."""
+    import pyspark.sql.functions as F
+
+    spark = registered
+    out = str(tmp_path / "export")
+    df = spark.createDataFrame(
+        [("ada", "ada@x.org"), ("grace", None), ("alan\tturing", "alan@x.org")],
+        "firstname string, email string",
+    )
+    df.repartition(2).write.format("contacts_tsv").option("path", out).mode(
+        "append"
+    ).save()
+
+    files = sorted(os.listdir(out))
+    assert files and all(f.startswith("part-") and f.endswith(".tsv") for f in files)
+    identity = json.dumps({"firstname": [], "email": []})
+    back = (
+        spark.read.format("contacts_tsv")
+        .option("path", out)
+        .option("registry", identity)
+        .load()
+        .select("firstname", "email")
+    )
+    got = {(r.firstname, r.email) for r in back.collect()}
+    # blank fields read back as NULL; the embedded tab survives quoting
+    assert got == {("ada", "ada@x.org"), ("grace", None), ("alan\tturing", "alan@x.org")}
+
+
+def test_writer_overwrite_and_append_modes(registered, tmp_path):
+    spark = registered
+    out = str(tmp_path / "modes")
+    one = spark.createDataFrame([("a",)], "v string").coalesce(1)
+    two = spark.createDataFrame([("b",)], "v string").coalesce(1)
+    identity = json.dumps({"v": []})
+
+    one.write.format("contacts_tsv").option("path", out).mode("append").save()
+    two.write.format("contacts_tsv").option("path", out).mode("append").save()
+    vals = {
+        r.v
+        for r in spark.read.format("contacts_tsv")
+        .option("path", out)
+        .option("registry", identity)
+        .load()
+        .collect()
+    }
+    assert vals == {"a", "b"}
+
+    two.write.format("contacts_tsv").option("path", out).mode("overwrite").save()
+    vals = {
+        r.v
+        for r in spark.read.format("contacts_tsv")
+        .option("path", out)
+        .option("registry", identity)
+        .load()
+        .collect()
+    }
+    assert vals == {"b"}
+    # no staging temps left behind
+    assert not [f for f in os.listdir(out) if f.endswith(".tmp")]
+
+
+def test_writer_failed_job_leaves_directory_intact(registered, tmp_path):
+    """Two-phase commit: a job that fails mid-write must neither clobber
+    the existing files (even in overwrite mode) nor leave temp files."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    spark = registered
+    out = str(tmp_path / "atomic")
+    seed = spark.createDataFrame([("keep",)], "v string").coalesce(1)
+    seed.write.format("contacts_tsv").option("path", out).mode("append").save()
+    before = {
+        f: os.path.getmtime(os.path.join(out, f)) for f in os.listdir(out)
+    }
+
+    @F.udf("string")
+    def boom(v):
+        raise RuntimeError("synthetic task failure")
+
+    bad = spark.createDataFrame([("x",)], "v string").select(boom("v").alias("v"))
+    with _pytest.raises(Exception):
+        bad.write.format("contacts_tsv").option("path", out).mode(
+            "overwrite"
+        ).save()
+
+    after = {
+        f: os.path.getmtime(os.path.join(out, f)) for f in os.listdir(out)
+    }
+    assert after == before  # byte-identical directory: no temps, no deletes
+
+
+def test_writer_requires_path_option(registered):
+    import pytest as _pytest
+
+    df = registered.createDataFrame([("x",)], "v string")
+    with _pytest.raises(Exception, match="path"):
+        df.write.format("contacts_tsv").mode("append").save()

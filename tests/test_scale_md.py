@@ -1,0 +1,80 @@
+"""SCALE.md freshness gate.
+
+SCALE.md is the measured scale-up evidence behind the per-query "scales"
+claims (PLANS.md, docstrings): `tools/scale_probe.py` times one query per
+architecture family at 1x and Fx (and the strictly-linear tier at F2x)
+and writes the ratio table plus a machine-readable JSON block. This test
+pins the artifact's contract so a probe rerun that breaks the format —
+or a committed SCALE.md whose numbers violate the ideal-linear bound —
+fails CI instead of silently rotting.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PATH = os.path.join(ROOT, "SCALE.md")
+
+# families the probe must keep covering (a subset of its PROBE list —
+# one per architecture family named in VERDICT/PLANS)
+REQUIRED = {
+    "q1_pricing_summary",      # scan + codegen aggregate
+    "exact_dedup",             # hash-groupBy dedup
+    "orders_global_rank",      # two-pass global renumber
+    "ngram_jaccard",           # capped posting-list pair generation
+    "dedup_components",        # iterative connected components
+    "embedding_ann_lsh",       # LSH ANN bucketing
+    "stream_hourly_counts",    # streaming AvailableNow drain
+    "contacts_pipeline_e2e",   # flagship end-to-end pipeline
+}
+
+
+@pytest.fixture(scope="module")
+def payload():
+    if not os.path.exists(PATH):
+        pytest.fail("SCALE.md missing — run `python tools/scale_probe.py`")
+    with open(PATH) as f:
+        text = f.read()
+    m = re.search(r"```json\n(.*?)\n```", text, re.S)
+    assert m, "SCALE.md lost its machine-readable ```json block"
+    return json.loads(m.group(1))
+
+
+def test_scale_md_parses_and_covers_families(payload):
+    assert payload["factor"] >= 10
+    names = {r["query"] for r in payload["rows"]}
+    missing = REQUIRED - names
+    assert not missing, f"scale probe dropped families: {missing}"
+    for r in payload["rows"]:
+        # every row carries both timings and a derived ratio
+        fx = f"t_{payload['factor']}x"
+        assert r["t_1x"] > 0 and r[fx] > 0
+        assert r["ratio"] == pytest.approx(
+            round(r[fx] / r["t_1x"], 1), abs=0.05
+        )
+
+
+def test_scale_ratios_within_linear_bound(payload):
+    """The committed evidence must actually support the claims: every
+    probed query's measured Fx ratio is at or under ideal-linear. A row
+    over the bound means a real super-linear design (or a contaminated
+    run) — either way it must not sit in the repo as 'evidence'."""
+    factor, tier2 = payload["factor"], payload.get("tier2")
+    over = {
+        r["query"]: r["ratio"]
+        for r in payload["rows"]
+        if r["ratio"] > factor
+    }
+    assert not over, f"super-linear at {factor}x: {over}"
+    if tier2:
+        over2 = {
+            r["query"]: r["ratio2"]
+            for r in payload["rows"]
+            if "ratio2" in r and r["ratio2"] > tier2
+        }
+        assert not over2, f"super-linear at {tier2}x: {over2}"
