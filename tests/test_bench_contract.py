@@ -138,7 +138,10 @@ def test_force_head_overrides_recent_certification(tmp_path, monkeypatch):
     new form needs re-checking."""
     import __spark_entry__ as entry
 
-    forced = sorted(entry._FORCE_HEAD)[0]
+    # inject a synthetic forced name so the test holds even in rounds
+    # where the curated _FORCE_HEAD list is legitimately empty
+    forced = "dedup_merge"
+    monkeypatch.setattr(entry, "_FORCE_HEAD", {forced})
     monkeypatch.setattr(
         entry,
         "_certification_rounds",
