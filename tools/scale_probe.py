@@ -75,6 +75,8 @@ PROBE = [
     ("hll_sketch_rollup", "mergeable sketch rollup"),
     ("token_stats", "text Catalyst expressions"),
     ("ngram_jaccard", "capped posting-list pair gen"),
+    ("minhash_recall", "MinHash banded LSH pairs"),
+    ("enrich_2of3", "k-of-n key-match enrich join"),
     ("dedup_components", "iterative CC, capped edges"),
     ("embedding_ann_lsh", "LSH ANN, auto planes"),
     ("sessionize", "window sessionization"),
