@@ -1285,6 +1285,7 @@ def prefix_filter_pairs(
     t_num: int = 1,
     t_den: int = 2,
     pins=None,
+    probe_pred=None,
 ) -> DataFrame:
     """Exact set-similarity join via PREFIX FILTERING (the AllPairs /
     PPJoin candidate rule, Bayardo et al. WWW'07 / Xiao et al.): for
@@ -1321,6 +1322,19 @@ def prefix_filter_pairs(
     order, so no single-partition window anywhere), candidates explode
     only prefixes, and verification joins the candidate pairs back to
     the pinned per-doc arrays by id.
+
+    ``probe_pred`` (optional, a function of the id Column) switches the
+    candidate join to the INCREMENTAL daily-crawl shape: only pairs
+    with at least one PROBE-side document (e.g. today's batch) are
+    generated — probe prefixes join the full prefix index instead of
+    the index joining itself, so yesterday's history x history pairs
+    (already adjudicated) are never recomputed. Losslessness is
+    unchanged: any J >= t pair containing a probe doc shares a prefix
+    shingle, which the probe side explodes. A production deployment
+    persists the per-doc prefix index and appends each day's batch;
+    the df-based global order is snapshotted when the index is built
+    (the prefix theorem holds for ANY fixed total order, so a stale df
+    snapshot costs candidate-list length, never recall).
     """
     from bcg_contacts_data_pipeline_spark.operators.pins import pin
 
@@ -1366,14 +1380,29 @@ def prefix_filter_pairs(
     prefix = per_doc.select(
         F.col(id_col), F.explode(F.slice("sh_arr", F.lit(1), p)).alias("sh")
     )
-    a = prefix.select(F.col(id_col).alias("id_a"), "sh")
-    b = prefix.select(F.col(id_col).alias("id_b"), "sh")
-    cand = (
-        a.join(b, "sh")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    if probe_pred is None:
+        a = prefix.select(F.col(id_col).alias("id_a"), "sh")
+        b = prefix.select(F.col(id_col).alias("id_b"), "sh")
+        cand = (
+            a.join(b, "sh")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+    else:
+        probe = prefix.filter(probe_pred(F.col(id_col))).select(
+            F.col(id_col).alias("id_p"), "sh"
+        )
+        index = prefix.select(F.col(id_col).alias("id_i"), "sh")
+        cand = (
+            probe.join(index, "sh")
+            .filter(F.col("id_p") != F.col("id_i"))
+            .select(
+                F.least("id_p", "id_i").alias("id_a"),
+                F.greatest("id_p", "id_i").alias("id_b"),
+            )
+            .distinct()
+        )
     fa = per_doc.select(
         F.col(id_col).alias("id_a"),
         F.col("sh_arr").alias("arr_a"),

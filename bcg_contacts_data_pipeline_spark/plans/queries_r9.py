@@ -156,3 +156,68 @@ def statestore_open_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("value.groupState.n").alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental near-dup: daily batch vs history, lossless prefix filter.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "incremental_neardup",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents WHERE length(trim(text)) > 0),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+      FROM toks WHERE len(t) >= 3),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT s.id_a, s.id_b, s.shared,
+           sa.n AS size_a, sb.n AS size_b,
+           CAST(s.shared AS DOUBLE) / CAST(sa.n + sb.n - s.shared AS DOUBLE)
+             AS jaccard
+    FROM shared s
+    JOIN sizes sa ON s.id_a = sa.doc_id
+    JOIN sizes sb ON s.id_b = sb.doc_id
+    WHERE CAST(s.shared AS DOUBLE) / CAST(sa.n + sb.n - s.shared AS DOUBLE)
+          >= 0.5
+      AND (s.id_a % 10 = 0 OR s.id_b % 10 = 0)
+    """,
+)
+def incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-crawl INCREMENTAL near-dup: exact 3-gram Jaccard >= 0.5
+    pairs touching today's batch (docs with ``doc_id % 10 = 0`` stand in
+    for the new crawl; the rest are history), via the lossless prefix
+    filter probing the full prefix index — history x history pairs,
+    already adjudicated on previous days, are never recomputed.
+
+    The near-dup sibling of ``incremental_dedup`` (exact-hash version):
+    together they give the daily-ingest shape both dedup families need
+    at 100 TB — join the new batch against a persisted index instead of
+    rescanning all pairs. The oracle is the declarative full join
+    restricted to pairs with a new member, so the driver's hash check
+    proves the incremental candidate rule drops nothing (recall = 1)
+    while generating only new x all candidates.
+    """
+    from bcg_contacts_data_pipeline_spark.operators.similarity import (
+        prefix_filter_pairs,
+    )
+    from bcg_contacts_data_pipeline_spark.plans.queries import _t
+
+    docs = _t(spark, sf_dir, "documents")
+    return prefix_filter_pairs(
+        docs,
+        "doc_id",
+        "text",
+        n=3,
+        t_num=1,
+        t_den=2,
+        probe_pred=lambda id_col: id_col % 10 == 0,
+    )

@@ -603,3 +603,41 @@ def test_csv_roundtrip_preserves_nulls(spark, tmp_path):
         5: (3, 300.75, 2),  # NULL balance excluded from sum, NULL name from n_names
         7: (1, 50.0, 1),
     }
+
+
+def test_prefix_filter_incremental_probe_mode(spark):
+    """probe_pred switches candidate generation to the daily-crawl shape
+    (probe x all). Correctness law: the result must equal the FULL pair
+    set restricted to pairs with a probe member — identical ids AND
+    identical exact stats — and must never emit a history x history
+    pair even when such pairs exist above threshold."""
+    from pyspark.sql import functions as F2
+
+    from bcg_contacts_data_pipeline_spark.operators.similarity import (
+        prefix_filter_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    is_new = lambda c: c % 10 == 0  # noqa: E731
+
+    inc = {
+        (r.id_a, r.id_b): (r.shared, r.size_a, r.size_b, r.jaccard)
+        for r in prefix_filter_pairs(
+            docs, "doc_id", "text", 3, 1, 2, probe_pred=is_new
+        ).collect()
+    }
+    full = {
+        (r.id_a, r.id_b): (r.shared, r.size_a, r.size_b, r.jaccard)
+        for r in prefix_filter_pairs(docs, "doc_id", "text", 3, 1, 2).collect()
+    }
+    want = {
+        pair: stats
+        for pair, stats in full.items()
+        if pair[0] % 10 == 0 or pair[1] % 10 == 0
+    }
+    assert inc == want
+    # the restriction is real at this SF: some full pairs are history-only
+    assert len(want) < len(full)
+    # and the probe side generates strictly fewer candidate postings than
+    # the full self-join would (the point of the incremental shape)
+    assert all(a % 10 == 0 or b % 10 == 0 for a, b in inc)
