@@ -331,7 +331,11 @@ class ContactsTSVWriter(DataSourceWriter):
     using the same dialect the engine's single-file exporter and the
     reference's `to_csv(sep='\\t')` produce (tab delimiter, minimal
     quoting, NULL as empty field) — so a directory written here reads
-    straight back through the ``contacts_tsv`` reader or `read_tsv`.
+    straight back through the ``contacts_tsv`` reader, losslessly even
+    for cells carrying tabs/newlines/quotes (python csv quoting both
+    ways). The JVM `read_tsv` leg additionally needs
+    ``multiLine=true, escape='"'`` for such cells — Spark's csv default
+    (no multiLine, backslash escape) splits quoted multi-line fields.
 
     Commit protocol (two-phase, task-failure safe):
 
@@ -400,6 +404,16 @@ class ContactsTSVWriter(DataSourceWriter):
         if self.overwrite:
             for old in globmod.glob(os.path.join(self.directory, "*.tsv")):
                 os.remove(old)
+            if not staged:
+                # an overwrite with an all-empty result must still leave
+                # a READABLE dataset: one header-only part represents the
+                # empty table (the reader would otherwise fail with
+                # no-*.tsv on the cleared directory)
+                empty = os.path.join(
+                    self.directory, f"part-00000-{self.job_id}.tsv"
+                )
+                with open(empty, "w", newline="", encoding="utf-8") as fh:
+                    csv.writer(fh, delimiter="\t").writerow(self.fields)
         for tmp, final in staged.items():
             os.replace(
                 os.path.join(self.directory, tmp),

@@ -122,12 +122,12 @@ def jdbc_upsert_writer(url: str, table: str, keys: list[str],
     for a real `INSERT .. ON CONFLICT` via the DB driver and nothing
     else changes.
 
-    The bound is ENFORCED, not just documented: before collecting, the
-    base table's row count is checked against ``max_keys`` (default
-    100k). A sink whose key cardinality outgrows that — i.e. the
-    "aggregate table" is silently becoming an event table — fails fast
-    with the ON CONFLICT guidance instead of degrading into a
-    driver-side collect of the whole materialized view.
+    The bound is ENFORCED, not just documented: the base read is
+    LIMIT-bounded to ``max_keys + 1`` rows (default 100k), so a sink
+    whose key cardinality outgrows the bound — i.e. the "aggregate
+    table" is silently becoming an event table — fails fast with the ON
+    CONFLICT guidance instead of degrading into a driver-side collect
+    of the whole materialized view; driver memory is capped either way.
     """
     from pyspark.sql import functions as F
 
@@ -137,26 +137,41 @@ def jdbc_upsert_writer(url: str, table: str, keys: list[str],
         spark = batch_df.sparkSession
         updates = batch_df.withColumn("__v", F.lit(int(batch_id)).cast("long"))
         try:
-            base_lazy = read_jdbc(spark, url, table, driver=driver)
-            n = base_lazy.count()
-        except Exception:
-            base_lazy, n = None, 0
-        if n > max_keys:
+            # LIMIT max_keys+1 keeps this a SINGLE bounded scan: under
+            # the bound it returns the whole table (the rows the merge
+            # needs anyway); at the bound+1 mark it proves the overflow
+            # without materializing an unbounded result.
+            rows = (
+                read_jdbc(spark, url, table, driver=driver)
+                .limit(max_keys + 1)
+                .collect()
+            )
+        except Exception as e:
+            # ONLY first-batch "table does not exist yet" may fall back
+            # to an empty base. Anything else (lock timeout, connection
+            # drop...) must re-raise: treating a transient read failure
+            # as an empty base would make the overwrite below WIPE the
+            # accumulated rollup and silently bypass the max_keys guard.
+            msg = str(e)
+            if table.upper() not in msg.upper() or not any(
+                marker in msg.lower()
+                for marker in ("does not exist", "not found")
+            ):
+                raise
+            rows = []
+        if len(rows) > max_keys:
             raise RuntimeError(
-                f"jdbc_upsert_writer: base table {table!r} holds {n} rows, "
-                f"over the max_keys={max_keys} driver-collect bound. This "
-                "sink materializes the keyed aggregate on the driver each "
-                "micro-batch (Derby has no MERGE through Spark's JDBC "
+                f"jdbc_upsert_writer: base table {table!r} holds more than "
+                f"max_keys={max_keys} rows — over the driver-collect bound. "
+                "This sink materializes the keyed aggregate on the driver "
+                "each micro-batch (Derby has no MERGE through Spark's JDBC "
                 "writer); at this key cardinality, point the sink at "
                 "Postgres/MySQL and swap the merge body for a per-batch "
                 "`INSERT ... ON CONFLICT (keys) DO UPDATE` via the DB "
                 "driver, or raise max_keys explicitly if the collect is "
                 "genuinely acceptable."
             )
-        if base_lazy is not None:
-            base = spark.createDataFrame(base_lazy.collect(), updates.schema)
-        else:
-            base = spark.createDataFrame([], updates.schema)
+        base = spark.createDataFrame(rows, updates.schema)
         merged = upsert_latest(base, updates, keys, "__v")
         write_jdbc(merged, url, table, mode="overwrite", driver=driver)
 

@@ -1821,9 +1821,14 @@ def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "stream_sessions_timeout",
-    oracle="""
+#: Shared sessionization-oracle scaffold: the CTE chain + projection,
+#: parameterized ONLY by the final cutoff predicate. Two queries build
+#: on it — ``stream_sessions_timeout`` (emitted sessions: the cutoff
+#: has passed) and ``statestore_open_sessions`` in plans/queries_r9.py
+#: (the EXACT complement: still open at the cutoff). Sharing the text
+#: guarantees the complement law can never silently drift if the
+#: session definition changes.
+SESSIONS_ORACLE_TEMPLATE = """
     WITH marked AS (
       SELECT user_id, ts,
              CASE WHEN lag(ts) OVER w IS NULL
@@ -1848,9 +1853,16 @@ def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     wm AS (SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM events)
     SELECT user_id, session_start, session_end, n_events
     FROM flagged, wm
-    WHERE NOT is_last
-       OR session_end + INTERVAL 30 MINUTE < wm.w
-    """,
+    WHERE {cutoff}
+    """
+
+
+@register(
+    "stream_sessions_timeout",
+    oracle=SESSIONS_ORACLE_TEMPLATE.format(
+        cutoff="""NOT is_last
+       OR session_end + INTERVAL 30 MINUTE < wm.w"""
+    ),
 )
 def stream_sessions_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Emit-on-close sessionization through the explicit

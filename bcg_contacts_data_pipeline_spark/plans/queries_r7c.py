@@ -849,10 +849,13 @@ def session_error_overlap(
 # Prefix-filtered exact set-similarity join (AllPairs/PPJoin rule).
 # ---------------------------------------------------------------------------
 
-
-@register(
-    "prefix_jaccard_pairs",
-    oracle="""
+#: Shared exact-Jaccard-pairs oracle scaffold (3-gram shingles, t=0.5),
+#: parameterized only by an extra WHERE clause. Built on by
+#: ``prefix_jaccard_pairs`` (no restriction) and ``incremental_neardup``
+#: in plans/queries_r9.py (pairs with a new-batch member) — sharing the
+#: text guarantees the restriction law cannot drift if the shingle or
+#: threshold definition changes.
+JACCARD_PAIRS_ORACLE_TEMPLATE = """
     WITH toks AS (
       SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
       FROM documents WHERE length(trim(text)) > 0),
@@ -874,8 +877,13 @@ def session_error_overlap(
     JOIN sizes sa ON s.id_a = sa.doc_id
     JOIN sizes sb ON s.id_b = sb.doc_id
     WHERE CAST(s.shared AS DOUBLE) / CAST(sa.n + sb.n - s.shared AS DOUBLE)
-          >= 0.5
-    """,
+          >= 0.5{extra_where}
+    """
+
+
+@register(
+    "prefix_jaccard_pairs",
+    oracle=JACCARD_PAIRS_ORACLE_TEMPLATE.format(extra_where=""),
 )
 def prefix_jaccard_pairs(
     spark: SparkSession, sf_dir: str, pins: PinScope | None = None

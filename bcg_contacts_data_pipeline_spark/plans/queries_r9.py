@@ -56,39 +56,68 @@ def _ensure_state_coordinator(spark: SparkSession) -> bool:
         return False
 
 
+#: set after this process drains once: the drain itself creates the
+#: StateStoreCoordinator, so later reuse never needs the internal
+#: accessor (and never falls into a rebuild loop if that API vanishes)
+_DRAINED_THIS_PROCESS = False
+
+
+def _events_fingerprint(sf_dir: str) -> str:
+    """Cheap content fingerprint of the events table: sorted relative
+    file names + sizes + mtimes. Regenerating the data at the same path
+    changes the fingerprint, so a cached checkpoint can never serve
+    state computed from old rows."""
+    root = os.path.join(sf_dir, "events.parquet")
+    parts = []
+    if os.path.isdir(root):
+        for dirpath, _, files in os.walk(root):
+            for f in sorted(files):
+                p = os.path.join(dirpath, f)
+                st = os.stat(p)
+                parts.append(
+                    f"{os.path.relpath(p, root)}:{st.st_size}:{st.st_mtime_ns}"
+                )
+    elif os.path.exists(root):
+        st = os.stat(root)
+        parts.append(f".:{st.st_size}:{st.st_mtime_ns}")
+    return "|".join(parts)
+
+
 def _drained_sessions_checkpoint(spark: SparkSession, sf_dir: str) -> str:
-    """Drain the sessionizer once per (process, sf_dir) into a
-    deterministic temp checkpoint; reuse on later calls (a `_done`
-    sentinel is written only after the drain commits, so an interrupted
-    drain is rebuilt from scratch, never trusted)."""
+    """Drain the sessionizer once per (process, data version) into a
+    content-keyed temp checkpoint; reuse on later calls. Publication is
+    an ATOMIC RENAME of a uniquely-named build dir, so a reader can
+    never observe a partial checkpoint and concurrent builders race
+    harmlessly (first rename wins, losers discard their build)."""
+    global _DRAINED_THIS_PROCESS
+    import shutil
+    import uuid
+
     from bcg_contacts_data_pipeline_spark import streaming as S
 
-    # salt the cache key with the operator's schemas: a code change to
-    # the sessionizer invalidates checkpoints left by older versions
+    # cache key = data fingerprint + operator schemas: either changing
+    # invalidates checkpoints left by older data or older code
     from bcg_contacts_data_pipeline_spark.streaming import ops as _ops
 
-    salt = f"{sf_dir}|{_ops._SESSION_OUT_SCHEMA}|{_ops._SESSION_STATE_SCHEMA}|gap30m"
+    salt = (
+        f"{sf_dir}|{_events_fingerprint(sf_dir)}|{_ops._SESSION_OUT_SCHEMA}"
+        f"|{_ops._SESSION_STATE_SCHEMA}|gap30m"
+    )
     digest = hashlib.sha256(salt.encode()).hexdigest()[:16]
-    root = os.path.join(
-        tempfile.gettempdir(), f"bcg_sessions_ckpt_{digest}"
-    )
-    ckpt, out, done = (
-        os.path.join(root, "ckpt"),
-        os.path.join(root, "out"),
-        os.path.join(root, "_done"),
-    )
-    if os.path.exists(done):
-        if _ensure_state_coordinator(spark):
+    root = os.path.join(tempfile.gettempdir(), f"bcg_sessions_ckpt_{digest}")
+    ckpt = os.path.join(root, "ckpt")
+
+    if os.path.isdir(root):  # rename-published => complete
+        if _DRAINED_THIS_PROCESS or _ensure_state_coordinator(spark):
             return ckpt
-        # coordinator can't be forced through the internal accessor:
-        # fall through and re-drain — running a streaming query is the
-        # public way to create the endpoint this session needs to read
+        # coordinator can't be forced and no drain ran yet in this
+        # process: fall through once — the drain below creates the
+        # endpoint the statestore read needs (flag prevents loops)
     else:
         _ensure_state_coordinator(spark)
-    import shutil
 
-    shutil.rmtree(root, ignore_errors=True)
-    os.makedirs(root, exist_ok=True)
+    build = f"{root}.build-{uuid.uuid4().hex[:8]}"
+    os.makedirs(build)
     st = S.events_stream(spark, sf_dir).select("user_id", "ts")
     sess = S.session_close_stream(
         st, "ts", gap="30 minutes", watermark="30 minutes"
@@ -98,44 +127,36 @@ def _drained_sessions_checkpoint(spark: SparkSession, sf_dir: str) -> str:
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        S.run_to_files(sess, out, ckpt, output_mode="append")
+        S.run_to_files(
+            sess,
+            os.path.join(build, "out"),
+            os.path.join(build, "ckpt"),
+            output_mode="append",
+        )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    with open(done, "w") as f:
-        f.write("ok")
+    _DRAINED_THIS_PROCESS = True
+    try:
+        os.rename(build, root)
+    except OSError:
+        # a concurrent builder published first; theirs is complete
+        shutil.rmtree(build, ignore_errors=True)
     return ckpt
+
+
+from bcg_contacts_data_pipeline_spark.plans.queries_r7b import (  # noqa: E402
+    SESSIONS_ORACLE_TEMPLATE,
+)
 
 
 @register(
     "statestore_open_sessions",
-    oracle="""
-    WITH marked AS (
-      SELECT user_id, ts,
-             CASE WHEN lag(ts) OVER w IS NULL
-                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
-                  THEN 1 ELSE 0 END AS new_s
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-    sess AS (
-      SELECT user_id, ts,
-             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
-                              ROWS UNBOUNDED PRECEDING) AS sid
-      FROM marked),
-    grouped AS (
-      SELECT user_id, sid,
-             MIN(ts) AS session_start, MAX(ts) AS session_end,
-             CAST(COUNT(*) AS BIGINT) AS n_events
-      FROM sess GROUP BY user_id, sid),
-    flagged AS (
-      SELECT g.*,
-             sid = MAX(sid) OVER (PARTITION BY user_id) AS is_last
-      FROM grouped g),
-    wm AS (SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM events)
-    SELECT user_id, session_start, session_end, n_events
-    FROM flagged, wm
-    WHERE is_last
-      AND session_end + INTERVAL 30 MINUTE >= wm.w
-    """,
+    # the EXACT complement of stream_sessions_timeout's cutoff, built
+    # from the same shared scaffold so the complement law cannot drift
+    oracle=SESSIONS_ORACLE_TEMPLATE.format(
+        cutoff="""is_last
+      AND session_end + INTERVAL 30 MINUTE >= wm.w"""
+    ),
 )
 def statestore_open_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Checkpoint state introspection: the sessions still OPEN in the
@@ -163,33 +184,20 @@ def statestore_open_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+from bcg_contacts_data_pipeline_spark.plans.queries_r7c import (  # noqa: E402
+    JACCARD_PAIRS_ORACLE_TEMPLATE,
+)
+
+
 @register(
     "incremental_neardup",
-    oracle="""
-    WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
-      FROM documents WHERE length(trim(text)) > 0),
-    sh AS (
-      SELECT doc_id,
-             unnest(list_distinct(list_transform(range(1, len(t) - 1),
-                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
-      FROM toks WHERE len(t) >= 3),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-    shared AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id)
-    SELECT s.id_a, s.id_b, s.shared,
-           sa.n AS size_a, sb.n AS size_b,
-           CAST(s.shared AS DOUBLE) / CAST(sa.n + sb.n - s.shared AS DOUBLE)
-             AS jaccard
-    FROM shared s
-    JOIN sizes sa ON s.id_a = sa.doc_id
-    JOIN sizes sb ON s.id_b = sb.doc_id
-    WHERE CAST(s.shared AS DOUBLE) / CAST(sa.n + sb.n - s.shared AS DOUBLE)
-          >= 0.5
-      AND (s.id_a % 10 = 0 OR s.id_b % 10 = 0)
-    """,
+    # the full-join oracle restricted to pairs with a new-batch member,
+    # built from prefix_jaccard_pairs' shared scaffold so the
+    # restriction law cannot drift
+    oracle=JACCARD_PAIRS_ORACLE_TEMPLATE.format(
+        extra_where="""
+      AND (s.id_a % 10 = 0 OR s.id_b % 10 = 0)"""
+    ),
 )
 def incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily-crawl INCREMENTAL near-dup: exact 3-gram Jaccard >= 0.5

@@ -341,3 +341,26 @@ def test_writer_roundtrip_property(registered, tmp_path):
         .collect()
     }
     assert back == set(rows)
+
+
+def test_writer_empty_overwrite_leaves_readable_empty_dataset(registered, tmp_path):
+    """Overwriting with an all-empty result must represent the empty
+    table (header-only part), not destroy the directory's readability."""
+    spark = registered
+    out = str(tmp_path / "empty_ow")
+    seed = spark.createDataFrame([("x",)], "v string").coalesce(1)
+    seed.write.format("contacts_tsv").option("path", out).mode("append").save()
+
+    empty = spark.createDataFrame([], "v string")
+    empty.write.format("contacts_tsv").option("path", out).mode(
+        "overwrite"
+    ).save()
+
+    identity = json.dumps({"v": []})
+    back = (
+        spark.read.format("contacts_tsv")
+        .option("path", out)
+        .option("registry", identity)
+        .load()
+    )
+    assert back.count() == 0  # readable, and empty

@@ -56,9 +56,12 @@ def test_scale_md_parses_and_covers_families(payload):
         # every row carries both timings and a derived ratio
         fx = f"t_{payload['factor']}x"
         assert r["t_1x"] > 0 and r[fx] > 0
-        # ratio was computed from UNROUNDED timings; recomputing from
-        # the 2-dp published ones can differ by a rounding step
-        assert r["ratio"] == pytest.approx(r[fx] / r["t_1x"], abs=0.11)
+        # ratio was computed from UNROUNDED timings then rounded to 1dp
+        # (±0.05); recomputing from the 2dp-published timings adds up to
+        # ±0.005·(1+ratio)/t_1x of propagation error — bound both terms
+        # so an honest probe rerun can never trip this gate
+        tol = 0.055 + 0.006 * (1 + r["ratio"]) / r["t_1x"]
+        assert r["ratio"] == pytest.approx(r[fx] / r["t_1x"], abs=tol)
 
 
 def test_scale_ratios_within_linear_bound(payload):

@@ -146,10 +146,15 @@ def main() -> int:
     d1 = os.path.join(scale_root, f"x{args.factor}")
     d2 = os.path.join(scale_root, f"x{args.tier2}")
     for factor, dest in ((args.factor, d1), (args.tier2, d2)):
-        if os.path.isdir(dest):
-            # the atomic rename below guarantees a dest dir is complete
+        # the atomic rename below guarantees a dest dir is complete —
+        # but dirs left by the pre-rename code could be partial, so also
+        # demand the LAST-written table before trusting a reuse
+        if os.path.isdir(dest) and os.path.exists(
+            os.path.join(dest, "embeddings.parquet")
+        ):
             print(f"# reusing {dest}", file=sys.stderr)
             continue
+        shutil.rmtree(dest, ignore_errors=True)
         print(f"# building {factor}x replica ...", file=sys.stderr)
         # build into a temp dir and rename on success so an interrupted
         # build never leaves a partial replica that a rerun would trust
