@@ -65,6 +65,7 @@ import uuid
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
@@ -136,6 +137,11 @@ class ContactsTSVDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> "ContactsTSVWriter":
         return ContactsTSVWriter(dict(self.options), schema, overwrite)
+
+    def streamWriter(
+        self, schema, overwrite: bool
+    ) -> "ContactsTSVStreamWriter":
+        return ContactsTSVStreamWriter(dict(self.options), schema)
 
 
 def _parse_registry(options: dict) -> dict[str, list[str]]:
@@ -307,6 +313,39 @@ class ContactsTSVStreamReader(SimpleDataSourceStreamReader):
         return iter(list(self._rows(paths)))
 
 
+def _write_rows_lazily(
+    directory: str, tmp: str, fields: list[str], iterator
+) -> int:
+    """Stage ``iterator`` into ``directory/tmp`` as header-ful TSV,
+    creating the file only when the FIRST row arrives. Empty partitions
+    — and tasks whose iterator raises before producing a row (the
+    common kill/failure path) — never touch the disk, which closes the
+    race where a task killed after the driver's abort() sweep leaves an
+    orphan temp behind. A task killed mid-file can still leak one; the
+    hidden job-prefixed ``.tmp`` name keeps such leftovers invisible to
+    every reader (they glob ``*.tsv``). Returns the row count."""
+    fh = None
+    rows = 0
+    try:
+        for row in iterator:
+            if fh is None:
+                os.makedirs(directory, exist_ok=True)
+                fh = open(
+                    os.path.join(directory, tmp),
+                    "w",
+                    newline="",
+                    encoding="utf-8",
+                )
+                w = csv.writer(fh, delimiter="\t")
+                w.writerow(fields)
+            w.writerow("" if v is None else str(v) for v in row)
+            rows += 1
+    finally:
+        if fh is not None:
+            fh.close()
+    return rows
+
+
 class _TSVCommit(WriterCommitMessage):
     """One per task: (staged temp basename or None if the partition was
     empty, final basename, row count). Must stay picklable."""
@@ -375,22 +414,11 @@ class ContactsTSVWriter(DataSourceWriter):
         # jobs never collide with files from earlier jobs, and a task
         # retry of the same partition still maps to one final name
         final = f"part-{pid:05d}-{self.job_id}.tsv"
-        os.makedirs(self.directory, exist_ok=True)
         tmp = self._tmp_name()
-        tmp_path = os.path.join(self.directory, tmp)
-        rows = 0
-        with open(tmp_path, "w", newline="", encoding="utf-8") as fh:
-            w = csv.writer(fh, delimiter="\t")
-            w.writerow(self.fields)
-            for row in iterator:
-                w.writerow(
-                    "" if v is None else str(v) for v in row
-                )
-                rows += 1
-        if rows == 0:
-            os.remove(tmp_path)
-            return _TSVCommit(None, final, 0)
-        return _TSVCommit(tmp, final, rows)
+        rows = _write_rows_lazily(
+            self.directory, tmp, self.fields, iterator
+        )
+        return _TSVCommit(tmp if rows else None, final, rows)
 
     def _job_temps(self) -> list[str]:
         return globmod.glob(
@@ -424,5 +452,72 @@ class ContactsTSVWriter(DataSourceWriter):
             os.remove(leftover)
 
     def abort(self, messages) -> None:
+        for leftover in self._job_temps():
+            os.remove(leftover)
+
+
+class ContactsTSVStreamWriter(DataSourceStreamWriter):
+    """Streaming sink leg of ``contacts_tsv`` — with it the format covers
+    all four quadrants (batch read, stream read, batch write, stream
+    write) through one format string:
+
+        df.writeStream.format("contacts_tsv").option("path", dir)
+          .option("checkpointLocation", ckpt).start()
+
+    Each micro-batch lands as TSV parts named by (batch id, partition
+    id): ``part-<batchId>-<pid>.tsv``. EXACTLY-ONCE output composes from
+    two halves: Spark's checkpoint commit log never replays a committed
+    batch, and a batch replayed after a mid-batch failure re-stages and
+    ``os.replace``s the SAME final names — rerunning an uncommitted
+    batch is idempotent, never additive. Tasks stage to job+batch-unique
+    hidden temps; ``commit`` renames, ``abort`` deletes, so readers of
+    the directory never observe a partial batch.
+
+    Same POSIX-directory contract as the other three legs. This is the
+    engine-native packaging of the foreachBatch + idempotent-writer
+    recipe (streaming.runner.idempotent_batch_writer) for TSV
+    destinations the reference's CRM tooling consumes.
+    """
+
+    def __init__(self, options: dict, schema):
+        if "path" not in options:
+            raise ValueError(
+                "contacts_tsv requires a 'path' option (target directory)"
+            )
+        self.directory = options["path"]
+        self.fields = [f.name for f in schema.fields]
+        self.job_id = uuid.uuid4().hex[:12]
+
+    def write(self, iterator) -> _TSVCommit:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        # batchId is not passed to write(); the streaming runner sets it
+        # in the task-local property used by FileStreamSink as well
+        batch_id = ctx.getLocalProperty("streaming.sql.batchId")
+        if batch_id is None:
+            batch_id = ctx.getLocalProperty("sql.streaming.queryId") or "0"
+        final = f"part-{batch_id}-{pid:05d}.tsv"
+        tmp = f".contacts-tsv-{self.job_id}-{uuid.uuid4().hex[:8]}.tmp"
+        rows = _write_rows_lazily(self.directory, tmp, self.fields, iterator)
+        return _TSVCommit(tmp if rows else None, final, rows)
+
+    def _job_temps(self) -> list[str]:
+        return globmod.glob(
+            os.path.join(self.directory, f".contacts-tsv-{self.job_id}-*.tmp")
+        )
+
+    def commit(self, messages, batchId: int) -> None:  # noqa: N803 (API)
+        for m in messages:
+            if m is not None and m.tmp:
+                os.replace(
+                    os.path.join(self.directory, m.tmp),
+                    os.path.join(self.directory, m.final),
+                )
+        for leftover in self._job_temps():
+            os.remove(leftover)
+
+    def abort(self, messages, batchId: int) -> None:  # noqa: N803 (API)
         for leftover in self._job_temps():
             os.remove(leftover)

@@ -364,3 +364,127 @@ def test_writer_empty_overwrite_leaves_readable_empty_dataset(registered, tmp_pa
         .load()
     )
     assert back.count() == 0  # readable, and empty
+
+
+# ---------------------------------------------------------------------------
+# Streaming WRITE path (df.writeStream.format("contacts_tsv"))
+# ---------------------------------------------------------------------------
+
+
+def test_stream_writer_drains_exactly_once(registered, tmp_path):
+    """Fourth quadrant of the format: stream out to a TSV directory under
+    AvailableNow. Output must equal the batch projection, part names must
+    carry (batchId, partitionId), no temps may remain, and replaying the
+    drain on the same checkpoint must change nothing (commit log)."""
+    import re as _re
+
+    from bcg_contacts_data_pipeline_spark import streaming as S
+    from bcg_contacts_data_pipeline_spark.io.events import read_events
+
+    spark = registered
+    sf = "/root/testdata/sf0.001"
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def drain():
+        st = S.events_stream(spark, sf).selectExpr(
+            "CAST(event_id AS STRING) AS event_id",
+            "CAST(user_id AS STRING) AS user_id",
+            "event_type",
+        )
+        q = (
+            st.writeStream.format("contacts_tsv")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        q.stop()
+
+    drain()
+    files = sorted(os.listdir(out))
+    assert files and all(
+        _re.fullmatch(r"part-\d+-\d{5}\.tsv", f) for f in files
+    ), files
+
+    identity = json.dumps({"event_id": [], "user_id": [], "event_type": []})
+    back = (
+        spark.read.format("contacts_tsv")
+        .option("path", out)
+        .option("registry", identity)
+        .load()
+    )
+    got = {
+        (r.event_id, r.user_id, r.event_type)
+        for r in back.select("event_id", "user_id", "event_type").collect()
+    }
+    want = {
+        (str(r.event_id), str(r.user_id), r.event_type)
+        for r in read_events(spark, sf)
+        .select("event_id", "user_id", "event_type")
+        .collect()
+    }
+    assert got == want
+
+    # replay on the same checkpoint: committed batches don't re-emit
+    snapshot = {
+        f: os.path.getmtime(os.path.join(out, f)) for f in os.listdir(out)
+    }
+    drain()
+    after = {
+        f: os.path.getmtime(os.path.join(out, f)) for f in os.listdir(out)
+    }
+    assert after == snapshot
+
+
+def test_stream_read_to_stream_write_roundtrip(registered, tmp_path):
+    """Both streaming legs of the format in ONE query: tsv files land in
+    a source dir, stream-read picks up only the new ones per drain, and
+    the stream writer emits per-(real batchId, partition) parts — a
+    second drain after a new file lands must produce a part named with
+    batch id 1, proving the batchId task property (not a constant)
+    reaches the Python writer."""
+    spark = registered
+    src, out, ckpt = (
+        str(tmp_path / "src"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    os.makedirs(src)
+    reg = json.dumps({"email": []})
+
+    def land(name, val):
+        with open(os.path.join(src, name), "w") as f:
+            f.write("email\n" + val + "\n")
+
+    def drain():
+        st = (
+            spark.readStream.format("contacts_tsv")
+            .option("path", src)
+            .option("registry", reg)
+            .load()
+            .select("email")
+        )
+        q = (
+            st.writeStream.format("contacts_tsv")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        q.stop()
+
+    land("1.tsv", "a@x.org")
+    drain()
+    land("2.tsv", "b@x.org")
+    drain()
+    assert sorted(os.listdir(out)) == ["part-0-00000.tsv", "part-1-00000.tsv"]
+
+    back = (
+        spark.read.format("contacts_tsv")
+        .option("path", out)
+        .option("registry", reg)
+        .load()
+    )
+    assert {r.email for r in back.collect()} == {"a@x.org", "b@x.org"}
