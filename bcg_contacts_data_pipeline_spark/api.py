@@ -56,13 +56,80 @@ from pyspark.sql import SparkSession
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 DEFAULT_TIMEOUT_S = 300.0  # backend_api.py:26 subprocess timeout parity
 
+#: Browser UI with the reference frontend's capabilities
+#: (frontend.html:100-151: script picker with per-script summary, run
+#: button with progress indicator, result panel, output-file list +
+#: inline viewer) rebuilt minimal: descriptions come live from the
+#: registry docstrings (/script-info) instead of a hard-coded table,
+#: and fetches are relative so the page works on any host:port.
 _INDEX_HTML = """<!doctype html>
-<html><head><meta charset="utf-8"><title>pipeline control plane</title></head>
+<html><head><meta charset="utf-8"><title>pipeline control plane</title>
+<style>
+ body{font-family:system-ui,sans-serif;max-width:860px;margin:2rem auto;
+      padding:0 1rem;background:#14161d;color:#e0e6ef}
+ select,button{font-size:1rem;padding:.4rem .6rem;border-radius:6px;
+      border:1px solid #3a4157;background:#232837;color:#e0e6ef}
+ button{cursor:pointer} pre{background:#1b1f2a;padding:.8rem;
+      border-radius:8px;overflow:auto;max-height:420px;white-space:pre-wrap}
+ #desc{color:#9fb3d0;margin:.6rem 0} a{color:#7ecfff}
+ .file{cursor:pointer;text-decoration:underline;color:#7ecfff;
+      margin-right:1rem}
+</style></head>
 <body>
-<h1>Contacts pipeline — control plane</h1>
-<p>POST a name from <a href="/scripts">/scripts</a> to <code>/run</code>;
-outputs appear under <a href="/output-files">/output-files</a>.</p>
-<pre>curl -s -X POST localhost:PORT/run -d '{"script": "error_histogram"}'</pre>
+<h1>Contacts pipeline &mdash; control plane</h1>
+<p><select id="sel"></select>
+   <button id="run">Run</button>
+   <span id="busy" style="display:none">running&hellip;</span></p>
+<div id="desc"></div>
+<pre id="result" style="display:none"></pre>
+<div id="files"></div>
+<pre id="viewer" style="display:none"></pre>
+<script>
+let INFO = {};
+async function init(){
+  const s = await (await fetch('/scripts')).json();
+  try { INFO = (await (await fetch('/script-info')).json()).info || {}; }
+  catch (e) { INFO = {}; }
+  const sel = document.getElementById('sel');
+  for (const name of s.scripts){
+    const o = document.createElement('option');
+    o.value = o.textContent = name; sel.appendChild(o);
+  }
+  sel.onchange = () =>
+    document.getElementById('desc').textContent = INFO[sel.value] || '';
+  sel.onchange();
+  refreshFiles();
+}
+async function refreshFiles(){
+  const f = await (await fetch('/output-files')).json();
+  const div = document.getElementById('files');
+  div.innerHTML = f.files.length ? '<b>Output files:</b> ' : '';
+  for (const name of f.files){
+    const a = document.createElement('span');
+    a.className = 'file'; a.textContent = name;
+    a.onclick = async () => {
+      const c = await (await fetch('/output/' + encodeURIComponent(name))).json();
+      const v = document.getElementById('viewer');
+      v.style.display = 'block'; v.textContent = c.content ?? c.error;
+    };
+    div.appendChild(a);
+  }
+}
+document.addEventListener('DOMContentLoaded', init);
+window.addEventListener('load', () => {
+  document.querySelector('#run').onclick = async () => {
+    const busy = document.querySelector('#busy');
+    const out = document.querySelector('#result');
+    busy.style.display = 'inline'; out.style.display = 'none';
+    const body = JSON.stringify({script: document.querySelector('#sel').value});
+    const r = await fetch('/run', {method: 'POST', body});
+    const j = await r.json();
+    busy.style.display = 'none'; out.style.display = 'block';
+    out.textContent = (j.stdout || '') + (j.stderr || '');
+    refreshFiles();
+  };
+});
+</script>
 </body></html>
 """
 
@@ -101,6 +168,18 @@ class ControlPlane:
         from bcg_contacts_data_pipeline_spark.plans.queries import QUERIES
 
         return sorted(QUERIES)
+
+    def script_info(self) -> dict[str, str]:
+        """First docstring line per registered query — the live
+        counterpart of the reference frontend's hard-coded SCRIPT_INFO
+        table (frontend.html:126-151)."""
+        from bcg_contacts_data_pipeline_spark.plans.queries import QUERIES
+
+        info = {}
+        for name, fn in QUERIES.items():
+            doc = (fn.__doc__ or "").strip()
+            info[name] = doc.splitlines()[0] if doc else ""
+        return info
 
     def run(self, name: str, sf_dir: str | None, timeout_s: float | None) -> dict:
         from bcg_contacts_data_pipeline_spark.io.writers import write_tsv_single
@@ -190,6 +269,8 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(200, _INDEX_HTML, ctype="text/html")
         elif self.path == "/scripts":
             self._send(200, {"scripts": self.plane.scripts()})
+        elif self.path == "/script-info":
+            self._send(200, {"info": self.plane.script_info()})
         elif self.path == "/output-files":
             self._send(200, {"files": self.plane.output_files()})
         elif self.path.startswith("/output/"):

@@ -165,3 +165,24 @@ def test_run_timeout_cancels_job_group(server, spark, monkeypatch):
     # server still alive and able to run real work afterwards
     status, body = _post(srv, "/run", {"script": "error_histogram"})
     assert status == 200 and body["rows"] > 0
+
+
+def test_script_info_serves_docstring_summaries(server):
+    srv, _ = server
+    status, body = _get(srv, "/script-info")
+    assert status == 200
+    info = body["info"]
+    assert set(info) == set(_get(srv, "/scripts")[1]["scripts"])
+    assert info["error_histogram"]  # non-empty first docstring line
+
+
+def test_index_page_serves_ui(server):
+    srv, _ = server
+    port = srv.server_address[1]
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}/") as r:
+        html = r.read().decode()
+    assert r.headers["Content-Type"].startswith("text/html")
+    # the UI wires the reference-frontend capabilities: picker, run
+    # button, result panel, output file list (frontend.html:100-151)
+    for needle in ("sel", "/run", "/script-info", "/output-files"):
+        assert needle in html
