@@ -121,12 +121,17 @@ window.addEventListener('load', () => {
     const busy = document.querySelector('#busy');
     const out = document.querySelector('#result');
     busy.style.display = 'inline'; out.style.display = 'none';
-    const body = JSON.stringify({script: document.querySelector('#sel').value});
-    const r = await fetch('/run', {method: 'POST', body});
-    const j = await r.json();
-    busy.style.display = 'none'; out.style.display = 'block';
-    out.textContent = (j.stdout || '') + (j.stderr || '');
-    refreshFiles();
+    try {
+      const body = JSON.stringify({script: document.querySelector('#sel').value});
+      const r = await fetch('/run', {method: 'POST', body});
+      const j = await r.json();
+      out.textContent = (j.stdout || '') + (j.stderr || '');
+      refreshFiles();
+    } catch (e) {
+      out.textContent = 'request failed: ' + e;
+    } finally {
+      busy.style.display = 'none'; out.style.display = 'block';
+    }
   };
 });
 </script>

@@ -141,7 +141,7 @@ class ContactsTSVDataSource(DataSource):
     def streamWriter(
         self, schema, overwrite: bool
     ) -> "ContactsTSVStreamWriter":
-        return ContactsTSVStreamWriter(dict(self.options), schema)
+        return ContactsTSVStreamWriter(dict(self.options), schema, overwrite)
 
 
 def _parse_registry(options: dict) -> dict[str, list[str]]:
@@ -356,7 +356,76 @@ class _TSVCommit(WriterCommitMessage):
         self.rows = rows
 
 
-class ContactsTSVWriter(DataSourceWriter):
+class _TSVWriterBase:
+    """Shared mechanics of the batch and streaming TSV writers: option
+    validation, job-unique hidden temp names, and the commit-time
+    rename + temp sweep. The sweep removes this job's leftovers from
+    retried/speculative attempts AND any *stale* temps (> 1 h old) left
+    behind by earlier runs that crashed between staging and their own
+    sweep — hidden ``.tmp`` names are invisible to readers either way,
+    but a long-lived sink should not accumulate them unboundedly."""
+
+    _STALE_TEMP_S = 3600
+
+    def __init__(self, options: dict, schema):
+        if "path" not in options:
+            raise ValueError(
+                "contacts_tsv requires a 'path' option (target directory)"
+            )
+        self.directory = options["path"]
+        self.fields = [f.name for f in schema.fields]
+        self.job_id = uuid.uuid4().hex[:12]
+
+    def _tmp_name(self) -> str:
+        return f".contacts-tsv-{self.job_id}-{uuid.uuid4().hex[:8]}.tmp"
+
+    def _stage(self, iterator, final: str) -> _TSVCommit:
+        tmp = self._tmp_name()
+        rows = _write_rows_lazily(self.directory, tmp, self.fields, iterator)
+        return _TSVCommit(tmp if rows else None, final, rows)
+
+    def _publish(self, messages) -> dict[str, str]:
+        """Rename every staged temp to its final name; returns the
+        staged map (tmp -> final)."""
+        staged = {
+            m.tmp: m.final for m in messages if m is not None and m.tmp
+        }
+        for tmp, final in staged.items():
+            os.replace(
+                os.path.join(self.directory, tmp),
+                os.path.join(self.directory, final),
+            )
+        return staged
+
+    def _sweep_temps(self) -> None:
+        import time as _time
+
+        now = _time.time()
+        mine = os.path.join(
+            self.directory, f".contacts-tsv-{self.job_id}-*.tmp"
+        )
+        for leftover in globmod.glob(mine):
+            os.remove(leftover)
+        for other in globmod.glob(
+            os.path.join(self.directory, ".contacts-tsv-*.tmp")
+        ):
+            try:
+                if now - os.path.getmtime(other) > self._STALE_TEMP_S:
+                    os.remove(other)
+            except OSError:
+                pass  # another job swept it first
+
+    def _write_empty_marker(self, final: str) -> None:
+        """Header-only part representing the empty table — keeps an
+        overwritten/truncated directory READABLE (the reader fails on
+        no-*.tsv)."""
+        os.makedirs(self.directory, exist_ok=True)
+        path = os.path.join(self.directory, final)
+        with open(path, "w", newline="", encoding="utf-8") as fh:
+            csv.writer(fh, delimiter="\t").writerow(self.fields)
+
+
+class ContactsTSVWriter(_TSVWriterBase, DataSourceWriter):
     """Batch write path of ``contacts_tsv`` — the third leg of the API
     surface next to the batch and streaming readers:
 
@@ -376,16 +445,13 @@ class ContactsTSVWriter(DataSourceWriter):
     ``multiLine=true, escape='"'`` for such cells — Spark's csv default
     (no multiLine, backslash escape) splits quoted multi-line fields.
 
-    Commit protocol (two-phase, task-failure safe):
-
-    - each task writes to a job-unique hidden temp name
-      (``.contacts-tsv-<job>-<uuid>.tmp``) and returns a commit message;
-    - ``commit`` (driver, all tasks succeeded) renames temps to their
-      final names — and in overwrite mode first deletes the *.tsv files
-      that predate this job;
-    - ``abort`` deletes every temp the job staged, including orphans
-      from retried/speculative attempts (matched by the job prefix), so
-      a failed job leaves the directory byte-identical to before.
+    Commit protocol (two-phase, task-failure safe): tasks stage to
+    job-unique hidden temps (created lazily on the first row, so empty
+    or failing-before-output tasks never touch disk); ``commit``
+    renames — in overwrite mode after deleting the *.tsv files that
+    predate this job, writing a header-only part when the result is
+    empty; ``abort`` sweeps the job's temps, so a failed job leaves the
+    directory byte-identical to before.
 
     Same filesystem contract as the reader: one POSIX directory visible
     at the same path on driver and executors. Values serialize with
@@ -394,17 +460,8 @@ class ContactsTSVWriter(DataSourceWriter):
     """
 
     def __init__(self, options: dict, schema, overwrite: bool):
-        if "path" not in options:
-            raise ValueError(
-                "contacts_tsv requires a 'path' option (target directory)"
-            )
-        self.directory = options["path"]
-        self.fields = [f.name for f in schema.fields]
+        super().__init__(options, schema)
         self.overwrite = overwrite
-        self.job_id = uuid.uuid4().hex[:12]
-
-    def _tmp_name(self) -> str:
-        return f".contacts-tsv-{self.job_id}-{uuid.uuid4().hex[:8]}.tmp"
 
     def write(self, iterator) -> _TSVCommit:
         from pyspark import TaskContext
@@ -413,50 +470,25 @@ class ContactsTSVWriter(DataSourceWriter):
         # job id in the final name (Spark part-file convention): append
         # jobs never collide with files from earlier jobs, and a task
         # retry of the same partition still maps to one final name
-        final = f"part-{pid:05d}-{self.job_id}.tsv"
-        tmp = self._tmp_name()
-        rows = _write_rows_lazily(
-            self.directory, tmp, self.fields, iterator
-        )
-        return _TSVCommit(tmp if rows else None, final, rows)
-
-    def _job_temps(self) -> list[str]:
-        return globmod.glob(
-            os.path.join(self.directory, f".contacts-tsv-{self.job_id}-*.tmp")
-        )
+        return self._stage(iterator, f"part-{pid:05d}-{self.job_id}.tsv")
 
     def commit(self, messages) -> None:
         staged = {
-            m.tmp: m.final for m in messages if m is not None and m.tmp
+            m.tmp for m in messages if m is not None and m.tmp
         }
         if self.overwrite:
             for old in globmod.glob(os.path.join(self.directory, "*.tsv")):
                 os.remove(old)
             if not staged:
-                # an overwrite with an all-empty result must still leave
-                # a READABLE dataset: one header-only part represents the
-                # empty table (the reader would otherwise fail with
-                # no-*.tsv on the cleared directory)
-                empty = os.path.join(
-                    self.directory, f"part-00000-{self.job_id}.tsv"
-                )
-                with open(empty, "w", newline="", encoding="utf-8") as fh:
-                    csv.writer(fh, delimiter="\t").writerow(self.fields)
-        for tmp, final in staged.items():
-            os.replace(
-                os.path.join(self.directory, tmp),
-                os.path.join(self.directory, final),
-            )
-        # orphaned temps from retried/speculative attempts
-        for leftover in self._job_temps():
-            os.remove(leftover)
+                self._write_empty_marker(f"part-00000-{self.job_id}.tsv")
+        self._publish(messages)
+        self._sweep_temps()
 
     def abort(self, messages) -> None:
-        for leftover in self._job_temps():
-            os.remove(leftover)
+        self._sweep_temps()
 
 
-class ContactsTSVStreamWriter(DataSourceStreamWriter):
+class ContactsTSVStreamWriter(_TSVWriterBase, DataSourceStreamWriter):
     """Streaming sink leg of ``contacts_tsv`` — with it the format covers
     all four quadrants (batch read, stream read, batch write, stream
     write) through one format string:
@@ -473,20 +505,21 @@ class ContactsTSVStreamWriter(DataSourceStreamWriter):
     hidden temps; ``commit`` renames, ``abort`` deletes, so readers of
     the directory never observe a partial batch.
 
+    Output modes: append keeps every batch's parts; update/complete
+    (Spark passes ``overwrite=True`` per micro-batch) TRUNCATES at
+    commit — earlier batches' parts are removed so the directory always
+    holds exactly the latest snapshot (header-only marker when the
+    snapshot is empty).
+
     Same POSIX-directory contract as the other three legs. This is the
     engine-native packaging of the foreachBatch + idempotent-writer
     recipe (streaming.runner.idempotent_batch_writer) for TSV
     destinations the reference's CRM tooling consumes.
     """
 
-    def __init__(self, options: dict, schema):
-        if "path" not in options:
-            raise ValueError(
-                "contacts_tsv requires a 'path' option (target directory)"
-            )
-        self.directory = options["path"]
-        self.fields = [f.name for f in schema.fields]
-        self.job_id = uuid.uuid4().hex[:12]
+    def __init__(self, options: dict, schema, overwrite: bool):
+        super().__init__(options, schema)
+        self.overwrite = overwrite
 
     def write(self, iterator) -> _TSVCommit:
         from pyspark import TaskContext
@@ -494,30 +527,34 @@ class ContactsTSVStreamWriter(DataSourceStreamWriter):
         ctx = TaskContext.get()
         pid = ctx.partitionId()
         # batchId is not passed to write(); the streaming runner sets it
-        # in the task-local property used by FileStreamSink as well
+        # in the task-local property used by FileStreamSink as well.
+        # Its absence must FAIL, not degrade: any fallback name would be
+        # batch-constant, and commit()'s os.replace would then silently
+        # clobber the previous batch's data (PySpark's foreach sink
+        # raises CANNOT_GET_BATCH_ID in exactly this case).
         batch_id = ctx.getLocalProperty("streaming.sql.batchId")
         if batch_id is None:
-            batch_id = ctx.getLocalProperty("sql.streaming.queryId") or "0"
-        final = f"part-{batch_id}-{pid:05d}.tsv"
-        tmp = f".contacts-tsv-{self.job_id}-{uuid.uuid4().hex[:8]}.tmp"
-        rows = _write_rows_lazily(self.directory, tmp, self.fields, iterator)
-        return _TSVCommit(tmp if rows else None, final, rows)
-
-    def _job_temps(self) -> list[str]:
-        return globmod.glob(
-            os.path.join(self.directory, f".contacts-tsv-{self.job_id}-*.tmp")
-        )
+            raise RuntimeError(
+                "contacts_tsv stream writer: task property "
+                "'streaming.sql.batchId' is unset — cannot name this "
+                "micro-batch's output exactly-once"
+            )
+        return self._stage(iterator, f"part-{batch_id}-{pid:05d}.tsv")
 
     def commit(self, messages, batchId: int) -> None:  # noqa: N803 (API)
-        for m in messages:
-            if m is not None and m.tmp:
-                os.replace(
-                    os.path.join(self.directory, m.tmp),
-                    os.path.join(self.directory, m.final),
-                )
-        for leftover in self._job_temps():
-            os.remove(leftover)
+        if self.overwrite:
+            # update/complete mode: this batch's snapshot REPLACES the
+            # directory contents (idempotent on replay — same names)
+            this_batch = {
+                m.final for m in messages if m is not None and m.tmp
+            }
+            for old in globmod.glob(os.path.join(self.directory, "*.tsv")):
+                if os.path.basename(old) not in this_batch:
+                    os.remove(old)
+            if not this_batch:
+                self._write_empty_marker(f"part-{batchId}-00000.tsv")
+        self._publish(messages)
+        self._sweep_temps()
 
     def abort(self, messages, batchId: int) -> None:  # noqa: N803 (API)
-        for leftover in self._job_temps():
-            os.remove(leftover)
+        self._sweep_temps()

@@ -155,7 +155,9 @@ def jdbc_upsert_writer(url: str, table: str, keys: list[str],
             msg = str(e)
             if table.upper() not in msg.upper() or not any(
                 marker in msg.lower()
-                for marker in ("does not exist", "not found")
+                # Derby/Postgres: "does not exist"; MySQL error 1146:
+                # "Table 'db.t' doesn't exist"; generic "not found"
+                for marker in ("does not exist", "doesn't exist", "not found")
             ):
                 raise
             rows = []

@@ -71,7 +71,7 @@ def _events_fingerprint(sf_dir: str) -> str:
     parts = []
     if os.path.isdir(root):
         for dirpath, _, files in os.walk(root):
-            for f in sorted(files):
+            for f in files:
                 p = os.path.join(dirpath, f)
                 st = os.stat(p)
                 parts.append(
@@ -80,7 +80,10 @@ def _events_fingerprint(sf_dir: str) -> str:
     elif os.path.exists(root):
         st = os.stat(root)
         parts.append(f".:{st.st_size}:{st.st_mtime_ns}")
-    return "|".join(parts)
+    # os.walk yields directories in arbitrary scandir order — sort the
+    # COLLECTED relpaths so the digest is canonical for partitioned
+    # (nested) parquet, not dependent on filesystem enumeration order
+    return "|".join(sorted(parts))
 
 
 def _drained_sessions_checkpoint(spark: SparkSession, sf_dir: str) -> str:
@@ -141,6 +144,19 @@ def _drained_sessions_checkpoint(spark: SparkSession, sf_dir: str) -> str:
     except OSError:
         # a concurrent builder published first; theirs is complete
         shutil.rmtree(build, ignore_errors=True)
+    # bound /tmp growth: sweep SUPERSEDED roots (other digests — old
+    # data versions / old code) once they're a day old; the age floor
+    # keeps us from deleting a checkpoint a concurrent process with a
+    # different data version is actively reading
+    import glob as _glob
+    import time as _time
+
+    now = _time.time()
+    for other in _glob.glob(
+        os.path.join(tempfile.gettempdir(), "bcg_sessions_ckpt_*")
+    ):
+        if other != root and now - os.path.getmtime(other) > 86_400:
+            shutil.rmtree(other, ignore_errors=True)
     return ckpt
 
 

@@ -365,6 +365,21 @@ def test_writer_empty_overwrite_leaves_readable_empty_dataset(registered, tmp_pa
     )
     assert back.count() == 0  # readable, and empty
 
+    # same contract when the target directory does not exist yet: the
+    # empty-marker branch must create it, not crash
+    fresh = str(tmp_path / "fresh_never_written")
+    empty.write.format("contacts_tsv").option("path", fresh).mode(
+        "overwrite"
+    ).save()
+    assert (
+        spark.read.format("contacts_tsv")
+        .option("path", fresh)
+        .option("registry", identity)
+        .load()
+        .count()
+        == 0
+    )
+
 
 # ---------------------------------------------------------------------------
 # Streaming WRITE path (df.writeStream.format("contacts_tsv"))
@@ -488,3 +503,66 @@ def test_stream_read_to_stream_write_roundtrip(registered, tmp_path):
         .load()
     )
     assert {r.email for r in back.collect()} == {"a@x.org", "b@x.org"}
+
+
+def test_stream_writer_complete_mode_truncates_per_batch(registered, tmp_path):
+    """update/complete output modes pass overwrite=True per micro-batch:
+    the directory must hold exactly the LATEST snapshot, not the union
+    of every batch's snapshot."""
+    import pyspark.sql.functions as F
+
+    spark = registered
+    src, out, ckpt = (
+        str(tmp_path / "src"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    os.makedirs(src)
+    reg = json.dumps({"email": []})
+
+    def land(name, vals):
+        with open(os.path.join(src, name), "w") as f:
+            f.write("email\n" + "\n".join(vals) + "\n")
+
+    def drain():
+        counts = (
+            spark.readStream.format("contacts_tsv")
+            .option("path", src)
+            .option("registry", reg)
+            .load()
+            .groupBy("email")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .selectExpr("email", "CAST(n AS STRING) AS n")
+        )
+        q = (
+            counts.writeStream.format("contacts_tsv")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        q.stop()
+
+    land("1.tsv", ["a@x.org"])
+    drain()
+    land("2.tsv", ["a@x.org", "b@x.org"])
+    drain()
+
+    identity = json.dumps({"email": [], "n": []})
+    got = {
+        (r.email, r.n)
+        for r in spark.read.format("contacts_tsv")
+        .option("path", out)
+        .option("registry", identity)
+        .load()
+        .collect()
+    }
+    # latest snapshot only: a seen twice, b once — batch 0's snapshot
+    # (a=1) must be gone
+    assert got == {("a@x.org", "2"), ("b@x.org", "1")}
+    # and only batch-1 parts remain on disk
+    assert all(f.startswith("part-1-") for f in os.listdir(out)), sorted(
+        os.listdir(out)
+    )
