@@ -360,12 +360,17 @@ class _TSVWriterBase:
     """Shared mechanics of the batch and streaming TSV writers: option
     validation, job-unique hidden temp names, and the commit-time
     rename + temp sweep. The sweep removes this job's leftovers from
-    retried/speculative attempts AND any *stale* temps (> 1 h old) left
+    retried/speculative attempts AND any *stale* temps (> 24 h old) left
     behind by earlier runs that crashed between staging and their own
     sweep — hidden ``.tmp`` names are invisible to readers either way,
-    but a long-lived sink should not accumulate them unboundedly."""
+    but a long-lived sink should not accumulate them unboundedly. The
+    24 h TTL sits far above any plausible task duration so a live
+    concurrent job's staged temp is never swept out from under its
+    commit-time ``os.replace`` (concurrent writers to one directory are
+    unsupported, but the failure mode should be a documented conflict,
+    not a mysterious FileNotFoundError from a foreign sweep)."""
 
-    _STALE_TEMP_S = 3600
+    _STALE_TEMP_S = 24 * 3600
 
     def __init__(self, options: dict, schema):
         if "path" not in options:
@@ -448,10 +453,12 @@ class ContactsTSVWriter(_TSVWriterBase, DataSourceWriter):
     Commit protocol (two-phase, task-failure safe): tasks stage to
     job-unique hidden temps (created lazily on the first row, so empty
     or failing-before-output tasks never touch disk); ``commit``
-    renames — in overwrite mode after deleting the *.tsv files that
-    predate this job, writing a header-only part when the result is
-    empty; ``abort`` sweeps the job's temps, so a failed job leaves the
-    directory byte-identical to before.
+    renames — in overwrite mode the new parts publish FIRST and the
+    *.tsv files that predate this job are deleted after (a concurrent
+    reader may briefly see both snapshots, never an empty directory; a
+    header-only part is written when the result is empty); ``abort``
+    sweeps the job's temps, so a failed job leaves the directory
+    byte-identical to before.
 
     Same filesystem contract as the reader: one POSIX directory visible
     at the same path on driver and executors. Values serialize with
@@ -473,15 +480,21 @@ class ContactsTSVWriter(_TSVWriterBase, DataSourceWriter):
         return self._stage(iterator, f"part-{pid:05d}-{self.job_id}.tsv")
 
     def commit(self, messages) -> None:
-        staged = {
-            m.tmp for m in messages if m is not None and m.tmp
-        }
+        # Publish new parts BEFORE deleting the old ones: a reader
+        # globbing the directory mid-commit may briefly see the union of
+        # the old and new snapshots — strictly safer than the reverse
+        # order's empty/partial window — and a crash inside the commit
+        # always leaves at least one complete snapshot on disk.
+        published = self._publish(messages)
         if self.overwrite:
+            keep = set(published.values())
+            if not keep:
+                marker = f"part-00000-{self.job_id}.tsv"
+                self._write_empty_marker(marker)
+                keep = {marker}
             for old in globmod.glob(os.path.join(self.directory, "*.tsv")):
-                os.remove(old)
-            if not staged:
-                self._write_empty_marker(f"part-00000-{self.job_id}.tsv")
-        self._publish(messages)
+                if os.path.basename(old) not in keep:
+                    os.remove(old)
         self._sweep_temps()
 
     def abort(self, messages) -> None:
@@ -503,13 +516,16 @@ class ContactsTSVStreamWriter(_TSVWriterBase, DataSourceStreamWriter):
     ``os.replace``s the SAME final names — rerunning an uncommitted
     batch is idempotent, never additive. Tasks stage to job+batch-unique
     hidden temps; ``commit`` renames, ``abort`` deletes, so readers of
-    the directory never observe a partial batch.
+    the directory never observe a partially-written part file.
 
     Output modes: append keeps every batch's parts; update/complete
     (Spark passes ``overwrite=True`` per micro-batch) TRUNCATES at
-    commit — earlier batches' parts are removed so the directory always
-    holds exactly the latest snapshot (header-only marker when the
-    snapshot is empty).
+    commit — the new snapshot publishes first, then earlier batches'
+    parts are removed, so the directory converges to exactly the latest
+    snapshot (header-only marker when empty). A reader globbing DURING
+    an overwrite commit may briefly see old and new parts together
+    (never an empty directory); snapshot-consistent readers should take
+    a directory listing once and read those files.
 
     Same POSIX-directory contract as the other three legs. This is the
     engine-native packaging of the foreachBatch + idempotent-writer
@@ -542,18 +558,22 @@ class ContactsTSVStreamWriter(_TSVWriterBase, DataSourceStreamWriter):
         return self._stage(iterator, f"part-{batch_id}-{pid:05d}.tsv")
 
     def commit(self, messages, batchId: int) -> None:  # noqa: N803 (API)
+        # Publish-then-delete (see the batch writer's commit): the new
+        # snapshot is fully on disk before any earlier batch's part is
+        # removed, so an overwrite commit never exposes an empty
+        # directory and a mid-commit crash keeps a complete snapshot.
+        published = self._publish(messages)
         if self.overwrite:
             # update/complete mode: this batch's snapshot REPLACES the
             # directory contents (idempotent on replay — same names)
-            this_batch = {
-                m.final for m in messages if m is not None and m.tmp
-            }
+            keep = set(published.values())
+            if not keep:
+                marker = f"part-{batchId}-00000.tsv"
+                self._write_empty_marker(marker)
+                keep = {marker}
             for old in globmod.glob(os.path.join(self.directory, "*.tsv")):
-                if os.path.basename(old) not in this_batch:
+                if os.path.basename(old) not in keep:
                     os.remove(old)
-            if not this_batch:
-                self._write_empty_marker(f"part-{batchId}-00000.tsv")
-        self._publish(messages)
         self._sweep_temps()
 
     def abort(self, messages, batchId: int) -> None:  # noqa: N803 (API)

@@ -99,6 +99,41 @@ def read_jdbc(
     return reader.load()
 
 
+def table_exists(
+    spark: SparkSession, url: str, table: str, driver: str = DERBY_DRIVER
+) -> bool:
+    """Positive table-existence probe via ``java.sql.DatabaseMetaData
+    .getTables`` on a fresh connection — independent of any exception
+    text (JDBC error messages often embed the failing SQL, so substring
+    matching misclassifies transient errors as missing-table).
+
+    ``getTables`` treats its schema/name arguments as LIKE patterns, so
+    ``_`` in a table name is a single-char wildcard — a false POSITIVE
+    is possible for exotic names, and callers using this to gate a
+    destructive fallback get the conservative outcome (treat-as-exists).
+    Checks the name as given and uppercased (Derby/Postgres fold
+    unquoted identifiers; the two probes cover both conventions).
+    """
+    jvm = spark._jvm
+    jvm.java.lang.Class.forName(driver)
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        schema, _, name = table.rpartition(".")
+        meta = conn.getMetaData()
+        for cand_schema, cand_name in dict.fromkeys(
+            [(schema or None, name), (schema.upper() or None, name.upper())]
+        ):
+            rs = meta.getTables(None, cand_schema, cand_name, None)
+            try:
+                if rs.next():
+                    return True
+            finally:
+                rs.close()
+        return False
+    finally:
+        conn.close()
+
+
 def jdbc_upsert_writer(url: str, table: str, keys: list[str],
                        driver: str = DERBY_DRIVER,
                        max_keys: int = 100_000):
@@ -146,19 +181,22 @@ def jdbc_upsert_writer(url: str, table: str, keys: list[str],
                 .limit(max_keys + 1)
                 .collect()
             )
-        except Exception as e:
+        except Exception as read_err:
             # ONLY first-batch "table does not exist yet" may fall back
             # to an empty base. Anything else (lock timeout, connection
             # drop...) must re-raise: treating a transient read failure
             # as an empty base would make the overwrite below WIPE the
             # accumulated rollup and silently bypass the max_keys guard.
-            msg = str(e)
-            if table.upper() not in msg.upper() or not any(
-                marker in msg.lower()
-                # Derby/Postgres: "does not exist"; MySQL error 1146:
-                # "Table 'db.t' doesn't exist"; generic "not found"
-                for marker in ("does not exist", "doesn't exist", "not found")
-            ):
+            # Adjudicated POSITIVELY via JDBC metadata, never by sniffing
+            # the exception text (messages embed the SQL, so a transient
+            # error can contain the table name + "not found" and alias as
+            # missing-table). If the existence probe itself fails, the
+            # endpoint is unhealthy — re-raise the original error too.
+            try:
+                missing = not table_exists(spark, url, table, driver=driver)
+            except Exception:
+                raise read_err  # original error, probe failure as context
+            if not missing:
                 raise
             rows = []
         if len(rows) > max_keys:

@@ -1,0 +1,84 @@
+"""Round-10 surface: malformed-row quarantine for the TSV edge.
+
+The reference's loaders assume well-formed TSV (`load_and_prepare.py`
+reads with pandas defaults and a bad row either silently misparses or
+kills the load). At 100 TB a feed WILL contain malformed rows, and the
+right semantics are the ones `operators/multimodal.media_quarantine`
+already gives the binary edge: tolerant decode, corrupt rows routed to
+a QUERYABLE quarantine with the raw payload preserved — never a crashed
+job, never silent loss.
+
+``tsv_quarantine`` is the tabular sibling: a TSV feed is parsed with
+Spark's PERMISSIVE CSV mode + ``columnNameOfCorruptRecord`` (the
+engine-native quarantine mechanism — the parser keeps the raw line of
+every row that fails the schema), and the query returns the quarantined
+rows with their recoverable key fields extracted from the raw line. The
+feed is synthesized deterministically from the documents table (rows
+where ``doc_id % 7 = 0`` get a non-numeric token planted in a numeric
+field), so the DuckDB oracle states the expected quarantine membership
+declaratively and the driver hash-checks it.
+
+Scale shape: one scan, zero shuffles — line synthesis, ``from_csv``,
+and the corrupt-record filter are all narrow Catalyst projections
+(JVM-side UnivocityParser per row, no Python). At 100 TB this is
+scan-speed, and the quarantine output is proportional to the corruption
+rate, not the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from bcg_contacts_data_pipeline_spark.plans.queries import register
+
+#: the TSV schema the feed is parsed against; ``_corrupt`` is the
+#: PERMISSIVE-mode corrupt-record column and must be part of the schema
+#: handed to from_csv (same contract as the csv file source)
+_FEED_SCHEMA = "doc_id BIGINT, lang STRING, n_chars BIGINT, _corrupt STRING"
+
+
+@register(
+    "tsv_quarantine",
+    oracle="""
+SELECT doc_id,
+       lang,
+       'unparseable_n_chars' AS reason
+FROM documents
+WHERE doc_id % 7 = 0
+""",
+)
+def tsv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE corrupt-record quarantine over a synthesized TSV feed:
+    rows whose numeric field fails the schema land in the quarantine
+    with key fields recovered from the preserved raw line. Reference
+    edge: load_and_prepare.py's pandas read_csv, which has no tolerant
+    path; engine sibling: operators/multimodal.media_quarantine."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # deterministic corruption: every 7th doc_id ships '#<n>' where the
+    # feed schema demands a BIGINT — unparseable, row -> quarantine
+    lines = docs.selectExpr(
+        r"""concat(
+              cast(doc_id AS string), '\t',
+              lang, '\t',
+              CASE WHEN doc_id % 7 = 0
+                   THEN concat('#', cast(n_chars AS string))
+                   ELSE cast(n_chars AS string) END
+            ) AS raw"""
+    )
+    parsed = lines.selectExpr(
+        "raw",
+        f"""from_csv(
+              raw,
+              '{_FEED_SCHEMA}',
+              map('sep', '\\t',
+                  'mode', 'PERMISSIVE',
+                  'columnNameOfCorruptRecord', '_corrupt')
+            ) AS rec""",
+    )
+    return parsed.filter("rec._corrupt IS NOT NULL").selectExpr(
+        # key recovery from the preserved raw line, not from the
+        # (partially-null) parsed struct — the quarantine consumer's view
+        "cast(split(rec._corrupt, '\\t')[0] AS bigint) AS doc_id",
+        "split(rec._corrupt, '\\t')[1] AS lang",
+        "'unparseable_n_chars' AS reason",
+    )

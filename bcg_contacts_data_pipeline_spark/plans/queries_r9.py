@@ -111,6 +111,13 @@ def _drained_sessions_checkpoint(spark: SparkSession, sf_dir: str) -> str:
     ckpt = os.path.join(root, "ckpt")
 
     if os.path.isdir(root):  # rename-published => complete
+        try:
+            # refresh the root's mtime on every reuse: the sweep below
+            # ages roots by mtime, and a long-lived process re-reading
+            # one digest must keep it out of other processes' sweeps
+            os.utime(root)
+        except OSError:
+            pass
         if _DRAINED_THIS_PROCESS or _ensure_state_coordinator(spark):
             return ckpt
         # coordinator can't be forced and no drain ran yet in this
@@ -146,8 +153,10 @@ def _drained_sessions_checkpoint(spark: SparkSession, sf_dir: str) -> str:
         shutil.rmtree(build, ignore_errors=True)
     # bound /tmp growth: sweep SUPERSEDED roots (other digests — old
     # data versions / old code) once they're a day old; the age floor
-    # keeps us from deleting a checkpoint a concurrent process with a
-    # different data version is actively reading
+    # plus the cache-hit utime above keeps us from deleting a
+    # checkpoint a concurrent process is actively re-reading, and the
+    # OSError guard covers a concurrent sweeper winning the race
+    # between glob and stat
     import glob as _glob
     import time as _time
 
@@ -155,8 +164,11 @@ def _drained_sessions_checkpoint(spark: SparkSession, sf_dir: str) -> str:
     for other in _glob.glob(
         os.path.join(tempfile.gettempdir(), "bcg_sessions_ckpt_*")
     ):
-        if other != root and now - os.path.getmtime(other) > 86_400:
-            shutil.rmtree(other, ignore_errors=True)
+        try:
+            if other != root and now - os.path.getmtime(other) > 86_400:
+                shutil.rmtree(other, ignore_errors=True)
+        except OSError:
+            pass  # another sweeper removed it between glob and stat
     return ckpt
 
 

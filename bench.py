@@ -42,9 +42,46 @@ def rotating_report_order(
     return core + rest, set(rest)
 
 
+def calibrate(spark, runs: int = 3) -> float:
+    """Host-speed yardstick: a FIXED pure-JVM workload (sum of xxhash64
+    over ``spark.range(5e8)``, whole-stage codegen, no IO, no Python
+    workers), timed min-of-``runs``. The same code on this host class
+    has measured ±30% per-query and ±9-17% total drift round-to-round
+    (PERF.md r4/r8/r9 audits) — two rounds running, separating host
+    drift from code regression needed hand-built pinned-worktree A/Bs.
+    This number moves with the host, never with engine code, so
+    cross-round totals compare as ``total / calibration_s`` and the
+    pinned-worktree A/B becomes the exception, not the routine.
+
+    ``bit_xor`` (not sum) aggregates the hashes: the session runs ANSI
+    mode, where a long sum of hash values overflows. 8e9 rows measured
+    ~1.5-2 s on the reference host — large enough that min-of-3 sits
+    well above timer noise, small next to the ~160 s board."""
+    rows = int(os.environ.get("SPARK_GRAFT_CALIB_ROWS", 8_000_000_000))
+    best = None
+    for _ in range(runs):
+        start = time.perf_counter()
+        spark.range(rows).selectExpr(
+            "bit_xor(xxhash64(id)) as h"
+        ).write.format("noop").mode("overwrite").save()
+        elapsed = time.perf_counter() - start
+        best = elapsed if best is None or elapsed < best else best
+    return round(best, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # argv names = scratch run (never writes the artifact);
+    # SPARK_GRAFT_BENCH_QUERIES = dev/test knob that RUNS a subset but
+    # otherwise behaves like a full run (writes the artifact pointed at
+    # by SPARK_GRAFT_BENCH_FULL — point it away from the committed file)
     only = sys.argv[1:]
+    env_only = [
+        s
+        for s in os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "").split(",")
+        if s
+    ]
+    selected = only or env_only
 
     # Prior round's full per-query map (committed bench_full.json) — read
     # BEFORE this run overwrites it. Used by the isolation pass below to
@@ -81,6 +118,9 @@ def main() -> None:
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
 
+    calibration_s = calibrate(spark)
+    print(f"# calibration: {calibration_s:.3f}s", file=sys.stderr)
+
     # Each query runs twice and reports the MIN: single-shot numbers on this
     # class of host mix one-time Janino codegen compile (seconds for the
     # wide signature plans) and co-tenant noise into the measurement; the
@@ -89,7 +129,7 @@ def main() -> None:
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():
-        if only and name not in only:
+        if selected and name not in selected:
             continue
         best = None
         for _ in range(runs):
@@ -112,6 +152,18 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # host-speed yardstick + drift-normalized total: cross-round
+        # comparisons use value/calibration_s (dimensionless) so a slow
+        # host draw reads as drift, not regression (PERF.md r10)
+        "calibration_s": calibration_s,
+        "value_per_calib": round(total / calibration_s, 2)
+        if calibration_s
+        else None,
+        # carry the rotation cursor forward unconditionally: a round
+        # whose stdout line happens to FIT must not reset the persisted
+        # cursor to 0 and restart the registry walk (the overflow branch
+        # below overwrites this with the advanced cursor when it runs)
+        "rotation_next": prior_rotation,
     }
 
     # Isolation pass: this host swings per-query wall times ±30% (one 9×

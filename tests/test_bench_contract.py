@@ -22,6 +22,7 @@ def test_bench_emits_contract_json():
         SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
         SPARK_GRAFT_CPUS="4",
         SPARK_GRAFT_BENCH_RUNS="1",
+        SPARK_GRAFT_CALIB_ROWS="50000000",  # keep the yardstick quick on 4 cpus
     )
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py"),
@@ -38,6 +39,12 @@ def test_bench_emits_contract_json():
     assert set(payload["queries"]) == {"hash_split", "error_histogram"}
     assert payload["value"] > 0
     assert abs(sum(payload["queries"].values()) - payload["value"]) < 0.01
+    # host-speed yardstick: present, positive, and consistent with the
+    # drift-normalized total (PERF.md r10 calibration apparatus)
+    assert payload["calibration_s"] > 0
+    assert payload["value_per_calib"] == round(
+        payload["value"] / payload["calibration_s"], 2
+    )
 
 
 def test_certification_rotation_ignores_failed_rows(tmp_path):
@@ -108,6 +115,7 @@ def test_bench_isolation_pass_adjudicates_big_deltas(tmp_path):
         SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
         SPARK_GRAFT_CPUS="4",
         SPARK_GRAFT_BENCH_RUNS="1",
+        SPARK_GRAFT_CALIB_ROWS="50000000",
         SPARK_GRAFT_BENCH_FULL=str(full),
     )
     proc = subprocess.run(
@@ -128,6 +136,40 @@ def test_bench_isolation_pass_adjudicates_big_deltas(tmp_path):
         assert row["isolated_min3"] > 0
     # a filtered (argv) run must NOT overwrite the full-map artifact
     assert json.loads(full.read_text()) == prior
+
+
+def test_rotation_cursor_survives_fitting_rounds(tmp_path):
+    """ADVICE r9: rotation_next was persisted only when the stdout line
+    overflowed the 1900-char budget — a round whose payload happened to
+    FIT silently reset the cursor to 0, restarting the registry walk.
+    A 2-query run (whose line trivially fits) must carry the prior
+    cursor forward into the written artifact."""
+    prior = {
+        "metric": "total_query_wall_seconds",
+        "queries": {"hash_split": 0.5, "error_histogram": 0.5},
+        "rotation_next": 42,
+    }
+    full = tmp_path / "bench_full.json"
+    full.write_text(json.dumps(prior))
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_CPUS="4",
+        SPARK_GRAFT_BENCH_RUNS="1",
+        SPARK_GRAFT_CALIB_ROWS="50000000",
+        SPARK_GRAFT_BENCH_FULL=str(full),
+        # env selection (not argv): runs a subset but writes the artifact
+        SPARK_GRAFT_BENCH_QUERIES="hash_split,error_histogram",
+    )
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True, text=True, timeout=300, env=env, cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    written = json.loads(full.read_text())
+    assert written["rotation_next"] == 42
+    assert set(written["queries"]) == {"hash_split", "error_histogram"}
+    assert written["calibration_s"] > 0
 
 
 def test_force_head_overrides_recent_certification(tmp_path, monkeypatch):

@@ -566,3 +566,83 @@ def test_stream_writer_complete_mode_truncates_per_batch(registered, tmp_path):
     assert all(f.startswith("part-1-") for f in os.listdir(out)), sorted(
         os.listdir(out)
     )
+
+
+def test_overwrite_commit_publishes_before_deleting(tmp_path, monkeypatch):
+    """ADVICE r9: overwrite/truncate commits must publish the new parts
+    BEFORE removing the old ones — a concurrent reader globbing the
+    directory mid-commit may see the union of both snapshots, never an
+    empty directory, and a crash inside the commit always leaves one
+    complete snapshot on disk. Pinned by spying os.remove: at every
+    old-part removal the new final must already be published."""
+    from types import SimpleNamespace
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from bcg_contacts_data_pipeline_spark.io import datasource as DS
+
+    d = tmp_path / "sink"
+    d.mkdir()
+    (d / "part-old-1.tsv").write_text("k\ta\n")
+    (d / "part-old-2.tsv").write_text("k\tb\n")
+
+    schema = StructType([StructField("k", StringType())])
+    w = DS.ContactsTSVWriter({"path": str(d)}, schema, overwrite=True)
+    tmp_name = w._tmp_name()
+    (d / tmp_name).write_text("k\tnew\n")
+    final = f"part-00000-{w.job_id}.tsv"
+    messages = [SimpleNamespace(tmp=tmp_name, final=final, rows=1)]
+
+    real_remove = DS.os.remove
+    seen_at_remove = []
+
+    def spying_remove(path):
+        seen_at_remove.append(
+            (DS.os.path.basename(path), (d / final).exists())
+        )
+        real_remove(path)
+
+    monkeypatch.setattr(DS.os, "remove", spying_remove)
+    w.commit(messages)
+    removed = {name for name, _ in seen_at_remove}
+    assert {"part-old-1.tsv", "part-old-2.tsv"} <= removed
+    assert all(published for _, published in seen_at_remove), seen_at_remove
+    assert (d / final).read_text() == "k\tnew\n"
+    assert sorted(p.name for p in d.glob("*.tsv")) == [final]
+
+
+def test_stream_overwrite_commit_publishes_before_deleting(
+    tmp_path, monkeypatch
+):
+    """Streaming twin of the ordering pin above (update/complete mode)."""
+    from types import SimpleNamespace
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from bcg_contacts_data_pipeline_spark.io import datasource as DS
+
+    d = tmp_path / "sink"
+    d.mkdir()
+    (d / "part-0-00000.tsv").write_text("k\tbatch0\n")
+
+    schema = StructType([StructField("k", StringType())])
+    w = DS.ContactsTSVStreamWriter({"path": str(d)}, schema, overwrite=True)
+    tmp_name = w._tmp_name()
+    (d / tmp_name).write_text("k\tbatch1\n")
+    final = "part-1-00000.tsv"
+    messages = [SimpleNamespace(tmp=tmp_name, final=final, rows=1)]
+
+    real_remove = DS.os.remove
+    seen_at_remove = []
+
+    def spying_remove(path):
+        seen_at_remove.append(
+            (DS.os.path.basename(path), (d / final).exists())
+        )
+        real_remove(path)
+
+    monkeypatch.setattr(DS.os, "remove", spying_remove)
+    w.commit(messages, batchId=1)
+    assert ("part-0-00000.tsv", True) in seen_at_remove
+    assert all(published for _, published in seen_at_remove), seen_at_remove
+    assert sorted(p.name for p in d.glob("*.tsv")) == [final]

@@ -195,3 +195,50 @@ def test_upsert_writer_refuses_oversized_base(spark, tmp_path):
     ok_writer(batch, 1)
     got = {r.k: r.metric for r in J.read_jdbc(spark, url, table).collect()}
     assert got[0] == 9.0 and len(got) == 5
+
+
+def test_table_exists_positive_probe(spark, tmp_path):
+    """ADVICE r9 (medium): missing-table detection must be a POSITIVE
+    metadata probe (DatabaseMetaData.getTables), never exception-text
+    sniffing — JDBC error messages embed the failing SQL, so a transient
+    error can contain the table name plus 'not found' and masquerade as
+    first-batch-no-table, wiping the rollup via the overwrite fallback."""
+    url = J.scratch_derby_url(f"exists_probe_{tmp_path.name}")
+    table = "probe_target"
+    assert not J.table_exists(spark, url, table)
+    J.write_jdbc(
+        spark.createDataFrame([(1, "a")], "k int, v string"), url, table
+    )
+    assert J.table_exists(spark, url, table)
+    # case variants: Derby folds unquoted identifiers to upper
+    assert J.table_exists(spark, url, "PROBE_TARGET")
+    assert not J.table_exists(spark, url, "no_such_table_anywhere")
+
+
+def test_upsert_reraises_transient_error_on_existing_table(
+    spark, tmp_path, monkeypatch
+):
+    """A read failure whose message CONTAINS the table name and a
+    'not found' marker (the exact shape that fooled substring matching)
+    must re-raise when the table actually exists — falling back to an
+    empty base here would overwrite-wipe the accumulated rollup."""
+    import pytest
+
+    url = J.scratch_derby_url(f"transient_{tmp_path.name}")
+    table = "rollup_t"
+    base = spark.createDataFrame([(1, 10, 0)], "k int, n int, __v long")
+    J.write_jdbc(base.drop("__v"), url, table)
+
+    def boom(*a, **kw):
+        raise RuntimeError(
+            f'container holding "{table}" unreachable: volume not found'
+        )
+
+    monkeypatch.setattr(J, "read_jdbc", boom)
+    writer = J.jdbc_upsert_writer(url, table, ["k"])
+    batch = spark.createDataFrame([(1, 11)], "k int, n int")
+    with pytest.raises(RuntimeError, match="not found"):
+        writer(batch, 0)
+    # and the table survived untouched
+    monkeypatch.undo()
+    assert J.read_jdbc(spark, url, table).count() == 1
