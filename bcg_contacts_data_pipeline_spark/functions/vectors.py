@@ -19,6 +19,44 @@ def _col(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
+#: SQL-text twin of ``dot`` (same sequential left fold, same casts) for
+#: the normalize_sql treatment: WIDE expression trees built per-Column
+#: cost one py4j round-trip per node (measured 6371 round-trips / 2.7 s
+#: of pure driver wall for the 16x64 projection below), while a SQL
+#: string parses JVM-side in one call. Twin equivalence is pinned by
+#: tests (bit-identical values, same contract as functions/normalize_sql).
+DOT_SQL = (
+    "aggregate(zip_with({a}, {b}, "
+    "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+    "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+
+
+def dot_sql(a: str, b: str) -> str:
+    """SQL-text ``dot`` over two array-typed SQL expressions."""
+    return DOT_SQL.format(a=a, b=b)
+
+
+def random_projection_sql(vec: str, matrix: list[list[float]]) -> str:
+    """SQL-text twin of ``random_projection`` — one string, one py4j
+    call, bit-identical values (matrix entries embed as double literals
+    via ``repr(x) + 'D'``; the scale uses the same repr round-trip the
+    DuckDB oracle embeds)."""
+    k = len(matrix)
+    scale = repr(1.0 / (k**0.5))
+    dims = ", ".join(
+        "({dot}) * {scale}D".format(
+            dot=dot_sql(
+                vec,
+                "array(" + ", ".join(f"{x!r}D" for x in row) + ")",
+            ),
+            scale=scale,
+        )
+        for row in matrix
+    )
+    return f"array({dims})"
+
+
 def dot(a: Column | str, b: Column | str) -> Column:
     a, b = _col(a), _col(b)
     products = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))

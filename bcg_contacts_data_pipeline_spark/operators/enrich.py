@@ -54,9 +54,16 @@ def kofn_enrich(
     source_order: str,
     min_matches: int = 2,
     broadcast_source: bool = False,
-) -> tuple[DataFrame, DataFrame]:
+    with_change_log: bool = True,
+) -> tuple[DataFrame, DataFrame | None]:
     """J2 — fill missing target fields from the first source row agreeing on
     >= ``min_matches`` of ``len(keys)`` normalized keys.
+
+    ``with_change_log=False`` skips constructing the change-log frame
+    (returned as None) — plan BUILD cost, not execution cost: the log's
+    per-fill filtered selects are ~0.4 s of py4j round-trips that a
+    caller consuming only ``enriched`` pays for nothing
+    (tests/test_plans.py's build-time gate).
 
     Returns ``(enriched, change_log)``. ``enriched`` is NARROW — one row
     per target row with (target_id, the fill columns coalesced
@@ -145,6 +152,9 @@ def kofn_enrich(
         F.col("__sid").alias("matched_source_id"),
         F.when(F.col("__sid").isNotNull(), matched_on).alias("matched_on"),
     )
+
+    if not with_change_log:
+        return enriched, None
 
     log_parts = []
     for c, src in fill.items():

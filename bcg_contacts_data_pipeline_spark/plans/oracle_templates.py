@@ -1,0 +1,74 @@
+"""Shared DuckDB-oracle scaffolds used by more than one round module.
+
+LEAF module by design — imports nothing from this package. The round
+modules (`queries_r7b`, `queries_r7c`, `queries_r9`, ...) all import the
+registry hub (`plans.queries`), whose tail imports them back; a template
+defined in one round module and imported at module level by a later one
+re-enters the partially-initialized module when a test imports the
+DEFINING module first (Python resolves the hub's tail imports against
+sys.modules), raising ImportError on an order nobody controls. Keeping
+the shared text here makes every import order safe, and keeps the
+original guarantee: two queries built from ONE template cannot silently
+drift apart if the session/shingle definition changes.
+"""
+
+#: Shared sessionization-oracle scaffold: the CTE chain + projection,
+#: parameterized ONLY by the final cutoff predicate. Built on by
+#: ``stream_sessions_timeout`` (emitted sessions: the cutoff has passed)
+#: and ``statestore_open_sessions`` (the EXACT complement: still open).
+SESSIONS_ORACLE_TEMPLATE = """
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked),
+    grouped AS (
+      SELECT user_id, sid,
+             MIN(ts) AS session_start, MAX(ts) AS session_end,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM sess GROUP BY user_id, sid),
+    flagged AS (
+      SELECT g.*,
+             sid = MAX(sid) OVER (PARTITION BY user_id) AS is_last
+      FROM grouped g),
+    wm AS (SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM events)
+    SELECT user_id, session_start, session_end, n_events
+    FROM flagged, wm
+    WHERE {cutoff}
+    """
+
+#: Shared exact-Jaccard-pairs oracle scaffold (3-gram shingles, t=0.5),
+#: parameterized only by an extra WHERE clause. Built on by
+#: ``prefix_jaccard_pairs`` (no restriction) and ``incremental_neardup``
+#: (pairs with a new-batch member).
+JACCARD_PAIRS_ORACLE_TEMPLATE = """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents WHERE length(trim(text)) > 0),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+      FROM toks WHERE len(t) >= 3),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT s.id_a, s.id_b, s.shared,
+           sa.n AS size_a, sb.n AS size_b,
+           CAST(s.shared AS DOUBLE) / CAST(sa.n + sb.n - s.shared AS DOUBLE)
+             AS jaccard
+    FROM shared s
+    JOIN sizes sa ON s.id_a = sa.doc_id
+    JOIN sizes sb ON s.id_b = sb.doc_id
+    WHERE CAST(s.shared AS DOUBLE) / CAST(sa.n + sb.n - s.shared AS DOUBLE)
+          >= 0.5{extra_where}
+    """

@@ -246,43 +246,42 @@ _ENRICH_ORACLE_BASE = """
 
 def _enrich_inputs(spark: SparkSession, sf_dir: str):
     cust = _t(spark, sf_dir, "customer")
-    target = cust.select(
-        F.col("c_custkey").alias("id"),
-        F.col("c_name"),
-        F.col("c_nationkey"),
-        F.col("c_acctbal").alias("orig_acctbal"),
-        F.when(F.col("c_custkey") % 7 == 0, F.lit(None).cast("string"))
-        .otherwise(F.col("c_mktsegment"))
-        .alias("mktsegment"),
-        F.when(F.col("c_custkey") % 11 == 0, F.lit(None).cast("double"))
-        .otherwise(F.col("c_acctbal"))
-        .alias("acctbal"),
+    # SQL-string projections (the normalize_sql treatment): the Column
+    # form of this fixture synthesis measured ~0.5 s of py4j round-trips
+    # per BUILD; one selectExpr parses JVM-side in one call
+    target = cust.selectExpr(
+        "c_custkey AS id",
+        "c_name",
+        "c_nationkey",
+        "c_acctbal AS orig_acctbal",
+        "CASE WHEN c_custkey % 7 = 0 THEN CAST(NULL AS STRING)"
+        " ELSE c_mktsegment END AS mktsegment",
+        "CASE WHEN c_custkey % 11 = 0 THEN CAST(NULL AS DOUBLE)"
+        " ELSE c_acctbal END AS acctbal",
     )
-    source = cust.select(
-        (F.col("c_custkey") + 1000000).alias("sid"),
-        F.when(F.col("c_custkey") % 5 == 0, F.concat(F.col("c_name"), F.lit("_x")))
-        .otherwise(F.col("c_name"))
-        .alias("s_name"),
-        F.when(F.col("c_custkey") % 3 == 0, F.col("c_nationkey") + 1)
-        .otherwise(F.col("c_nationkey"))
-        .alias("s_nationkey"),
-        F.col("c_acctbal").alias("s_bal_src"),
-        F.col("c_mktsegment").alias("s_mktsegment"),
-        F.col("c_acctbal").alias("s_acctbal"),
+    source = cust.selectExpr(
+        "c_custkey + 1000000 AS sid",
+        "CASE WHEN c_custkey % 5 = 0 THEN concat(c_name, '_x')"
+        " ELSE c_name END AS s_name",
+        "CASE WHEN c_custkey % 3 = 0 THEN c_nationkey + 1"
+        " ELSE c_nationkey END AS s_nationkey",
+        "c_acctbal AS s_bal_src",
+        "c_mktsegment AS s_mktsegment",
+        "c_acctbal AS s_acctbal",
     )
     from bcg_contacts_data_pipeline_spark.operators.enrich import MatchKey
 
     keys = [
-        MatchKey("name", F.lower(F.col("c_name")), F.lower(F.col("s_name"))),
+        MatchKey("name", F.expr("lower(c_name)"), F.expr("lower(s_name)")),
         MatchKey(
             "nat",
-            F.col("c_nationkey").cast("string"),
-            F.col("s_nationkey").cast("string"),
+            F.expr("CAST(c_nationkey AS STRING)"),
+            F.expr("CAST(s_nationkey AS STRING)"),
         ),
         MatchKey(
             "bal",
-            F.floor(F.col("orig_acctbal")).cast("long").cast("string"),
-            F.floor(F.col("s_bal_src")).cast("long").cast("string"),
+            F.expr("CAST(CAST(floor(orig_acctbal) AS BIGINT) AS STRING)"),
+            F.expr("CAST(CAST(floor(s_bal_src) AS BIGINT) AS STRING)"),
         ),
     ]
     return target, source, keys
@@ -313,6 +312,7 @@ def q_enrich_2of3(spark: SparkSession, sf_dir: str) -> DataFrame:
         target_id="id",
         source_order="sid",
         min_matches=2,
+        with_change_log=False,  # unused here; skipping saves ~0.4 s of build
     )
     return enriched.select("id", "mktsegment", "acctbal", "matched_source_id")
 

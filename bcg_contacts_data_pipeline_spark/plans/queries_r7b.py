@@ -573,24 +573,28 @@ def embedding_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     1) is pinned separately by a unit test; this query pins the
     arithmetic."""
     from bcg_contacts_data_pipeline_spark.functions.vectors import (
-        dot,
+        dot_sql,
         rademacher_matrix,
-        random_projection,
+        random_projection_sql,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
     matrix = rademacher_matrix(64, 16, seed=7)
-    projected = emb.select(
+    # SQL-string build (the normalize_sql treatment): the Column form of
+    # this 16x64 projection measured 6371 py4j round-trips / ~2.7 s of
+    # pure driver wall per BUILD — the plan-construction bottleneck class
+    # tests/test_plans.py's build-time gate pins. Values bit-identical
+    # (twin equivalence pinned in tests/test_properties_r7.py).
+    projected = emb.selectExpr(
         "vec_id",
         "embedding",
-        random_projection("embedding", matrix).alias("proj"),
+        f"{random_projection_sql('embedding', matrix)} AS proj",
     )
-    scored = projected.select(
+    scored = projected.selectExpr(
         "vec_id",
         "proj",
-        (dot("proj", "proj") / dot("embedding", "embedding")).alias(
-            "norm_ratio"
-        ),
+        f"{dot_sql('proj', 'proj')} / {dot_sql('embedding', 'embedding')}"
+        " AS norm_ratio",
     )
     return scored.select(
         "vec_id",
@@ -1821,40 +1825,13 @@ def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-#: Shared sessionization-oracle scaffold: the CTE chain + projection,
-#: parameterized ONLY by the final cutoff predicate. Two queries build
-#: on it — ``stream_sessions_timeout`` (emitted sessions: the cutoff
-#: has passed) and ``statestore_open_sessions`` in plans/queries_r9.py
-#: (the EXACT complement: still open at the cutoff). Sharing the text
-#: guarantees the complement law can never silently drift if the
-#: session definition changes.
-SESSIONS_ORACLE_TEMPLATE = """
-    WITH marked AS (
-      SELECT user_id, ts,
-             CASE WHEN lag(ts) OVER w IS NULL
-                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
-                  THEN 1 ELSE 0 END AS new_s
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-    sess AS (
-      SELECT user_id, ts,
-             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
-                              ROWS UNBOUNDED PRECEDING) AS sid
-      FROM marked),
-    grouped AS (
-      SELECT user_id, sid,
-             MIN(ts) AS session_start, MAX(ts) AS session_end,
-             CAST(COUNT(*) AS BIGINT) AS n_events
-      FROM sess GROUP BY user_id, sid),
-    flagged AS (
-      SELECT g.*,
-             sid = MAX(sid) OVER (PARTITION BY user_id) AS is_last
-      FROM grouped g),
-    wm AS (SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM events)
-    SELECT user_id, session_start, session_end, n_events
-    FROM flagged, wm
-    WHERE {cutoff}
-    """
+#: Shared with ``statestore_open_sessions`` (plans/queries_r9.py), which
+#: needs the EXACT complement cutoff — the text lives in the leaf module
+#: ``oracle_templates`` so every package import order is safe (see its
+#: docstring); re-exported here for the pre-existing import surface.
+from bcg_contacts_data_pipeline_spark.plans.oracle_templates import (  # noqa: E402
+    SESSIONS_ORACLE_TEMPLATE,
+)
 
 
 @register(

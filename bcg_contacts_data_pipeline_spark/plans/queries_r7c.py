@@ -849,36 +849,13 @@ def session_error_overlap(
 # Prefix-filtered exact set-similarity join (AllPairs/PPJoin rule).
 # ---------------------------------------------------------------------------
 
-#: Shared exact-Jaccard-pairs oracle scaffold (3-gram shingles, t=0.5),
-#: parameterized only by an extra WHERE clause. Built on by
-#: ``prefix_jaccard_pairs`` (no restriction) and ``incremental_neardup``
-#: in plans/queries_r9.py (pairs with a new-batch member) — sharing the
-#: text guarantees the restriction law cannot drift if the shingle or
-#: threshold definition changes.
-JACCARD_PAIRS_ORACLE_TEMPLATE = """
-    WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
-      FROM documents WHERE length(trim(text)) > 0),
-    sh AS (
-      SELECT doc_id,
-             unnest(list_distinct(list_transform(range(1, len(t) - 1),
-                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
-      FROM toks WHERE len(t) >= 3),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-    shared AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id)
-    SELECT s.id_a, s.id_b, s.shared,
-           sa.n AS size_a, sb.n AS size_b,
-           CAST(s.shared AS DOUBLE) / CAST(sa.n + sb.n - s.shared AS DOUBLE)
-             AS jaccard
-    FROM shared s
-    JOIN sizes sa ON s.id_a = sa.doc_id
-    JOIN sizes sb ON s.id_b = sb.doc_id
-    WHERE CAST(s.shared AS DOUBLE) / CAST(sa.n + sb.n - s.shared AS DOUBLE)
-          >= 0.5{extra_where}
-    """
+#: Shared with ``incremental_neardup`` (plans/queries_r9.py), which adds
+#: a new-batch restriction — the text lives in the leaf module
+#: ``oracle_templates`` so every package import order is safe (see its
+#: docstring); re-exported here for the pre-existing import surface.
+from bcg_contacts_data_pipeline_spark.plans.oracle_templates import (  # noqa: E402
+    JACCARD_PAIRS_ORACLE_TEMPLATE,
+)
 
 
 @register(

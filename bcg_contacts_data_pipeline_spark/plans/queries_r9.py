@@ -172,7 +172,7 @@ def _drained_sessions_checkpoint(spark: SparkSession, sf_dir: str) -> str:
     return ckpt
 
 
-from bcg_contacts_data_pipeline_spark.plans.queries_r7b import (  # noqa: E402
+from bcg_contacts_data_pipeline_spark.plans.oracle_templates import (  # noqa: E402
     SESSIONS_ORACLE_TEMPLATE,
 )
 
@@ -212,7 +212,7 @@ def statestore_open_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-from bcg_contacts_data_pipeline_spark.plans.queries_r7c import (  # noqa: E402
+from bcg_contacts_data_pipeline_spark.plans.oracle_templates import (  # noqa: E402
     JACCARD_PAIRS_ORACLE_TEMPLATE,
 )
 

@@ -619,3 +619,94 @@ def test_sql_udf_inlines_into_codegen(spark):
     assert "sum((p" in p, p  # the inlined expression, aggregated directly
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
     assert "HashAggregate" in p, p
+
+
+# ---------------------------------------------------------------------------
+# Driver-side plan-BUILD budget (VERDICT r9 ask #7)
+# ---------------------------------------------------------------------------
+
+#: widest pure-build plans on the board (tools/build_time.py, r10 probe) —
+#: the py4j-chatter class that PLANS.md's executed-plan facts cannot see.
+#: Queries that intentionally EXECUTE jobs at build (iterative label
+#: propagation, eager renumber offsets, centroid collects, checkpoint
+#: drains) are excluded: their build wall measures that work, not chatter.
+_PURE_BUILD_GATED = [
+    "enrich_2of3",
+    "embedding_project",
+    "enrich_change_log",
+    "q8_market_share",
+    "fk_orphan_audit",
+    "q7_volume_shipping",
+    "revenue_share_rollup",
+    "q9_product_profit",  # user_value_deciles renumbers: eager offset collect
+    "norm_scalars",
+    "q5_region_revenue",
+]
+
+#: warm min-of-3 budget per build. The r10 measured board's worst gated
+#: query is ~0.7 s (enrich_2of3, after the change-log opt-out and
+#: selectExpr fixture rewrite; embedding_project went 2.7 -> 0.25 s via
+#: random_projection_sql); 1.5 s = headroom for this host's documented
+#: ±30% noise band while still catching the multi-second chatter class
+#: (contacts e2e measured ~9 s of build before normalize_sql).
+_BUILD_BUDGET_S = 1.5
+
+
+def test_plan_build_time_budget(spark):
+    """Plan CONSTRUCTION wall (build-only, no execution) for the widest
+    pure-build queries: py4j round-trips building expression trees are
+    driver-side serial cost that grows with query WIDTH, not data — the
+    one scale bottleneck executed-plan audits cannot see. Any query that
+    breaches this budget gets the normalize_sql treatment (build hot
+    projections as SQL strings: one JVM-side parse per projection)."""
+    import time
+
+    for name in _PURE_BUILD_GATED:
+        QUERIES[name](spark, SF)  # warm: parquet schema inference etc.
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            QUERIES[name](spark, SF)
+            el = time.perf_counter() - t0
+            best = el if best is None or el < best else best
+        assert best < _BUILD_BUDGET_S, (
+            f"{name} plan build {best:.2f}s > {_BUILD_BUDGET_S}s — "
+            "apply the normalize_sql treatment (see functions/"
+            "normalize_sql.py, functions/vectors.py:random_projection_sql)"
+        )
+
+
+def test_gated_builds_execute_no_jobs(spark):
+    """The budget above is honest only if the gated builds are PURE —
+    a query that starts running Spark jobs at build time would be
+    measuring execution, not chatter. Detected via job groups: any job
+    submitted during the build lands in the group and fails this test
+    (move the query to the executes-at-build class instead of gating).
+
+    Exception: every ``spark.read.parquet`` runs one 1-task
+    'parquet at ...' footer-inference job even on a warm path — a
+    per-read constant, not query execution — so jobs whose stages are
+    all schema inference are ignored."""
+    sc = spark.sparkContext
+    st = sc.statusTracker()
+    for name in _PURE_BUILD_GATED:
+        group = f"buildgate-{name}"
+        sc.setJobGroup(group, "build purity probe")
+        try:
+            QUERIES[name](spark, SF)
+        finally:
+            sc.setJobGroup(None, None)  # type: ignore[arg-type]
+        real = []
+        for jid in st.getJobIdsForGroup(group):
+            info = st.getJobInfo(jid)
+            stages = [
+                st.getStageInfo(sid) for sid in (info.stageIds if info else [])
+            ]
+            names = [s.name for s in stages if s is not None]
+            if names and all(n.startswith("parquet at") for n in names):
+                continue  # schema-inference job, not execution
+            real.append((jid, names))
+        assert not real, (
+            f"{name} executed Spark job(s) during plan build {real} "
+            "— not a pure-build query; exclude it from the budget gate"
+        )
