@@ -168,15 +168,19 @@ def ngram_jaccard_pairs(
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
 
     a = shingles.select(F.col(id_col).alias("id_a"), "sh")
-    b = shingles.select(F.col(id_col).alias("id_b"), "sh")
+    b = _no_static_broadcast(shingles.select(F.col(id_col).alias("id_b"), "sh"))
     shared = (
         a.join(b, on="sh")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("size_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("size_b"))
+    sa = _no_static_broadcast(
+        sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("size_a"))
+    )
+    sb = _no_static_broadcast(
+        sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("size_b"))
+    )
     return (
         shared.join(sa, "id_a")
         .join(sb, "id_b")
@@ -275,6 +279,24 @@ def _gram_hash_arrays(
         ),
     )
     return hashed.select(F.col(id_col), F.array_distinct(grams).alias("__gh"))
+
+
+def _no_static_broadcast(df: DataFrame) -> DataFrame:
+    """Mark a CORPUS-DERIVED join side so it is never statically
+    broadcast: plan-time width stats for computed array columns
+    (minhash signatures, shingle arrays) wildly underestimate real row
+    size — the estimator prices an array column like a scalar — so a
+    frame that is actually hundreds of MB passes the 10 MB
+    autoBroadcastJoinThreshold and OOMs the driver building the
+    broadcast (found by SCALE.md's r10 100x tier-2 probe: the pinned
+    1M-row sigs frame, ~550 MB deserialized, chosen as build side of
+    three joins). A SHUFFLE_HASH hint keeps these joins shuffled hash
+    joins — build sides are per-partition, memory bounded by the
+    partition count — the right strategy for corpus×corpus joins at
+    EVERY scale; at small SF the extra exchanges are sub-MB and cost
+    nothing measurable. Bounded-by-construction sides (hot-bucket sets,
+    k-row stats frames) keep their broadcasts."""
+    return df.hint("shuffle_hash")
 
 
 def _drop_hot_buckets(
@@ -381,7 +403,9 @@ def minhash_lsh_pairs(
         buckets = _drop_hot_buckets(buckets, ["band", "bh"], max_bucket)
 
     l = buckets.select(F.col(id_col).alias("id_a"), "band", "bh")
-    r = buckets.select(F.col(id_col).alias("id_b"), "band", "bh")
+    r = _no_static_broadcast(
+        buckets.select(F.col(id_col).alias("id_b"), "band", "bh")
+    )
     cand = (
         l.join(r, on=["band", "bh"])
         .filter(F.col("id_a") < F.col("id_b"))
@@ -425,11 +449,11 @@ def _estimate_and_filter(
 ) -> DataFrame:
     """Attach the signature-estimated Jaccard (fraction of agreeing hash
     positions) to candidate (id_a, id_b) pairs and filter by threshold."""
-    sa = sigs_a.select(
-        F.col(id_a_col).alias("id_a"), F.col("sigs").alias("sig_a")
+    sa = _no_static_broadcast(
+        sigs_a.select(F.col(id_a_col).alias("id_a"), F.col("sigs").alias("sig_a"))
     )
-    sb = sigs_b.select(
-        F.col(id_b_col).alias("id_b"), F.col("sigs").alias("sig_b")
+    sb = _no_static_broadcast(
+        sigs_b.select(F.col(id_b_col).alias("id_b"), F.col("sigs").alias("sig_b"))
     )
     agree = F.size(
         F.filter(
@@ -493,7 +517,11 @@ def minhash_lsh_join(
     br = _band_buckets(sr, right_id, num_hashes, bands).select(
         F.col(right_id).alias("id_b"), "band", "bh"
     )
-    cand = bl.join(br, on=["band", "bh"]).select("id_a", "id_b").distinct()
+    cand = (
+        bl.join(_no_static_broadcast(br), on=["band", "bh"])
+        .select("id_a", "id_b")
+        .distinct()
+    )
     return _estimate_and_filter(
         cand, sl, left_id, sr, right_id, num_hashes, verify_threshold
     )
@@ -595,7 +623,7 @@ def simhash_pairs(
     # every (pair x shared-band) candidate row — the candidate set is the
     # 10x-larger side whenever bands are narrow.
     return (
-        l.join(r, on=["q", "qh"])
+        l.join(_no_static_broadcast(r), on=["q", "qh"])
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("hamming", hamming64(F.col("sim_a"), F.col("sim_b")))
         .filter(F.col("hamming") <= max_hamming)
@@ -1265,6 +1293,10 @@ def fuzzy_pairs_blocked(
     a = base.select(
         F.col("__id").alias("id_a"), F.col("__name").alias("name_a"), *keys
     )
+    # no _no_static_broadcast here: base is a plain scan projection, so
+    # its size estimate SCALES with the input (verified at the 100x
+    # replica: Spark picks a shuffle join on its own) — the hint is for
+    # frames whose computed-array lineage breaks the estimator
     b = base.select(
         F.col("__id").alias("id_b"), F.col("__name").alias("name_b"), *keys
     )
@@ -1354,7 +1386,9 @@ def prefix_filter_pairs(
         )
 
     shingles = shingle_hash_frame(df, id_col, text, n)
-    dfreq = shingles.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    dfreq = _no_static_broadcast(
+        shingles.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    )
     # Per-doc shingle array sorted by the global (df asc, sh asc) order.
     per_doc = pin(
         shingles.join(dfreq, "sh")
@@ -1382,7 +1416,7 @@ def prefix_filter_pairs(
     )
     if probe_pred is None:
         a = prefix.select(F.col(id_col).alias("id_a"), "sh")
-        b = prefix.select(F.col(id_col).alias("id_b"), "sh")
+        b = _no_static_broadcast(prefix.select(F.col(id_col).alias("id_b"), "sh"))
         cand = (
             a.join(b, "sh")
             .filter(F.col("id_a") < F.col("id_b"))
@@ -1393,7 +1427,9 @@ def prefix_filter_pairs(
         probe = prefix.filter(probe_pred(F.col(id_col))).select(
             F.col(id_col).alias("id_p"), "sh"
         )
-        index = prefix.select(F.col(id_col).alias("id_i"), "sh")
+        index = _no_static_broadcast(
+            prefix.select(F.col(id_col).alias("id_i"), "sh")
+        )
         cand = (
             probe.join(index, "sh")
             .filter(F.col("id_p") != F.col("id_i"))
@@ -1403,15 +1439,19 @@ def prefix_filter_pairs(
             )
             .distinct()
         )
-    fa = per_doc.select(
-        F.col(id_col).alias("id_a"),
-        F.col("sh_arr").alias("arr_a"),
-        F.col("sz").alias("size_a"),
+    fa = _no_static_broadcast(
+        per_doc.select(
+            F.col(id_col).alias("id_a"),
+            F.col("sh_arr").alias("arr_a"),
+            F.col("sz").alias("size_a"),
+        )
     )
-    fb = per_doc.select(
-        F.col(id_col).alias("id_b"),
-        F.col("sh_arr").alias("arr_b"),
-        F.col("sz").alias("size_b"),
+    fb = _no_static_broadcast(
+        per_doc.select(
+            F.col(id_col).alias("id_b"),
+            F.col("sh_arr").alias("arr_b"),
+            F.col("sz").alias("size_b"),
+        )
     )
     shared = F.size(F.array_intersect("arr_a", "arr_b"))
     return (

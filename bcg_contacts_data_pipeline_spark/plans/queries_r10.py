@@ -28,6 +28,7 @@ rate, not the corpus.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from bcg_contacts_data_pipeline_spark.plans.queries import register
 
@@ -82,3 +83,65 @@ def tsv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "split(rec._corrupt, '\\t')[1] AS lang",
         "'unparseable_n_chars' AS reason",
     )
+
+
+# ---------------------------------------------------------------------------
+# Capped MinHash recall: the 100 TB twin of minhash_recall.
+# ---------------------------------------------------------------------------
+
+
+def _capped_recall_oracle() -> str:
+    from bcg_contacts_data_pipeline_spark.plans.queries import (
+        _RECALL_ORACLE_TMPL,
+        _TOKS_SQL,
+    )
+
+    return _RECALL_ORACLE_TMPL.format(toks=_TOKS_SQL, min_tokens=3)
+
+
+@register("minhash_recall_capped", oracle=_capped_recall_oracle())
+def minhash_recall_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``minhash_recall`` with the PRODUCTION hot-bucket cap
+    (``max_bucket=100``, `similarity.py:_drop_hot_buckets`). At every
+    shipped SF the corpus's identical-text clusters have exactly 2
+    members (doc + constructed copy), far under the cap, so the result
+    — and the oracle — are identical to the uncapped baseline's
+    (recall 1.0). The cap exists for what the uncapped baseline cannot
+    survive: SCALE.md's 100x replica makes every cluster 200 identical
+    docs, where the complete-candidate set is Θ(clusters·clone²) —
+    3.2e9 band-join rows, quadratic BY DESIGN since the baseline must
+    emit every true pair. The cap routes such clusters out of pairwise
+    scoring (cluster-by-bucket handling is the right tool for 200-way
+    clones), keeping the pair generator's output bounded by
+    clusters·cap² — this query is the tier-2 scale-probe member for the
+    MinHash family (SCALE.md), the uncapped baseline stays the
+    completeness certificate at 1x/10x."""
+    from bcg_contacts_data_pipeline_spark.functions.text import tokens
+    from bcg_contacts_data_pipeline_spark.operators.similarity import (
+        minhash_lsh_pairs,
+    )
+    from bcg_contacts_data_pipeline_spark.plans.queries import (
+        _COPY_OFFSET,
+        _docs_with_copy,
+        _recall_frame,
+        _t,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        _docs_with_copy(docs),
+        "doc_id",
+        "text",
+        n=3,
+        num_hashes=64,
+        bands=16,
+        verify_threshold=0.5,
+        max_bucket=100,
+    )
+    truth = docs.filter(
+        (F.length(F.trim("text")) > 0) & (F.size(tokens(F.col("text"))) >= 3)
+    ).select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + F.lit(_COPY_OFFSET)).alias("id_b"),
+    )
+    return _recall_frame(pairs, truth)

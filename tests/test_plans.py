@@ -710,3 +710,29 @@ def test_gated_builds_execute_no_jobs(spark):
             f"{name} executed Spark job(s) during plan build {real} "
             "— not a pure-build query; exclude it from the budget gate"
         )
+
+
+def test_pair_generators_never_static_broadcast_corpus_frames(spark):
+    """SCALE.md r10 100x probe finding: plan-time width stats price
+    array columns like scalars, so the corpus-sized signature/shingle
+    frames passed the broadcast threshold and OOM'd the driver at 100x
+    (a ~550 MB build side estimated under 10 MB). The pair generators
+    now pin SHUFFLE_HASH on corpus-derived join sides
+    (similarity._no_static_broadcast); this asserts the property on the
+    executed plans — meaningful at ANY sf, since the old plans
+    broadcast these frames even at sf0.001."""
+    for name in ("minhash_recall", "minhash_recall_capped",
+                 "simhash_recall", "decontaminate", "prefix_jaccard_pairs",
+                 "ngram_jaccard", "incremental_neardup"):
+        p = _plan(QUERIES[name](spark, SF))
+        # allowed broadcasts: 1-row scalar attachments (Identity
+        # crossJoin) and the bounded hot-bucket sets, which appear only
+        # as LeftAnti probes — every INNER pair/verify join must build
+        # per-partition (shuffled hash), never a driver broadcast
+        for line in p.splitlines():
+            if "BroadcastHashJoin" in line and "Inner" in line:
+                raise AssertionError(
+                    f"{name} statically broadcasts an inner-join build "
+                    f"side — corpus-scaling hazard:\n{line}"
+                )
+        spark.catalog.clearCache()

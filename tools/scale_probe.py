@@ -75,7 +75,8 @@ PROBE = [
     ("hll_sketch_rollup", "mergeable sketch rollup"),
     ("token_stats", "text Catalyst expressions"),
     ("ngram_jaccard", "capped posting-list pair gen"),
-    ("minhash_recall", "MinHash banded LSH pairs"),
+    ("minhash_recall", "MinHash LSH, complete candidates"),
+    ("minhash_recall_capped", "MinHash LSH, hot-bucket cap"),
     ("enrich_2of3", "k-of-n key-match enrich join"),
     ("dedup_components", "iterative CC, capped edges"),
     ("embedding_ann_lsh", "LSH ANN, auto planes"),
@@ -83,10 +84,23 @@ PROBE = [
     ("stream_hourly_counts", "streaming AvailableNow drain"),
     ("contacts_pipeline_e2e", "flagship e2e pipeline"),
 ]
-# cheapest strictly-linear ops, re-run at the second tier for a
-# two-decade scaling curve
+# second-tier (100x) probe set: the strictly-linear ops for a clean
+# two-decade curve PLUS the families the 100 TB claim rests on most
+# heavily (VERDICT r9 ask #4) — iterative CC, banded-LSH pair
+# generation, and the flagship e2e pipeline. The 100x replica makes
+# every document a 100-way exact duplicate: the adversarial shape for
+# pair generators, held sub-quadratic only by the posting-list /
+# hot-bucket caps — which is exactly what the tier-2 row certifies.
+# The MinHash member is the CAPPED production path: the uncapped
+# complete-candidate baseline's output is Θ(clusters·clone²) by design
+# (it must emit every true pair, and this replica grows clone size
+# linearly with F), so no algorithm meets a linear wall bound on it —
+# measured: >10 min at 100x even after the static-broadcast fix, vs the
+# capped twin which routes 200-way clone clusters out of pairwise
+# scoring entirely (PERF.md r10).
 TIER2 = ["q1_pricing_summary", "exact_dedup", "hll_sketch_rollup",
-         "orders_global_rank"]
+         "orders_global_rank", "dedup_components", "minhash_recall_capped",
+         "contacts_pipeline_e2e"]
 
 
 def build_scaled(factor: int, dest: str) -> None:
