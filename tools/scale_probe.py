@@ -228,8 +228,11 @@ def write_scale_md(rows: list[dict], factor: int, tier2: int) -> None:
         "",
         f"`tools/scale_probe.py` run against `{SRC}` on local[32]: each",
         f"query timed (min of 2, noop sink, cache cleared between runs) at",
-        f"1x and {factor}x data; the strictly-linear tier additionally at",
-        f"{tier2}x. The replica is referentially consistent (keys shifted",
+        f"1x and {factor}x data; the tier-2 set — the strictly-linear ops",
+        "plus the families the 100 TB claim rests on most heavily",
+        "(iterative CC, capped LSH pair generation, the flagship e2e",
+        f"pipeline) — additionally at {tier2}x.",
+        "The replica is referentially consistent (keys shifted",
         "per replica; region/nation dimensions stay fixed-shape, which is",
         "why they broadcast). Documents/embeddings replicate with payloads",
         "unchanged, so every document gains exact cross-replica duplicates",
@@ -264,6 +267,14 @@ def write_scale_md(rows: list[dict], factor: int, tier2: int) -> None:
             else "**SUPER-LINEAR rows needing a PERF.md fix:** "
             + ", ".join(f"`{q}`" for q in worst)
         ),
+        "",
+        "The MinHash family's tier-2 member is the CAPPED production",
+        "path (`minhash_recall_capped`): the uncapped complete-candidate",
+        "baseline must emit every true pair, and this replica grows clone",
+        "size linearly with F, so its OUTPUT is Θ(clusters·clone²) — no",
+        "algorithm meets a linear wall bound on it (measured >10 min at",
+        "100x). The cap routes oversized clone clusters out of pairwise",
+        "scoring, which is the documented 100 TB behavior (PERF.md r10).",
         "",
         "Raw rows (machine-readable, mirrored on stdout):",
         "",
