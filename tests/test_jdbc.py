@@ -203,7 +203,12 @@ def test_table_exists_positive_probe(spark, tmp_path):
     sniffing — JDBC error messages embed the failing SQL, so a transient
     error can contain the table name plus 'not found' and masquerade as
     first-batch-no-table, wiping the rollup via the overwrite fallback."""
-    url = J.scratch_derby_url(f"exists_probe_{tmp_path.name}")
+    import uuid
+
+    # uuid key: tmp_path NAMES repeat across pytest runs while the Derby
+    # DB persists under /tmp, so a name-keyed scratch DB would still
+    # hold the table a previous run created
+    url = J.scratch_derby_url(f"exists_probe_{uuid.uuid4().hex}")
     table = "probe_target"
     assert not J.table_exists(spark, url, table)
     J.write_jdbc(
@@ -224,7 +229,9 @@ def test_upsert_reraises_transient_error_on_existing_table(
     empty base here would overwrite-wipe the accumulated rollup."""
     import pytest
 
-    url = J.scratch_derby_url(f"transient_{tmp_path.name}")
+    import uuid
+
+    url = J.scratch_derby_url(f"transient_{uuid.uuid4().hex}")
     table = "rollup_t"
     base = spark.createDataFrame([(1, 10, 0)], "k int, n int, __v long")
     J.write_jdbc(base.drop("__v"), url, table)

@@ -80,8 +80,11 @@ BUDGET = {
     # in each of its three consumers (documented trade in
     # similarity.ngram_jaccard_pairs) and the degree rollup adds the
     # union+agg+outer-join chain on top — high by design, bounded by
-    # the df cap, re-point this ONLY with a measured justification
-    "neardup_degree_hist": 17,
+    # the df cap, re-point this ONLY with a measured justification.
+    # r10: +8 from the SHUFFLE_HASH pins on corpus-derived join sides
+    # (each de-broadcast join shuffles both sides — the static
+    # broadcasts OOM'd the 100x probe; see PERF.md r10)
+    "neardup_degree_hist": 25,
     # round-7 continuation: the last three TPC-H shapes — every dim
     # broadcasts, the single exchange is the final groupBy's
     "q7_volume_shipping": 1,
@@ -138,8 +141,9 @@ BUDGET = {
     "orders_global_rank": 3,
     # the capped pair generator's chain (hot-shingle agg + sizes +
     # shared agg, shingle explode recomputed per consumer - the
-    # documented no-persist trade) + split joins + final cell agg
-    "split_leakage_audit": 8,
+    # documented no-persist trade) + split joins + final cell agg.
+    # r10: +4 from the no-static-broadcast SHUFFLE_HASH pins (PERF.md)
+    "split_leakage_audit": 12,
     # leaf groupBy + the tiny region window exchange; parent total
     # derives from the 25-row child aggregate, never a second scan
     "revenue_share_rollup": 2,
@@ -168,8 +172,11 @@ BUDGET = {
     # the one fused profile aggregate (partial + final single-partition)
     "profile_unpivot": 2,
     # df-frequency agg + per-doc grid agg + candidate/verify joins; the
-    # pinned per-doc array frame prints under its three consumers
-    "prefix_jaccard_pairs": 9,
+    # pinned per-doc array frame prints under its three consumers.
+    # r10: +10 from the no-static-broadcast SHUFFLE_HASH pins — the
+    # dfreq, candidate and both verify joins now shuffle both sides
+    # (the old static broadcasts OOM'd at the 100x replica; PERF.md)
+    "prefix_jaccard_pairs": 19,
     # hourly agg feeds both join sides (one exchange each) + final agg
     "seasonal_naive_backtest": 3,
     # xmin scalar gather + the one sufficient-statistics aggregate
