@@ -98,9 +98,11 @@ PROBE = [
 # measured: >10 min at 100x even after the static-broadcast fix, vs the
 # capped twin which routes 200-way clone clusters out of pairwise
 # scoring entirely (PERF.md r10).
-TIER2 = ["q1_pricing_summary", "exact_dedup", "hll_sketch_rollup",
-         "orders_global_rank", "dedup_components", "minhash_recall_capped",
-         "contacts_pipeline_e2e"]
+TIER2 = ["q1_pricing_summary", "q9_product_profit", "exact_dedup",
+         "dedup_merge", "orders_global_rank", "pack_shards",
+         "hll_sketch_rollup", "token_stats", "minhash_recall_capped",
+         "enrich_2of3", "dedup_components", "embedding_ann_lsh",
+         "sessionize", "stream_hourly_counts", "contacts_pipeline_e2e"]
 
 
 def build_scaled(factor: int, dest: str) -> None:
