@@ -307,3 +307,81 @@ def connected_components_star(
             extra.select("node", F.col("node").alias("comp"))
         )
     return out
+
+
+def incremental_components(
+    old_labels: DataFrame,
+    new_edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    node_col: str = "node",
+    comp_col: str = "comp",
+    checkpoint: str = "local",
+    pins: PinScope | None = None,
+) -> DataFrame:
+    """Merge a batch of NEW edges into an existing min-label component
+    labeling without recomputing the historical graph — the incremental
+    daily-crawl shape for dedup clustering, the components sibling of
+    the incremental pair generators (`similarity.prefix_filter_pairs`'s
+    ``probe_pred`` and `dedup.py`'s incremental hash join).
+
+    Algebra: with ``old_labels`` = CC(G_old) where every component label
+    is the component's minimum node id, CC(G_old ∪ E_new) is obtained by
+    CONTRACTING each old component to its label and running CC on the
+    contracted graph only: map both endpoints of every new edge through
+    the labeling (endpoints never seen before label themselves), drop
+    the edges that land inside one component, and propagate min-labels
+    over what remains. The contracted graph has one node per AFFECTED
+    component — at 100 TB that is proportional to today's batch and its
+    collisions, never to the historical corpus; history×history work is
+    O(0). Final labels stay minimum-node-ids: min over a merged set of
+    old components' labels (each already a min) and new node ids is the
+    min over all member nodes, so the output is bit-identical to a
+    from-scratch CC over the union — which is exactly what the oracle
+    checks.
+
+    Returns (node, comp) covering every old node and every node
+    appearing in ``new_edges``.
+    """
+    # Materialize the batch's edges ONCE: they are consumed three times
+    # (src endpoints, dst endpoints, contraction join), and an expensive
+    # upstream pair generator would otherwise re-execute per branch —
+    # measured 12.6 s -> ~3 s on the prefix-filtered jaccard chain at
+    # sf0.1. Same lineage-truncation strategy knob as
+    # connected_components; the batch is bounded by today's crawl.
+    if checkpoint == "reliable":
+        new_edges = new_edges.checkpoint(eager=True)
+    else:
+        new_edges = new_edges.localCheckpoint(eager=True)
+
+    base = old_labels.select(
+        F.col(node_col).alias("node"), F.col(comp_col).alias("comp")
+    )
+    # endpoints never seen before: they label themselves (singleton
+    # components) before the merge, exactly as CC would seed them
+    new_nodes = (
+        new_edges.select(F.col(src).alias("node"))
+        .unionByName(new_edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .join(base.select("node"), "node", "left_anti")
+    )
+    base = base.unionByName(
+        new_nodes.select("node", F.col("node").alias("comp"))
+    )
+
+    la = base.select(F.col("node").alias("__sa"), F.col("comp").alias("__ca"))
+    lb = base.select(F.col("node").alias("__sb"), F.col("comp").alias("__cb"))
+    contracted = (
+        new_edges.select(F.col(src).alias("__sa"), F.col(dst).alias("__sb"))
+        .join(la, "__sa")
+        .join(lb, "__sb")
+        .select(F.col("__ca").alias("id_a"), F.col("__cb").alias("id_b"))
+        .filter(F.col("id_a") != F.col("id_b"))
+    )
+    delta = connected_components(
+        contracted, "id_a", "id_b", checkpoint=checkpoint, pins=pins
+    ).select(F.col("node").alias("comp"), F.col("comp").alias("__merged"))
+
+    return base.join(delta, "comp", "left").select(
+        "node", F.coalesce("__merged", "comp").alias("comp")
+    )

@@ -44,11 +44,11 @@ SESSIONS_ORACLE_TEMPLATE = """
     WHERE {cutoff}
     """
 
-#: Shared exact-Jaccard-pairs oracle scaffold (3-gram shingles, t=0.5),
-#: parameterized only by an extra WHERE clause. Built on by
-#: ``prefix_jaccard_pairs`` (no restriction) and ``incremental_neardup``
-#: (pairs with a new-batch member).
-JACCARD_PAIRS_ORACLE_TEMPLATE = """
+#: Shared exact-Jaccard edge definition (3-gram shingles over whitespace
+#: tokens): the CTE chain every jaccard-pairs oracle builds on. ONE text
+#: so the edge definition cannot drift between the pair queries and the
+#: component queries that cluster the same edges.
+_JACCARD_BASE_CTES = """
     WITH toks AS (
       SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
       FROM documents WHERE length(trim(text)) > 0),
@@ -61,7 +61,13 @@ JACCARD_PAIRS_ORACLE_TEMPLATE = """
     shared AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id)
+      GROUP BY a.doc_id, b.doc_id)"""
+
+#: Shared exact-Jaccard-pairs oracle scaffold (3-gram shingles, t=0.5),
+#: parameterized only by an extra WHERE clause. Built on by
+#: ``prefix_jaccard_pairs`` (no restriction) and ``incremental_neardup``
+#: (pairs with a new-batch member).
+JACCARD_PAIRS_ORACLE_TEMPLATE = _JACCARD_BASE_CTES + """
     SELECT s.id_a, s.id_b, s.shared,
            sa.n AS size_a, sb.n AS size_b,
            CAST(s.shared AS DOUBLE) / CAST(sa.n + sb.n - s.shared AS DOUBLE)
@@ -71,4 +77,38 @@ JACCARD_PAIRS_ORACLE_TEMPLATE = """
     JOIN sizes sb ON s.id_b = sb.doc_id
     WHERE CAST(s.shared AS DOUBLE) / CAST(sa.n + sb.n - s.shared AS DOUBLE)
           >= 0.5{extra_where}
+    """
+
+#: Declarative twin of the incremental_components query: min-label CC,
+#: recomputed FROM SCRATCH by recursive CTE, over the union of
+#: (a) yesterday's exact-dup star edges among history docs (same text →
+#: min-id representative) and (b) today's t=0.5 jaccard edges touching
+#: the new batch (doc_id % 10 = 0) — the same shared edge CTEs, so the
+#: edge definition cannot drift from the pair queries'.
+INCREMENTAL_CC_ORACLE = _JACCARD_BASE_CTES + """,
+    jedges AS (
+      SELECT s.id_a, s.id_b FROM shared s
+      JOIN sizes sa ON s.id_a = sa.doc_id
+      JOIN sizes sb ON s.id_b = sb.doc_id
+      WHERE CAST(s.shared AS DOUBLE) / CAST(sa.n + sb.n - s.shared AS DOUBLE)
+            >= 0.5
+        AND (s.id_a % 10 = 0 OR s.id_b % 10 = 0)),
+    hrep AS (
+      SELECT text, MIN(doc_id) AS m FROM documents
+      WHERE doc_id % 10 != 0 GROUP BY text),
+    hstar AS (
+      SELECT h.m AS id_a, d.doc_id AS id_b
+      FROM documents d JOIN hrep h ON d.text = h.text
+      WHERE d.doc_id % 10 != 0 AND d.doc_id != h.m),
+    edges AS (SELECT id_a, id_b FROM jedges
+              UNION ALL SELECT id_a, id_b FROM hstar),
+    sym AS (SELECT id_a AS u, id_b AS v FROM edges
+            UNION SELECT id_b, id_a FROM edges),
+    reach AS (
+      WITH RECURSIVE r(node, lab) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT s.v, r.lab FROM r JOIN sym s ON s.u = r.node)
+      SELECT node, MIN(lab) AS comp FROM r GROUP BY node)
+    SELECT node AS doc_id, comp FROM reach
     """

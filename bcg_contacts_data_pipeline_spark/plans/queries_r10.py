@@ -145,3 +145,68 @@ def minhash_recall_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + F.lit(_COPY_OFFSET)).alias("id_b"),
     )
     return _recall_frame(pairs, truth)
+
+
+# ---------------------------------------------------------------------------
+# Incremental connected components: merge today's edges into yesterday's
+# labeling — the clustering leg of the daily-crawl shape.
+# ---------------------------------------------------------------------------
+
+from bcg_contacts_data_pipeline_spark.plans.oracle_templates import (  # noqa: E402
+    INCREMENTAL_CC_ORACLE,
+)
+
+
+@register("incremental_components", oracle=INCREMENTAL_CC_ORACLE)
+def q_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-crawl INCREMENTAL clustering: history documents
+    (``doc_id % 10 != 0``) carry yesterday's labeling — exact-dup
+    clusters, derived by one groupBy (min doc_id per text), the shape a
+    warehouse persists; today's batch (``% 10 = 0``) contributes only
+    the NEW near-dup edges (the same prefix-filtered incremental
+    generator ``incremental_neardup`` certifies — history×history pairs
+    are never recomputed). ``graph.incremental_components`` merges them
+    by CONTRACTING each old component to its min-id label and
+    propagating labels over the tiny contracted graph only. The oracle
+    recomputes CC(old-star ∪ new-jaccard edges) from scratch by
+    recursive CTE over the shared edge definitions, so the driver's
+    hash check proves the contraction algebra exact: the incremental
+    merge is bit-identical to the full recompute.
+
+    Scale: the contracted graph has one vertex per AFFECTED component —
+    proportional to today's batch and its collisions, never to the
+    historical corpus. With a persisted (node, comp) table this keeps
+    corpus clustering O(batch) per day at 100 TB.
+    """
+    from bcg_contacts_data_pipeline_spark.operators.graph import (
+        incremental_components,
+    )
+    from bcg_contacts_data_pipeline_spark.operators.similarity import (
+        prefix_filter_pairs,
+    )
+    from bcg_contacts_data_pipeline_spark.plans.queries import _t
+
+    docs = _t(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") % 10 != 0)
+    # yesterday's labeling: exact-dup components need no CC at all —
+    # component label = min doc_id per identical text (NULL text rows
+    # join nothing and label themselves, same as the oracle's star join)
+    rep = hist.groupBy("text").agg(F.min("doc_id").alias("__m"))
+    old_labels = hist.join(rep, "text", "left").select(
+        F.col("doc_id").alias("node"),
+        F.coalesce("__m", "doc_id").alias("comp"),
+    )
+    # today's edges: pairs with >= 1 new-batch member (never history
+    # x history) — the certified incremental generator
+    new_pairs = prefix_filter_pairs(
+        docs, "doc_id", "text", n=3, t_num=1, t_den=2,
+        probe_pred=lambda c: c % 10 == 0,
+    ).select("id_a", "id_b")
+    # new docs that collide with nothing still need a label
+    new_singletons = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("id_a"), F.col("doc_id").alias("id_b")
+    )
+    merged = incremental_components(
+        old_labels, new_pairs.unionByName(new_singletons)
+    )
+    return merged.select(F.col("node").alias("doc_id"), "comp")

@@ -209,3 +209,48 @@ def test_star_round_aggregates_are_partial(spark):
     plan = mins._jdf.queryExecution().executedPlan().toString()
     below_exchange = plan.split("Exchange", 1)[1]
     assert "partial_min" in below_exchange, plan
+
+
+def test_incremental_components_equals_full_recompute(spark):
+    """Merging new edges into an old labeling via component contraction
+    must be bit-identical to CC over the union — covering: merges of
+    two old components, a new node bridging three, new-node-only
+    components, untouched old components, and old singletons."""
+    from bcg_contacts_data_pipeline_spark.operators.graph import (
+        connected_components,
+        incremental_components,
+    )
+
+    old_edges = spark.createDataFrame(
+        [(1, 2), (3, 4), (6, 7), (10, 11)], "id_a long, id_b long"
+    )
+    old_nodes = spark.createDataFrame(
+        [(n,) for n in (1, 2, 3, 4, 5, 6, 7, 10, 11)], "node long"
+    )
+    old = connected_components(
+        old_edges, nodes=old_nodes, node_col="node"
+    )
+    new_edges = spark.createDataFrame(
+        [
+            (2, 3),     # merges {1,2} with {3,4}
+            (20, 4),    # new node joins the merged component
+            (20, 6),    # ... and bridges in {6,7}
+            (30, 31),   # brand-new component, both nodes unseen
+            (5, 5),     # self-loop on an old singleton: no-op
+        ],
+        "id_a long, id_b long",
+    )
+    got = {
+        (r.node, r.comp)
+        for r in incremental_components(old, new_edges).collect()
+    }
+    full = connected_components(
+        old_edges.unionByName(new_edges), nodes=old_nodes, node_col="node"
+    )
+    want = {(r.node, r.comp) for r in full.collect()}
+    assert got == want
+    # spot-check the interesting labels
+    d = dict(got)
+    assert d[20] == 1 and d[6] == 1 and d[7] == 1  # bridged via 20
+    assert d[30] == 30 and d[31] == 30             # new-only component
+    assert d[5] == 5 and d[10] == 10               # untouched
