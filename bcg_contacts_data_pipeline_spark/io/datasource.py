@@ -429,6 +429,23 @@ class _TSVWriterBase:
         with open(path, "w", newline="", encoding="utf-8") as fh:
             csv.writer(fh, delimiter="\t").writerow(self.fields)
 
+    def _commit_overwrite(self, messages, marker_name: str) -> None:
+        """Shared overwrite/truncate commit: publish the new snapshot
+        FIRST, then delete every *.tsv not part of it. A reader globbing
+        the directory mid-commit may briefly see the union of old and
+        new parts — strictly safer than the reverse order's empty
+        window — and a crash inside the commit always leaves at least
+        one complete snapshot on disk. An empty snapshot publishes a
+        header-only marker so the directory stays readable."""
+        published = self._publish(messages)
+        keep = set(published.values())
+        if not keep:
+            self._write_empty_marker(marker_name)
+            keep = {marker_name}
+        for old in globmod.glob(os.path.join(self.directory, "*.tsv")):
+            if os.path.basename(old) not in keep:
+                os.remove(old)
+
 
 class ContactsTSVWriter(_TSVWriterBase, DataSourceWriter):
     """Batch write path of ``contacts_tsv`` — the third leg of the API
@@ -480,21 +497,10 @@ class ContactsTSVWriter(_TSVWriterBase, DataSourceWriter):
         return self._stage(iterator, f"part-{pid:05d}-{self.job_id}.tsv")
 
     def commit(self, messages) -> None:
-        # Publish new parts BEFORE deleting the old ones: a reader
-        # globbing the directory mid-commit may briefly see the union of
-        # the old and new snapshots — strictly safer than the reverse
-        # order's empty/partial window — and a crash inside the commit
-        # always leaves at least one complete snapshot on disk.
-        published = self._publish(messages)
         if self.overwrite:
-            keep = set(published.values())
-            if not keep:
-                marker = f"part-00000-{self.job_id}.tsv"
-                self._write_empty_marker(marker)
-                keep = {marker}
-            for old in globmod.glob(os.path.join(self.directory, "*.tsv")):
-                if os.path.basename(old) not in keep:
-                    os.remove(old)
+            self._commit_overwrite(messages, f"part-00000-{self.job_id}.tsv")
+        else:
+            self._publish(messages)
         self._sweep_temps()
 
     def abort(self, messages) -> None:
@@ -558,22 +564,13 @@ class ContactsTSVStreamWriter(_TSVWriterBase, DataSourceStreamWriter):
         return self._stage(iterator, f"part-{batch_id}-{pid:05d}.tsv")
 
     def commit(self, messages, batchId: int) -> None:  # noqa: N803 (API)
-        # Publish-then-delete (see the batch writer's commit): the new
-        # snapshot is fully on disk before any earlier batch's part is
-        # removed, so an overwrite commit never exposes an empty
-        # directory and a mid-commit crash keeps a complete snapshot.
-        published = self._publish(messages)
         if self.overwrite:
             # update/complete mode: this batch's snapshot REPLACES the
-            # directory contents (idempotent on replay — same names)
-            keep = set(published.values())
-            if not keep:
-                marker = f"part-{batchId}-00000.tsv"
-                self._write_empty_marker(marker)
-                keep = {marker}
-            for old in globmod.glob(os.path.join(self.directory, "*.tsv")):
-                if os.path.basename(old) not in keep:
-                    os.remove(old)
+            # directory contents (idempotent on replay — same names);
+            # publish-then-delete semantics in _commit_overwrite
+            self._commit_overwrite(messages, f"part-{batchId}-00000.tsv")
+        else:
+            self._publish(messages)
         self._sweep_temps()
 
     def abort(self, messages, batchId: int) -> None:  # noqa: N803 (API)

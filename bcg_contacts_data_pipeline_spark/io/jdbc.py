@@ -108,11 +108,11 @@ def table_exists(
     matching misclassifies transient errors as missing-table).
 
     ``getTables`` treats its schema/name arguments as LIKE patterns, so
-    ``_`` in a table name is a single-char wildcard — a false POSITIVE
-    is possible for exotic names, and callers using this to gate a
-    destructive fallback get the conservative outcome (treat-as-exists).
-    Checks the name as given and uppercased (Derby/Postgres fold
-    unquoted identifiers; the two probes cover both conventions).
+    ``_`` and ``%`` are escaped with the driver's own
+    ``getSearchStringEscape()`` — without that, ``daily_rollup`` would
+    match a coexisting ``dailyXrollup`` and report a missing table as
+    present. Checks the name as given and uppercased (Derby/Postgres
+    fold unquoted identifiers; the two probes cover both conventions).
     """
     jvm = spark._jvm
     jvm.java.lang.Class.forName(driver)
@@ -120,10 +120,19 @@ def table_exists(
     try:
         schema, _, name = table.rpartition(".")
         meta = conn.getMetaData()
+        esc = meta.getSearchStringEscape()
+
+        def _quote(ident: str | None) -> str | None:
+            if ident is None:
+                return None
+            return ident.replace(esc, esc + esc).replace(
+                "_", esc + "_"
+            ).replace("%", esc + "%")
+
         for cand_schema, cand_name in dict.fromkeys(
             [(schema or None, name), (schema.upper() or None, name.upper())]
         ):
-            rs = meta.getTables(None, cand_schema, cand_name, None)
+            rs = meta.getTables(None, _quote(cand_schema), _quote(cand_name), None)
             try:
                 if rs.next():
                     return True

@@ -342,46 +342,79 @@ def incremental_components(
 
     Returns (node, comp) covering every old node and every node
     appearing in ``new_edges``.
-    """
-    # Materialize the batch's edges ONCE: they are consumed three times
-    # (src endpoints, dst endpoints, contraction join), and an expensive
-    # upstream pair generator would otherwise re-execute per branch —
-    # measured 12.6 s -> ~3 s on the prefix-filtered jaccard chain at
-    # sf0.1. Same lineage-truncation strategy knob as
-    # connected_components; the batch is bounded by today's crawl.
-    if checkpoint == "reliable":
-        new_edges = new_edges.checkpoint(eager=True)
-    else:
-        new_edges = new_edges.localCheckpoint(eager=True)
 
-    base = old_labels.select(
-        F.col(node_col).alias("node"), F.col(comp_col).alias("comp")
+    Lineage/blocks: the batch edges AND the labeling are each
+    materialized once (they feed several consumers; an expensive
+    upstream lineage — a pair generator, a corpus-scale labeling scan —
+    would otherwise re-execute per branch: measured 12.6 s -> ~3 s on
+    the prefix-filtered jaccard chain at sf0.1). The edge blocks are
+    freed as soon as the delta labels are materialized (nothing in the
+    result reaches them); the labeling checkpoints BACK the returned
+    frame and are adopted into ``pins`` when a scope is passed, same
+    convention as ``connected_components``.
+    """
+    if checkpoint not in ("local", "reliable"):
+        raise ValueError(
+            f"checkpoint must be 'local' or 'reliable', got {checkpoint!r}"
+        )
+
+    def _truncate(df: DataFrame) -> DataFrame:
+        if checkpoint == "reliable":
+            if df.sparkSession.sparkContext.getCheckpointDir() is None:
+                raise ValueError(
+                    "checkpoint='reliable' needs spark.sparkContext."
+                    "setCheckpointDir(<fault-tolerant path>) first"
+                )
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    def _register(df: DataFrame) -> None:
+        if pins is None:
+            return
+        if checkpoint == "local":
+            pins.adopt(df, free_local_checkpoint)
+        else:  # reliable: files outlive the scope by design (see CC)
+            pins.adopt(df, lambda frame: None)
+
+    edges = _truncate(
+        new_edges.select(F.col(src).alias("__ea"), F.col(dst).alias("__eb"))
+    )
+    base = _truncate(
+        old_labels.select(
+            F.col(node_col).alias("node"), F.col(comp_col).alias("comp")
+        )
     )
     # endpoints never seen before: they label themselves (singleton
     # components) before the merge, exactly as CC would seed them
-    new_nodes = (
-        new_edges.select(F.col(src).alias("node"))
-        .unionByName(new_edges.select(F.col(dst).alias("node")))
+    new_nodes = _truncate(
+        edges.select(F.col("__ea").alias("node"))
+        .unionByName(edges.select(F.col("__eb").alias("node")))
         .distinct()
         .join(base.select("node"), "node", "left_anti")
     )
-    base = base.unionByName(
+    _register(base)
+    _register(new_nodes)
+    # lazy union of two MATERIALIZED frames: cheap per consumer
+    labeled = base.unionByName(
         new_nodes.select("node", F.col("node").alias("comp"))
     )
 
-    la = base.select(F.col("node").alias("__sa"), F.col("comp").alias("__ca"))
-    lb = base.select(F.col("node").alias("__sb"), F.col("comp").alias("__cb"))
+    la = labeled.select(F.col("node").alias("__ea"), F.col("comp").alias("__ca"))
+    lb = labeled.select(F.col("node").alias("__eb"), F.col("comp").alias("__cb"))
     contracted = (
-        new_edges.select(F.col(src).alias("__sa"), F.col(dst).alias("__sb"))
-        .join(la, "__sa")
-        .join(lb, "__sb")
+        edges.join(la, "__ea")
+        .join(lb, "__eb")
         .select(F.col("__ca").alias("id_a"), F.col("__cb").alias("id_b"))
         .filter(F.col("id_a") != F.col("id_b"))
     )
     delta = connected_components(
         contracted, "id_a", "id_b", checkpoint=checkpoint, pins=pins
     ).select(F.col("node").alias("comp"), F.col("comp").alias("__merged"))
+    # delta is fully materialized by connected_components' eager final
+    # checkpoint — the batch-edge blocks are unreachable from here on
+    if checkpoint == "local":
+        free_local_checkpoint(edges)
 
-    return base.join(delta, "comp", "left").select(
+    return labeled.join(delta, "comp", "left").select(
         "node", F.coalesce("__merged", "comp").alias("comp")
     )

@@ -42,7 +42,7 @@ _FEED_SCHEMA = "doc_id BIGINT, lang STRING, n_chars BIGINT, _corrupt STRING"
     "tsv_quarantine",
     oracle="""
 SELECT doc_id,
-       lang,
+       coalesce(lang, '') AS lang,
        'unparseable_n_chars' AS reason
 FROM documents
 WHERE doc_id % 7 = 0
@@ -54,16 +54,22 @@ def tsv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     with key fields recovered from the preserved raw line. Reference
     edge: load_and_prepare.py's pandas read_csv, which has no tolerant
     path; engine sibling: operators/multimodal.media_quarantine."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from bcg_contacts_data_pipeline_spark.plans.queries import _t
+
+    docs = _t(spark, sf_dir, "documents")
     # deterministic corruption: every 7th doc_id ships '#<n>' where the
-    # feed schema demands a BIGINT — unparseable, row -> quarantine
+    # feed schema demands a BIGINT — unparseable, row -> quarantine.
+    # NULLable fields are coalesced so the synthesis is TOTAL: a plain
+    # concat() would turn one NULL field into a NULL line and silently
+    # drop the row from both sides — the exact loss this query exists
+    # to prevent (the oracle coalesces identically).
     lines = docs.selectExpr(
         r"""concat(
               cast(doc_id AS string), '\t',
-              lang, '\t',
+              coalesce(lang, ''), '\t',
               CASE WHEN doc_id % 7 = 0
-                   THEN concat('#', cast(n_chars AS string))
-                   ELSE cast(n_chars AS string) END
+                   THEN concat('#', coalesce(cast(n_chars AS string), ''))
+                   ELSE coalesce(cast(n_chars AS string), '') END
             ) AS raw"""
     )
     parsed = lines.selectExpr(

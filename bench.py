@@ -43,9 +43,9 @@ def rotating_report_order(
 
 
 def calibrate(spark, runs: int = 3) -> float:
-    """Host-speed yardstick: a FIXED pure-JVM workload (sum of xxhash64
-    over ``spark.range(5e8)``, whole-stage codegen, no IO, no Python
-    workers), timed min-of-``runs``. The same code on this host class
+    """Host-speed yardstick: a FIXED pure-JVM workload (bit_xor of
+    xxhash64 over ``spark.range(8e9)`` by default, whole-stage codegen,
+    no IO, no Python workers), timed min-of-``runs``. The same code on this host class
     has measured ±30% per-query and ±9-17% total drift round-to-round
     (PERF.md r4/r8/r9 audits) — two rounds running, separating host
     drift from code regression needed hand-built pinned-worktree A/Bs.
