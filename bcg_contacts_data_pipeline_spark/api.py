@@ -309,6 +309,14 @@ class _Handler(BaseHTTPRequestHandler):
         if name not in self.plane.scripts():
             self._send(404, {"error": "Script not found"})
             return
+        sf_override = data.get("sf_dir")
+        if sf_override is not None and (
+            not isinstance(sf_override, str) or not os.path.isdir(sf_override)
+        ):
+            # fail the request with a clear 400 instead of surfacing a
+            # Spark AnalysisException stack from a bad path later
+            self._send(400, {"error": "sf_dir is not an existing directory"})
+            return
         timeout = data.get("timeout")
         result = self.plane.run(
             name,

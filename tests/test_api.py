@@ -248,3 +248,20 @@ def test_ui_fetch_flow_replay(server):
     lines = content["content"].splitlines()
     assert "\t" in lines[0]  # header renders in the viewer
     assert len(lines) == run["rows"] + 1
+
+
+def test_run_rejects_bad_sf_dir(server):
+    """A bad sf_dir fails fast with a clear 400, not a Spark
+    AnalysisException surfaced as a 500 seconds later."""
+    srv, _ = server
+    status, body = _post(
+        srv, "/run", {"script": "error_histogram", "sf_dir": "/no/such/dir"}
+    )
+    assert status == 400
+    assert "sf_dir" in body["error"]
+    # and a valid override still works
+    status, body = _post(
+        srv, "/run",
+        {"script": "error_histogram", "sf_dir": "/root/testdata/sf0.001"},
+    )
+    assert status == 200 and body["rows"] > 0

@@ -254,3 +254,67 @@ def test_incremental_components_equals_full_recompute(spark):
     assert d[20] == 1 and d[6] == 1 and d[7] == 1  # bridged via 20
     assert d[30] == 30 and d[31] == 30             # new-only component
     assert d[5] == 5 and d[10] == 10               # untouched
+
+
+def _uf_components(edges, nodes):
+    """Python union-find model: node -> min-id component label."""
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
+def test_incremental_components_property(spark):
+    """Hypothesis: for ANY old graph and ANY new edge batch, merging the
+    batch into the old min-label components via contraction equals
+    union-find over the full union — including merges chaining through
+    several old components, batches touching only new nodes, and empty
+    batches. The old labeling is produced by the MODEL (as a persisted
+    table would be), so the test exercises exactly the production
+    shape: stored labels + today's edges."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from bcg_contacts_data_pipeline_spark.operators.graph import (
+        incremental_components,
+    )
+
+    edge = st.tuples(
+        st.integers(min_value=0, max_value=15),
+        st.integers(min_value=0, max_value=15),
+    )
+
+    @given(
+        old=st.lists(edge, min_size=0, max_size=10),
+        new=st.lists(edge, min_size=1, max_size=8),
+    )
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def run(old, new):
+        old_nodes = sorted({n for e in old for n in e} | set(range(0, 6)))
+        old_model = _uf_components(old, old_nodes)
+        old_labels = spark.createDataFrame(
+            [(n, c) for n, c in old_model.items()], "node long, comp long"
+        )
+        new_df = spark.createDataFrame(new, "id_a long, id_b long")
+        got = {
+            (r.node, r.comp)
+            for r in incremental_components(old_labels, new_df).collect()
+        }
+        all_nodes = set(old_nodes) | {n for e in new for n in e}
+        want = set(_uf_components(old + new, sorted(all_nodes)).items())
+        assert got == want, (old, new)
+
+    run()
