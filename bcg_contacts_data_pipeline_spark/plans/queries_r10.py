@@ -1,8 +1,10 @@
 """Round-10 surface: malformed-row quarantine for the TSV edge.
 
-The reference's loaders assume well-formed TSV (`load_and_prepare.py`
-reads with pandas defaults and a bad row either silently misparses or
-kills the load). At 100 TB a feed WILL contain malformed rows, and the
+The reference's loaders assume well-formed TSV
+(`cleaning/clean_contacts.py:260` and
+`cleaning/fill_missing_contacts.py:150,184` read with plain
+`pd.read_csv(sep='\t')` — a bad row either silently misparses or kills
+the load). At 100 TB a feed WILL contain malformed rows, and the
 right semantics are the ones `operators/multimodal.media_quarantine`
 already gives the binary edge: tolerant decode, corrupt rows routed to
 a QUERYABLE quarantine with the raw payload preserved — never a crashed
@@ -52,8 +54,9 @@ def tsv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PERMISSIVE corrupt-record quarantine over a synthesized TSV feed:
     rows whose numeric field fails the schema land in the quarantine
     with key fields recovered from the preserved raw line. Reference
-    edge: load_and_prepare.py's pandas read_csv, which has no tolerant
-    path; engine sibling: operators/multimodal.media_quarantine."""
+    edge: clean_contacts.py:260's pandas read_csv, which has no
+    tolerant path; engine sibling:
+    operators/multimodal.media_quarantine."""
     from bcg_contacts_data_pipeline_spark.plans.queries import _t
 
     docs = _t(spark, sf_dir, "documents")
