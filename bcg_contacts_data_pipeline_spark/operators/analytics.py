@@ -1,7 +1,8 @@
 """Event-sequence analytics: conversion funnels and quantile binning.
 
-The reference's analytics surface is batch aggregation (value_counts,
-error histograms — analyze_contacts.py); these are the event-sequence
+The reference's analytics surface is batch aggregation (value_counts
+top-5 in cleaning/clean_contacts.py:133, error histograms in
+cleaning/validate_fields.py); these are the event-sequence
 extensions a product pipeline runs on the same tables: "of the users who
 viewed, how many later clicked, and of those how many later purchased",
 and "split users into value deciles".
