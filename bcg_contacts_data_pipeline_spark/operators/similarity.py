@@ -827,6 +827,7 @@ def embedding_ann_lsh(
     num_planes: int | str = "auto",
     seed: int = 42,
     target_bucket_rows: int = 4096,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Approximate top-k via random-hyperplane (sign) LSH.
 
@@ -836,6 +837,26 @@ def embedding_ann_lsh(
     ``lsh_num_planes`` — one extra cheap count job, and the bucket size
     stays bounded as the corpus grows instead of silently degrading to
     quadratic in-bucket cost at a fixed toy plane count.
+
+    ``max_bucket`` caps IN-BUCKET scoring cost: a bucket with more than
+    ``max_bucket`` members scores every member against only the
+    ``max_bucket`` smallest-id members (deterministic representatives)
+    instead of against the whole bucket — per-bucket work drops from
+    |bucket|² to |bucket|·cap. This is the plane-count dial's blind
+    spot: EXACT-duplicate vectors share every sign bit, so a clone
+    cluster of f copies is indivisible by hyperplanes and lands in one
+    bucket at any plane count, going locally quadratic (SCALE.md's
+    100x replica measured 46.9x wall uncapped). For clones the
+    representative answer is exact — every rep of the clone family
+    scores 1.0 — and a training-data corpus's oversized buckets ARE
+    clone families (dedup is this engine's premise); heterogeneous
+    members of a capped bucket get top-k over the reps only, the
+    standard quality/cost trade of every IVF/LSH production index.
+    ``None`` keeps complete in-bucket scoring (the oracle-mirrored
+    baseline). When the cap does not trigger the computation — and its
+    IEEE op order — is bit-identical to uncapped, so a cap sized above
+    the shipped-SF bucket maximum shares the uncapped oracle
+    (`plans/queries_r10.py:minhash_recall_capped` recipe).
 
     Physical shape (the 100 TB path): the ONLY shuffle is the
     groupBy(bucket) exchange, whose rows carry (id, vector, bucket).
@@ -885,12 +906,17 @@ def embedding_ann_lsh(
             return empty
         arr = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
         ids = pdf["__id"].to_numpy()
-        score = _seq_scores(arr, arr)
+        if max_bucket is not None and len(ids) > max_bucket:
+            rep = np.argsort(ids)[:max_bucket]
+            cand_arr, cand_ids = arr[rep], ids[rep]
+        else:
+            cand_arr, cand_ids = arr, ids
+        score = _seq_scores(cand_arr, arr)  # candidates x members
         out_q, out_n, out_r, out_s = [], [], [], []
         for j in range(len(ids)):
-            pick = _local_topk(score[:, j], ids, ids[j], k)
+            pick = _local_topk(score[:, j], cand_ids, ids[j], k)
             out_q.extend([ids[j]] * len(pick))
-            out_n.extend(ids[pick])
+            out_n.extend(cand_ids[pick])
             out_r.extend(range(1, len(pick) + 1))
             out_s.extend(score[pick, j])
         return pd.DataFrame(
@@ -1033,6 +1059,7 @@ def embedding_ann_ivf(
     n_probe: int = 4,
     k: int = 5,
     lloyd_iters: int = 1,
+    max_cell: int | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate nearest neighbors — the classic
     coarse-quantizer index, distributed:
@@ -1053,6 +1080,16 @@ def embedding_ann_ivf(
     cell id, so hot cells are AQE-splittable; at 100 TB the codebook stays
     a broadcast (KB-scale) and no stage ever holds the full pair product.
     Rows-only check (seeded iterative training is not SQL-expressible).
+
+    ``max_cell`` caps the MEMBER side of per-cell scoring (the same
+    clone-cluster degeneracy ``embedding_ann_lsh``'s ``max_bucket``
+    documents: exact-duplicate vectors all assign to the same nearest
+    centroid, so a clone family concentrates in one cell no matter how
+    the codebook trains): an over-full cell scores its queries against
+    only the ``max_cell`` smallest-id members — cost |queries|·cap
+    instead of |queries|·|cell|, exact for clones (any rep scores 1.0),
+    rep-approximate for heterogeneous members, bit-identical to
+    uncapped whenever the cap does not trigger.
     """
     from pyspark.sql import Window
 
@@ -1150,6 +1187,9 @@ def embedding_ann_ivf(
             return pd.DataFrame(
                 {"query_id": [], "neighbor_id": [], "score": []}
             ).astype({"query_id": "int64", "neighbor_id": "int64", "score": "float64"})
+        if max_cell is not None and len(mpdf) > max_cell:
+            rep = np.argsort(mpdf["neighbor_id"].to_numpy())[:max_cell]
+            mpdf = mpdf.iloc[rep]
         qa = np.stack(qpdf["__qv"].to_numpy()).astype(np.float64)
         ma = np.stack(mpdf["__nv"].to_numpy()).astype(np.float64)
         qids = qpdf["query_id"].to_numpy()

@@ -112,3 +112,65 @@ INCREMENTAL_CC_ORACLE = _JACCARD_BASE_CTES + """,
       SELECT node, MIN(lab) AS comp FROM r GROUP BY node)
     SELECT node AS doc_id, comp FROM reach
     """
+
+#: Declarative twin of the incremental_curation_e2e composition: the
+#: hash-dedup adjudication (batch docs anchor to the base representative
+#: or the batch minimum of their normalized content), the retained-graph
+#: components recomputed FROM SCRATCH by recursive CTE over the same
+#: shared jaccard-edge CTEs plus the history hash-star, and dropped docs
+#: inheriting their anchor's component. Built on the same edge scaffold
+#: as every other jaccard oracle so the edge definition cannot drift.
+#: Component labels are min ids over RETAINED nodes (history +
+#: survivors) — a dropped doc's id never becomes a canonical label,
+#: exactly the semantics a curation pipeline wants (canonical = a doc
+#: you kept).
+INCREMENTAL_CURATION_ORACLE = _JACCARD_BASE_CTES + """,
+    nk AS (
+      SELECT doc_id,
+             lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS h
+      FROM documents),
+    base_rep AS (
+      SELECT h, MIN(doc_id) AS m FROM nk
+      WHERE doc_id % 10 != 0 AND h IS NOT NULL GROUP BY h),
+    adjud AS (
+      SELECT n.doc_id,
+             CASE WHEN br.m IS NOT NULL THEN br.m
+                  WHEN n.h IS NOT NULL
+                       AND n.doc_id <> MIN(n.doc_id)
+                                       OVER (PARTITION BY n.h)
+                       THEN MIN(n.doc_id) OVER (PARTITION BY n.h)
+             END AS anchor
+      FROM nk n LEFT JOIN base_rep br ON n.h = br.h
+      WHERE n.doc_id % 10 = 0),
+    retained AS (
+      SELECT doc_id FROM nk WHERE doc_id % 10 != 0
+      UNION ALL
+      SELECT doc_id FROM adjud WHERE anchor IS NULL),
+    jedges AS (
+      SELECT s.id_a, s.id_b FROM shared s
+      JOIN sizes sa ON s.id_a = sa.doc_id
+      JOIN sizes sb ON s.id_b = sb.doc_id
+      WHERE CAST(s.shared AS DOUBLE) / CAST(sa.n + sb.n - s.shared AS DOUBLE)
+            >= 0.5
+        AND s.id_a IN (SELECT doc_id FROM retained)
+        AND s.id_b IN (SELECT doc_id FROM retained)
+        AND (s.id_a % 10 = 0 OR s.id_b % 10 = 0)),
+    hstar AS (
+      SELECT br.m AS id_a, n.doc_id AS id_b
+      FROM nk n JOIN base_rep br ON n.h = br.h
+      WHERE n.doc_id % 10 != 0 AND n.doc_id <> br.m),
+    edges AS (SELECT id_a, id_b FROM jedges
+              UNION ALL SELECT id_a, id_b FROM hstar),
+    sym AS (SELECT id_a AS u, id_b AS v FROM edges
+            UNION SELECT id_b, id_a FROM edges),
+    reach AS (
+      WITH RECURSIVE r(node, lab) AS (
+        SELECT doc_id, doc_id FROM retained
+        UNION
+        SELECT s.v, r.lab FROM r JOIN sym s ON s.u = r.node)
+      SELECT node, MIN(lab) AS comp FROM r GROUP BY node)
+    SELECT node AS doc_id, comp FROM reach
+    UNION ALL
+    SELECT a.doc_id, r.comp FROM adjud a JOIN reach r ON a.anchor = r.node
+    WHERE a.anchor IS NOT NULL
+    """

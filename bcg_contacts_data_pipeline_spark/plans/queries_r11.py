@@ -1,0 +1,199 @@
+"""Round-11 surface: the capped ANN twin and the incremental-curation
+composition.
+
+- ``embedding_ann_lsh_capped``: the PRODUCTION hot-bucket-capped twin of
+  ``embedding_ann_lsh`` (the `minhash_recall_capped` recipe from
+  `plans/queries_r10.py`): identical oracle at shipped SFs because the
+  cap sits far above the measured bucket maximum, engaged only by the
+  clone-cluster degeneracy the 100x scale replica manufactures.
+- ``incremental_curation_e2e``: the three certified incremental legs
+  (hash dedup -> probe-side near-dup -> CC merge) composed into ONE
+  daily-crawl pipeline, oracled by a from-scratch recursive-CTE
+  recompute — the STATE HANDOFF between the legs is what this query
+  certifies, the thing a real daily pipeline exercises and the legs'
+  individual oracles cannot see.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bcg_contacts_data_pipeline_spark.plans.queries import (
+    _ann_lsh_oracle,
+    _t,
+    register,
+)
+
+# ---------------------------------------------------------------------------
+# Capped ANN-LSH: the 100 TB twin of embedding_ann_lsh.
+# ---------------------------------------------------------------------------
+
+#: In-bucket scoring cap for the registered capped twin. Measured sign-LSH
+#: bucket maxima on the shipped corpora (6 planes, seed 42): 24 at sf0.01,
+#: 74 at sf0.1 — the cap never triggers at any shipped SF, so the query is
+#: bit-identical to the uncapped baseline and SHARES its oracle. The 100x
+#: scale replica (SCALE.md) clones every vector 100x; clone families share
+#: every sign bit, buckets grow past 3000 members, and in-bucket scoring
+#: goes locally quadratic (46.9x wall uncapped) — there the cap routes
+#: members to representative scoring and per-bucket cost drops to
+#: |bucket| * cap.
+_ANN_MAX_BUCKET = 512
+
+
+@register("embedding_ann_lsh_capped", oracle=_ann_lsh_oracle())
+def q_embedding_ann_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``embedding_ann_lsh`` with the PRODUCTION in-bucket cap
+    (``max_bucket=512``, `operators/similarity.py:embedding_ann_lsh`):
+    a bucket over the cap scores every member against only the cap
+    smallest-id representatives — exact for clone families (any rep of
+    an exact-duplicate cluster scores 1.0), rep-approximate for
+    heterogeneous members, and bit-identical to the uncapped baseline
+    whenever the cap does not trigger, which at every shipped SF it
+    never does (bucket max 74 at sf0.1 vs cap 512) — so the DuckDB
+    oracle is the uncapped full twin verbatim. This query is the tier-2
+    scale-probe member for the embedding-ANN family (SCALE.md); the
+    uncapped baseline stays the completeness certificate at 1x/10x.
+    Same twin recipe as ``minhash_recall_capped``."""
+    from bcg_contacts_data_pipeline_spark.operators.similarity import (
+        embedding_ann_lsh,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = embedding_ann_lsh(
+        emb,
+        "vec_id",
+        "embedding",
+        dim=64,
+        k=5,
+        num_planes=6,
+        max_bucket=_ANN_MAX_BUCKET,
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("long").alias("rank"),
+        "score",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental curation e2e: hash dedup -> probe-side near-dup -> CC merge,
+# composed — today's batch against yesterday's state, one label table out.
+# ---------------------------------------------------------------------------
+
+from bcg_contacts_data_pipeline_spark.plans.oracle_templates import (  # noqa: E402
+    INCREMENTAL_CURATION_ORACLE,
+)
+
+
+@register("incremental_curation_e2e", oracle=INCREMENTAL_CURATION_ORACLE)
+def q_incremental_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-crawl incremental curation END-TO-END — the three certified
+    incremental legs composed, certifying the STATE HANDOFF between them
+    (the thing the legs' individual oracles cannot observe):
+
+    1. Exact hash dedup (``incremental_dedup``'s shape): today's batch
+       (``doc_id % 10 = 0``) joins the history hash index; exact dups of
+       base anchor to the base representative, in-batch dups anchor to
+       the batch minimum, and only SURVIVORS flow on — the handoff the
+       composition certifies is that dropped docs never reach pair
+       generation yet still land in the final label table.
+    2. Probe-side near-dup (``incremental_neardup``'s generator): exact
+       3-gram Jaccard >= 0.5 pairs over history + survivors, probe side
+       = survivors only — history x history pairs are never recomputed.
+    3. CC merge (``incremental_components``): yesterday's labeling (the
+       history hash-star — component label = min history doc per
+       normalized content) contracts to labels; today's edges merge in;
+       dropped batch docs inherit their anchor's merged component.
+
+    Output: (doc_id, comp) for EVERY document — the persisted label
+    table a daily pipeline carries forward as tomorrow's state. The
+    oracle recomputes the retained-graph components FROM SCRATCH by
+    recursive CTE over the same edge definitions and inherits dropped
+    docs through their anchors, so the driver's hash check proves the
+    composed incremental path bit-identical to the full recompute.
+
+    Scale shape: every leg's cost is proportional to TODAY'S BATCH —
+    the hash join probes an index of 16-byte keys, the pair generator
+    explodes only probe prefixes against the persisted prefix index,
+    and the CC contraction graph has one vertex per affected component
+    (see each leg's docstring). History is touched only through
+    persisted artifacts (hash index, prefix index, label table), never
+    rescanned — at 100 TB the daily cost is O(batch), which SCALE.md's
+    probe measures directly.
+    """
+    from pyspark.sql import Window
+
+    from bcg_contacts_data_pipeline_spark.operators.dedup import content_hash
+    from bcg_contacts_data_pipeline_spark.operators.graph import (
+        incremental_components,
+    )
+    from bcg_contacts_data_pipeline_spark.operators.similarity import (
+        prefix_filter_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    hashed = docs.select("doc_id", "text", content_hash("text").alias("h"))
+    base = hashed.filter(F.col("doc_id") % 10 != 0)
+    batch = hashed.filter(F.col("doc_id") % 10 == 0)
+
+    # Leg 1 — exact dedup against the persisted hash index. NULL-text
+    # rows hash to NULL and bypass dedup entirely (they can match
+    # nothing); the window min is guarded so the NULL group never
+    # fabricates in-batch duplicates.
+    base_rep = (
+        base.filter(F.col("h").isNotNull())
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("__base_rep"))
+    )
+    batch_min = F.min("doc_id").over(Window.partitionBy("h"))
+    anchor = (
+        F.when(F.col("__base_rep").isNotNull(), F.col("__base_rep"))
+        .when(
+            F.col("h").isNotNull() & (F.col("doc_id") != batch_min),
+            batch_min,
+        )
+    )
+    adjud = batch.join(base_rep, "h", "left").select(
+        "doc_id", "text", anchor.alias("__anchor")
+    )
+    survivors = adjud.filter(F.col("__anchor").isNull()).select(
+        "doc_id", "text"
+    )
+    dropped = adjud.filter(F.col("__anchor").isNotNull()).select(
+        "doc_id", "__anchor"
+    )
+
+    # Leg 2 — probe-side near-dup over history + survivors: the batch
+    # members of this corpus ARE the survivors (leg 1 removed the rest),
+    # so the id-parity probe predicate selects exactly them.
+    corpus = base.select("doc_id", "text").unionByName(survivors)
+    new_edges = prefix_filter_pairs(
+        corpus, "doc_id", "text", n=3, t_num=1, t_den=2,
+        probe_pred=lambda c: c % 10 == 0,
+    ).select("id_a", "id_b")
+
+    # Leg 3 — CC merge: yesterday's labeling is the history hash-star
+    # (label = min history doc per normalized content; NULL-hash rows
+    # label themselves). Edge-less survivors enter as self-edges so the
+    # merged table covers them.
+    old_labels = base.join(base_rep, "h", "left").select(
+        F.col("doc_id").alias("node"),
+        F.coalesce("__base_rep", "doc_id").alias("comp"),
+    )
+    survivor_selfedges = survivors.select(
+        F.col("doc_id").alias("id_a"), F.col("doc_id").alias("id_b")
+    )
+    merged = incremental_components(
+        old_labels, new_edges.unionByName(survivor_selfedges)
+    )
+
+    # Dropped docs inherit the anchor's merged component — the label
+    # table stays total over the day's full input.
+    inherited = dropped.join(
+        merged, dropped["__anchor"] == merged["node"]
+    ).select(dropped["doc_id"], merged["comp"])
+    return merged.select(
+        F.col("node").alias("doc_id"), "comp"
+    ).unionByName(inherited)

@@ -509,3 +509,82 @@ def test_ngram_contamination_semantics(spark):
     # doc 4: shingles {theta iota kappa (hit), iota kappa unseen (miss)}
     assert rows[4].contamination == 0.5
     assert rows[1].n_shingles == 2 and rows[1].n_hit == 2
+
+
+def test_embedding_ann_lsh_cap_bit_identical_when_under(spark):
+    """A cap above every bucket's size must leave the output — values,
+    ranks, scores — bit-identical to the uncapped operator (the capped
+    registered twin shares the uncapped oracle on exactly this law)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = S.embedding_ann_lsh(
+        emb, "vec_id", "embedding", dim=64, k=5, num_planes=6
+    )
+    capped = S.embedding_ann_lsh(
+        emb, "vec_id", "embedding", dim=64, k=5, num_planes=6,
+        max_bucket=512,
+    )
+    as_set = lambda df: {  # noqa: E731
+        (r["query_id"], r["neighbor_id"], r["rank"], r["score"])
+        for r in df.collect()
+    }
+    assert as_set(capped) == as_set(base)
+
+
+def test_embedding_ann_lsh_cap_routes_clone_bucket_to_reps(spark):
+    """A clone family larger than the cap (indivisible by hyperplanes —
+    identical vectors share every sign bit) is scored against the cap
+    smallest-id representatives only: every reported neighbor is a rep,
+    clones still find exact (score 1.0) neighbors, and every member
+    still gets a full top-k."""
+    rows = [(i, [1.0, 2.0, -0.5, 0.25]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = S.embedding_ann_lsh(
+        df, "vec_id", "embedding", dim=4, k=3, num_planes=4, max_bucket=8
+    ).collect()
+    by_query = {}
+    for r in out:
+        by_query.setdefault(r["query_id"], []).append(r)
+    assert set(by_query) == set(range(40))  # every member answered
+    for q, neigh in by_query.items():
+        assert len(neigh) == 3
+        assert all(r["neighbor_id"] < 8 for r in neigh)  # reps only
+        assert all(abs(r["score"] - 1.0) < 1e-12 for r in neigh)
+    # deterministic tie-break: score desc, neighbor_id asc, self excluded
+    assert [r["neighbor_id"] for r in sorted(by_query[0], key=lambda r: r["rank"])] == [1, 2, 3]
+    assert [r["neighbor_id"] for r in sorted(by_query[5], key=lambda r: r["rank"])] == [0, 1, 2]
+
+
+def test_embedding_ann_ivf_cell_cap(spark):
+    """``max_cell`` bounds IVF per-cell scoring the same way: an
+    over-full cell answers from its cap smallest-id members only, and a
+    cap above the cell size changes nothing."""
+    from bcg_contacts_data_pipeline_spark.operators.similarity import (
+        embedding_ann_ivf,
+    )
+
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(30)] + [
+        (100 + i, [0.0, 1.0, 0.0, 0.0]) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    capped = embedding_ann_ivf(
+        df, "vec_id", "embedding", n_centroids=2, n_probe=1, k=3,
+        max_cell=6,
+    ).collect()
+    clone_neighbors = {
+        r["neighbor_id"] for r in capped if r["query_id"] < 100
+    }
+    assert clone_neighbors <= set(range(6))  # reps only in the hot cell
+    assert {r["query_id"] for r in capped if r["query_id"] < 100} == set(
+        range(30)
+    )
+    loose = embedding_ann_ivf(
+        df, "vec_id", "embedding", n_centroids=2, n_probe=1, k=3,
+        max_cell=1000,
+    )
+    base = embedding_ann_ivf(
+        df, "vec_id", "embedding", n_centroids=2, n_probe=1, k=3
+    )
+    key = lambda df: {  # noqa: E731
+        (r["query_id"], r["neighbor_id"], r["rank"]) for r in df.collect()
+    }
+    assert key(loose) == key(base)

@@ -80,6 +80,8 @@ PROBE = [
     ("enrich_2of3", "k-of-n key-match enrich join"),
     ("dedup_components", "iterative CC, capped edges"),
     ("embedding_ann_lsh", "LSH ANN, auto planes"),
+    ("embedding_ann_lsh_capped", "LSH ANN, rep-capped buckets"),
+    ("incremental_curation_e2e", "incremental trio composed"),
     ("sessionize", "window sessionization"),
     ("stream_hourly_counts", "streaming AvailableNow drain"),
     ("contacts_pipeline_e2e", "flagship e2e pipeline"),
@@ -97,11 +99,19 @@ PROBE = [
 # linearly with F), so no algorithm meets a linear wall bound on it —
 # measured: >10 min at 100x even after the static-broadcast fix, vs the
 # capped twin which routes 200-way clone clusters out of pairwise
-# scoring entirely (PERF.md r10).
+# scoring entirely (PERF.md r10). The embedding-ANN member is likewise
+# the CAPPED twin (r11): identical clone vectors share every sign bit,
+# so the replica's 100-member clone families are indivisible by
+# hyperplanes and uncapped in-bucket scoring goes locally quadratic
+# (measured 46.9x at 100x, the r10 board's worst ratio); the cap routes
+# over-full buckets to representative scoring (|bucket|·cap, exact for
+# clones). The uncapped baselines stay at 1x/10x as the completeness
+# certificates.
 TIER2 = ["q1_pricing_summary", "q9_product_profit", "exact_dedup",
          "dedup_merge", "orders_global_rank", "pack_shards",
          "hll_sketch_rollup", "token_stats", "minhash_recall_capped",
-         "enrich_2of3", "dedup_components", "embedding_ann_lsh",
+         "enrich_2of3", "dedup_components", "embedding_ann_lsh_capped",
+         "incremental_curation_e2e",
          "sessionize", "stream_hourly_counts", "contacts_pipeline_e2e"]
 
 
