@@ -314,8 +314,19 @@ class _Handler(BaseHTTPRequestHandler):
             not isinstance(sf_override, str) or not os.path.isdir(sf_override)
         ):
             # fail the request with a clear 400 instead of surfacing a
-            # Spark AnalysisException stack from a bad path later
-            self._send(400, {"error": "sf_dir is not an existing directory"})
+            # Spark AnalysisException stack from a bad path later. The
+            # local-POSIX constraint is deliberate AND stated in the
+            # body: os.path.isdir rejects URI schemes a Spark session
+            # could otherwise read (hdfs://, s3a://) — the control
+            # plane's contract is local directories only.
+            self._send(
+                400,
+                {
+                    "error": "sf_dir must be an existing LOCAL directory "
+                    "(URI schemes like hdfs:// or s3a:// are not "
+                    "supported by this control plane)"
+                },
+            )
             return
         timeout = data.get("timeout")
         result = self.plane.run(

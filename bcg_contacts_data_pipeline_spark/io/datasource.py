@@ -429,19 +429,45 @@ class _TSVWriterBase:
         with open(path, "w", newline="", encoding="utf-8") as fh:
             csv.writer(fh, delimiter="\t").writerow(self.fields)
 
+    #: Snapshot manifest published by every overwrite/truncate commit.
+    #: Hidden (dot-prefixed), so the *.tsv reader glob never sees it.
+    _SNAPSHOT_MANIFEST = ".contacts-tsv-snapshot.json"
+
     def _commit_overwrite(self, messages, marker_name: str) -> None:
-        """Shared overwrite/truncate commit: publish the new snapshot
-        FIRST, then delete every *.tsv not part of it. A reader globbing
-        the directory mid-commit may briefly see the union of old and
-        new parts — strictly safer than the reverse order's empty
-        window — and a crash inside the commit always leaves at least
-        one complete snapshot on disk. An empty snapshot publishes a
-        header-only marker so the directory stays readable."""
+        """Shared overwrite/truncate commit: publish the new snapshot,
+        then its MANIFEST, then delete every *.tsv not part of it. A
+        reader globbing the directory mid-commit may briefly see the
+        union of old and new parts — strictly safer than the reverse
+        order's empty window — and a crash inside the commit always
+        leaves at least one complete snapshot on disk.
+
+        The half-committed state (crash after publish, before the
+        delete loop finishes: OLD and NEW parts coexist) is DETECTABLE,
+        not just recoverable: the manifest (atomic rename, written the
+        instant the new parts are all in place) lists exactly the new
+        snapshot's part names keyed by job_id. Recovery story, in
+        preference order: (1) rerun the overwrite — the commit is
+        idempotent, the rerun's delete loop sweeps the leftovers; (2) a
+        snapshot-consistent reader reads ONLY the parts the manifest
+        names — any extra *.tsv on disk is a stale leftover of the
+        previous snapshot. A directory that has since taken APPEND
+        batches legitimately carries parts beyond the manifest (append
+        does not rewrite it), so consumers applying recipe (2) should
+        treat the manifest as the floor of the last overwrite, plus any
+        parts newer than it. An empty snapshot publishes a header-only
+        marker so the directory stays readable."""
         published = self._publish(messages)
         keep = set(published.values())
         if not keep:
             self._write_empty_marker(marker_name)
             keep = {marker_name}
+        manifest_tmp = os.path.join(self.directory, self._tmp_name())
+        with open(manifest_tmp, "w", encoding="utf-8") as fh:
+            json.dump({"job_id": self.job_id, "parts": sorted(keep)}, fh)
+        os.replace(
+            manifest_tmp,
+            os.path.join(self.directory, self._SNAPSHOT_MANIFEST),
+        )
         for old in globmod.glob(os.path.join(self.directory, "*.tsv")):
             if os.path.basename(old) not in keep:
                 os.remove(old)

@@ -111,8 +111,13 @@ def table_exists(
     ``_`` and ``%`` are escaped with the driver's own
     ``getSearchStringEscape()`` — without that, ``daily_rollup`` would
     match a coexisting ``dailyXrollup`` and report a missing table as
-    present. Checks the name as given and uppercased (Derby/Postgres
-    fold unquoted identifiers; the two probes cover both conventions).
+    present. Checks the name as given, uppercased, AND lowercased:
+    Derby folds unquoted identifiers to UPPER, Postgres to LOWER — a
+    mixed-case name handed to a Postgres endpoint exists under its
+    lowercased form, and probing only as-given/upper would return a
+    false "missing" that jdbc_upsert_writer's fallback path would turn
+    into an empty-base overwrite (data loss). The three probes cover
+    both folding conventions plus exact-match stores.
     """
     jvm = spark._jvm
     jvm.java.lang.Class.forName(driver)
@@ -130,7 +135,11 @@ def table_exists(
             ).replace("%", esc + "%")
 
         for cand_schema, cand_name in dict.fromkeys(
-            [(schema or None, name), (schema.upper() or None, name.upper())]
+            [
+                (schema or None, name),
+                (schema.upper() or None, name.upper()),
+                (schema.lower() or None, name.lower()),
+            ]
         ):
             rs = meta.getTables(None, _quote(cand_schema), _quote(cand_name), None)
             try:

@@ -42,7 +42,7 @@ def rotating_report_order(
     return core + rest, set(rest)
 
 
-def calibrate(spark, runs: int = 3) -> float:
+def calibrate(spark, runs: int = 5) -> tuple[float, list[float]]:
     """Host-speed yardstick: a FIXED pure-JVM workload (bit_xor of
     xxhash64 over ``spark.range(8e9)`` by default, whole-stage codegen,
     no IO, no Python workers), timed min-of-``runs``. The same code on this host class
@@ -55,18 +55,27 @@ def calibrate(spark, runs: int = 3) -> float:
 
     ``bit_xor`` (not sum) aggregates the hashes: the session runs ANSI
     mode, where a long sum of hash values overflows. 8e9 rows measured
-    ~1.5-2 s on the reference host — large enough that min-of-3 sits
-    well above timer noise, small next to the ~160 s board."""
+    ~1.5-2 s on the reference host — large enough that the min sits
+    well above timer noise, small next to the ~160 s board.
+
+    Returns ``(min_of_runs, all_draws)``. The yardstick itself is
+    noisy: two same-day r10 draws differed 24% (0.98 vs 1.217 s) while
+    the raw board totals differed 1.5%, swinging value_per_calib 130.6
+    -> 164.6 on identical code. Five draws instead of three tighten
+    the min, and the full draw list lands in bench_full.json so
+    cross-round per-calib comparisons can quote a BAND
+    (total/max_draw .. total/min_draw) instead of a point — treat any
+    two boards whose bands overlap as host drift, not code movement
+    (VERDICT r10 ask #3)."""
     rows = int(os.environ.get("SPARK_GRAFT_CALIB_ROWS", 8_000_000_000))
-    best = None
+    draws: list[float] = []
     for _ in range(runs):
         start = time.perf_counter()
         spark.range(rows).selectExpr(
             "bit_xor(xxhash64(id)) as h"
         ).write.format("noop").mode("overwrite").save()
-        elapsed = time.perf_counter() - start
-        best = elapsed if best is None or elapsed < best else best
-    return round(best, 3)
+        draws.append(round(time.perf_counter() - start, 3))
+    return min(draws), draws
 
 
 def main() -> None:
@@ -118,8 +127,11 @@ def main() -> None:
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
 
-    calibration_s = calibrate(spark)
-    print(f"# calibration: {calibration_s:.3f}s", file=sys.stderr)
+    calibration_s, calibration_draws = calibrate(spark)
+    print(
+        f"# calibration: {calibration_s:.3f}s (draws: {calibration_draws})",
+        file=sys.stderr,
+    )
 
     # Each query runs twice and reports the MIN: single-shot numbers on this
     # class of host mix one-time Janino codegen compile (seconds for the
@@ -154,10 +166,20 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # host-speed yardstick + drift-normalized total: cross-round
         # comparisons use value/calibration_s (dimensionless) so a slow
-        # host draw reads as drift, not regression (PERF.md r10)
+        # host draw reads as drift, not regression (PERF.md r10). The
+        # yardstick is itself noisy (r10: two same-day draws 24% apart),
+        # so the full draw list + the derived per-calib BAND are
+        # recorded; compare bands across rounds, not points.
         "calibration_s": calibration_s,
+        "calibration_draws": calibration_draws,
         "value_per_calib": round(total / calibration_s, 2)
         if calibration_s
+        else None,
+        "value_per_calib_band": [
+            round(total / max(calibration_draws), 2),
+            round(total / min(calibration_draws), 2),
+        ]
+        if calibration_draws
         else None,
         # carry the rotation cursor forward unconditionally: a round
         # whose stdout line happens to FIT must not reset the persisted
@@ -247,8 +269,23 @@ def main() -> None:
 
     # a filtered run (bench.py <query...>) must not clobber the full-map
     # artifact the stdout line's detail pointer references — the file
-    # keeps the FULL queries + isolated maps plus the rotation cursor
-    if not only:
+    # keeps the FULL queries + isolated maps plus the rotation cursor.
+    # The same guard covers env-based selection: SPARK_GRAFT_BENCH_QUERIES
+    # with SPARK_GRAFT_BENCH_FULL left at its default would replace the
+    # committed full board (which next round's isolation pass and
+    # rotation cursor read) with a partial map — a subset run writes
+    # only when the caller EXPLICITLY pointed the artifact elsewhere.
+    env_selected_default_path = bool(env_only) and not os.environ.get(
+        "SPARK_GRAFT_BENCH_FULL"
+    )
+    if env_selected_default_path:
+        print(
+            "# subset run (SPARK_GRAFT_BENCH_QUERIES): not writing "
+            f"{full_path} — set SPARK_GRAFT_BENCH_FULL to an explicit "
+            "path to persist a partial board",
+            file=sys.stderr,
+        )
+    if not only and not env_selected_default_path:
         with open(full_path, "w") as f:
             json.dump(payload, f)
     print(line)

@@ -259,6 +259,9 @@ def test_run_rejects_bad_sf_dir(server):
     )
     assert status == 400
     assert "sf_dir" in body["error"]
+    # the local-directory contract is stated to the caller, so an
+    # hdfs://-style rejection reads as a constraint, not a bug
+    assert "LOCAL" in body["error"]
     # and a valid override still works
     status, body = _post(
         srv, "/run",

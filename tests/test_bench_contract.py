@@ -45,6 +45,13 @@ def test_bench_emits_contract_json():
     assert payload["value_per_calib"] == round(
         payload["value"] / payload["calibration_s"], 2
     )
+    # the yardstick is noisy (r10: same-day draws 24% apart), so the
+    # artifact carries every draw + the derived per-calib BAND; the
+    # min IS calibration_s, and the band brackets the point estimate
+    draws = payload["calibration_draws"]
+    assert len(draws) == 5 and min(draws) == payload["calibration_s"]
+    lo, hi = payload["value_per_calib_band"]
+    assert lo <= payload["value_per_calib"] <= hi
 
 
 def test_certification_rotation_ignores_failed_rows(tmp_path):
@@ -170,6 +177,41 @@ def test_rotation_cursor_survives_fitting_rounds(tmp_path):
     assert written["rotation_next"] == 42
     assert set(written["queries"]) == {"hash_split", "error_histogram"}
     assert written["calibration_s"] > 0
+
+
+def test_env_subset_refuses_default_artifact_path():
+    """ADVICE r10: SPARK_GRAFT_BENCH_QUERIES with SPARK_GRAFT_BENCH_FULL
+    left at its default used to overwrite the COMMITTED bench_full.json
+    with a partial map — destroying the full board the next round's
+    isolation pass and rotation cursor read. A subset run now refuses
+    to write the default artifact path (explicit SPARK_GRAFT_BENCH_FULL
+    required, as the test above uses)."""
+    committed_path = os.path.join(REPO, "bench_full.json")
+    with open(committed_path) as f:
+        committed = f.read()
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_CPUS="4",
+        SPARK_GRAFT_BENCH_RUNS="1",
+        SPARK_GRAFT_CALIB_ROWS="50000000",
+        SPARK_GRAFT_BENCH_QUERIES="hash_split",
+    )
+    env.pop("SPARK_GRAFT_BENCH_FULL", None)
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            capture_output=True, text=True, timeout=300, env=env, cwd=REPO,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        assert "not writing" in proc.stderr
+        with open(committed_path) as f:
+            assert f.read() == committed, (
+                "subset run clobbered the committed bench_full.json"
+            )
+    finally:
+        with open(committed_path, "w") as f:
+            f.write(committed)
 
 
 def test_force_head_overrides_recent_certification(tmp_path, monkeypatch):

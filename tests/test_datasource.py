@@ -562,10 +562,12 @@ def test_stream_writer_complete_mode_truncates_per_batch(registered, tmp_path):
     # latest snapshot only: a seen twice, b once — batch 0's snapshot
     # (a=1) must be gone
     assert got == {("a@x.org", "2"), ("b@x.org", "1")}
-    # and only batch-1 parts remain on disk
-    assert all(f.startswith("part-1-") for f in os.listdir(out)), sorted(
-        os.listdir(out)
-    )
+    # and only batch-1 parts remain on disk (plus the hidden snapshot
+    # manifest every overwrite commit publishes — invisible to readers)
+    assert all(
+        f.startswith("part-1-") or f == ".contacts-tsv-snapshot.json"
+        for f in os.listdir(out)
+    ), sorted(os.listdir(out))
 
 
 def test_overwrite_commit_publishes_before_deleting(tmp_path, monkeypatch):
@@ -645,4 +647,49 @@ def test_stream_overwrite_commit_publishes_before_deleting(
     w.commit(messages, batchId=1)
     assert ("part-0-00000.tsv", True) in seen_at_remove
     assert all(published for _, published in seen_at_remove), seen_at_remove
+    assert sorted(p.name for p in d.glob("*.tsv")) == [final]
+
+
+def test_overwrite_commit_publishes_snapshot_manifest(tmp_path, monkeypatch):
+    """ADVICE r10: the half-committed state (crash after publish,
+    before the delete loop — old and new *.tsv coexisting) must be
+    DETECTABLE. Every overwrite commit publishes a hidden manifest
+    (atomic rename) naming exactly the new snapshot's parts keyed by
+    job_id; the manifest is in place BEFORE any old part is deleted, so
+    at every point of a crashed commit a reader can select exactly one
+    complete snapshot (manifest parts) and identify leftovers."""
+    from types import SimpleNamespace
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from bcg_contacts_data_pipeline_spark.io import datasource as DS
+
+    d = tmp_path / "sink"
+    d.mkdir()
+    (d / "part-old-1.tsv").write_text("k\ta\n")
+
+    schema = StructType([StructField("k", StringType())])
+    w = DS.ContactsTSVWriter({"path": str(d)}, schema, overwrite=True)
+    tmp_name = w._tmp_name()
+    (d / tmp_name).write_text("k\tnew\n")
+    final = f"part-00000-{w.job_id}.tsv"
+    messages = [SimpleNamespace(tmp=tmp_name, final=final, rows=1)]
+
+    manifest_path = d / DS._TSVWriterBase._SNAPSHOT_MANIFEST
+    real_remove = DS.os.remove
+    manifest_at_remove = []
+
+    def spying_remove(path):
+        if path.endswith(".tsv"):
+            manifest_at_remove.append(manifest_path.exists())
+        real_remove(path)
+
+    monkeypatch.setattr(DS.os, "remove", spying_remove)
+    w.commit(messages)
+    # manifest named exactly the new snapshot, and existed before any
+    # old part was deleted (the crash-window detectability guarantee)
+    manifest = json.loads(manifest_path.read_text())
+    assert manifest == {"job_id": w.job_id, "parts": [final]}
+    assert manifest_at_remove and all(manifest_at_remove)
+    # the manifest is invisible to the *.tsv reader glob
     assert sorted(p.name for p in d.glob("*.tsv")) == [final]

@@ -736,3 +736,91 @@ def test_pair_generators_never_static_broadcast_corpus_frames(spark):
                     f"side — corpus-scaling hazard:\n{line}"
                 )
         spark.catalog.clearCache()
+
+
+# ---------------------------------------------------------------------------
+# Partitionless-window gate (VERDICT r10 ask #6)
+# ---------------------------------------------------------------------------
+
+#: Queries allowed to run an UNPARTITIONED window (plan signature:
+#: Window over Exchange SinglePartition — every input row on one task),
+#: each with its cardinality-bound class. Legitimate ONLY over a frame
+#: something upstream has already shrunk, never over raw data:
+#: - "agg": the exchange draws from an aggregation — input is one row
+#:   per group-domain value (days, buckets).
+#:   user_growth_curve: cumulative sum over one row per day.
+#:   conversion_lag_curve: CDF over one row per whole-day lag bucket.
+#: - "pruned:<marker>": the exchange draws from the bucket-prune
+#:   broadcast join (marker = the prune column in the join condition) —
+#:   input is the skyline candidate set, O(frontier) by the prune
+#:   argument in the query's docstring (queries_r7c.py skyline_pareto:
+#:   stage-2 window safe BECAUSE stage 1 shrank the input). Its second
+#:   single-partition exchange (the bucket-prior cum-max) is agg-fed
+#:   and checked under the "agg" rule like the rest.
+_PARTITIONLESS_WINDOW_WHITELIST = {
+    "user_growth_curve": "agg",
+    "conversion_lag_curve": "agg",
+    "skyline_pareto": "pruned:bucket_prior_max",
+}
+
+
+def test_partitionless_windows_enumerated_and_agg_bounded(spark):
+    """Two-layer gate. Layer 1: the generated PLANS.md fact sheet (one
+    row per registered query, `1p-window` notes emitted by
+    tools/plan_report.py's shared detector) must flag EXACTLY the
+    whitelist — a new query sneaking in an unpartitioned window shows
+    up as a PLANS.md drift the moment the sheet regenerates, and a
+    stale sheet can't hide one already committed. Layer 2: rebuild the
+    whitelisted plans live and assert every single-partition exchange
+    feeding a window draws from an AGGREGATE subtree (the first plan
+    node below the exchange is an aggregation, never a scan/join) — the
+    cardinality bound that makes a one-task window safe at any SF."""
+    import re
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from plan_report import count_partitionless_windows
+
+    flagged = set()
+    with open("/root/repo/PLANS.md") as f:
+        for line in f:
+            m = re.match(r"\| (\w+) \|", line)
+            if m and "1p-window" in line:
+                flagged.add(m.group(1))
+    assert flagged == set(_PARTITIONLESS_WINDOW_WHITELIST), (
+        "PLANS.md's partitionless-window enumeration drifted from the "
+        f"whitelist: flagged={sorted(flagged)} — either justify the new "
+        "entry here or repartition the window"
+    )
+
+    for name, bound in sorted(_PARTITIONLESS_WINDOW_WHITELIST.items()):
+        p = _plan(QUERIES[name](spark, SF))
+        assert count_partitionless_windows(p) > 0, (
+            f"{name} whitelisted but its plan no longer has an "
+            "unpartitioned window — prune the whitelist"
+        )
+        marker = bound.split(":", 1)[1] if bound.startswith("pruned:") else None
+        lines = p.splitlines()
+        for i, line in enumerate(lines):
+            if "Exchange SinglePartition" not in line:
+                continue
+            # the exchange's input subtree starts on the next line;
+            # demand the bound (an aggregation, or the declared prune
+            # join) before any raw scan reaches it (scalar
+            # cross-attaches and projections may sit between —
+            # conversion_lag_curve crosses a 1-row total onto the
+            # per-day aggregate — but a FileScan first means raw,
+            # unbounded rows are entering a one-task window)
+            bounded = False
+            for nxt in lines[i + 1 :]:
+                if "Aggregate" in nxt or (marker and marker in nxt):
+                    bounded = True
+                    break
+                if "FileScan" in nxt:
+                    break
+            assert bounded, (
+                f"{name}: single-partition exchange fed by neither an "
+                f"aggregation nor the declared prune "
+                f"(unbounded one-task window):\n{line}"
+            )
+        spark.catalog.clearCache()

@@ -55,7 +55,34 @@ def plan_row(spark, name, fn, sf) -> tuple:
         note.append(f"arrow-batched x{arrow}")
     if "InMemoryTableScan" in p:
         note.append("pinned reuse")
+    n1p = count_partitionless_windows(p)
+    if n1p:
+        note.append(f"1p-window x{n1p}")
     return (name, str(n_scans), str(n_shuffle), str(n_bcast), str(py), ", ".join(note))
+
+
+def count_partitionless_windows(plan: str) -> int:
+    """Window nodes whose input is a single-partition exchange — the
+    plan signature of an UNPARTITIONED window (every row on one task).
+    Fine over a domain-bounded aggregate (per-bucket / per-day rows);
+    a scale hazard over raw data. Counted from the plan text: a Window
+    node followed within its subtree prefix by ``Exchange
+    SinglePartition`` (a Sort typically sits between). Shared with the
+    test gate (tests/test_plans.py) so the enumeration and the
+    whitelist cannot drift apart."""
+    lines = plan.splitlines()
+    n = 0
+    for i, line in enumerate(lines):
+        if re.search(r"\bWindow(GroupLimit)?\b \[", line) or re.match(
+            r"[\s+:*-]*Window \[", line
+        ):
+            for nxt in lines[i + 1 : i + 4]:
+                if "Exchange SinglePartition" in nxt:
+                    n += 1
+                    break
+                if re.search(r"\bExchange hashpartitioning\b", nxt):
+                    break
+    return n
 
 
 def main() -> None:
