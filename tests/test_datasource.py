@@ -693,3 +693,93 @@ def test_overwrite_commit_publishes_snapshot_manifest(tmp_path, monkeypatch):
     assert manifest_at_remove and all(manifest_at_remove)
     # the manifest is invisible to the *.tsv reader glob
     assert sorted(p.name for p in d.glob("*.tsv")) == [final]
+
+
+def test_streaming_source_replays_planned_uncommitted_batch(
+    registered, tmp_path
+):
+    """VERDICT r10 ask #8 (crash test): a batch whose OFFSET was
+    written to the WAL but whose sink FAILED before the commit log
+    entry (the crash window) must be REPLAYED on restart through
+    readBetweenOffsets — same rows, exactly once, no loss. Simulated
+    deterministically: drain 1 commits the first file; a second file
+    lands; a poisoned foreachBatch sink raises AFTER the offset is
+    planned (killing the query inside batch 1); a healthy restart on
+    the same checkpoint must emit exactly the second file's rows."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    spark = registered
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    (drop / "a.tsv").write_text(
+        "Email\tPhone\na@x.io\t111\n", encoding="utf-8"
+    )
+    opts = {"path": str(drop), "registry": json.dumps(CANONICAL)}
+    ckpt = str(tmp_path / "ckpt")
+    st = spark.readStream.format("contacts_tsv").options(**opts).load()
+
+    seen: list[tuple[int, tuple]] = []
+
+    def healthy(batch_df, batch_id):
+        seen.append((batch_id, tuple(sorted(r.email for r in batch_df.collect()))))
+
+    def poisoned(batch_df, batch_id):
+        batch_df.collect()  # the source HAS produced the rows
+        raise RuntimeError("sink crash after offset planning")
+
+    q = (
+        st.writeStream.foreachBatch(healthy)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    assert seen and seen[-1][1] == ("a@x.io",)
+
+    (drop / "b.tsv").write_text(
+        "mail\nb@x.io\nc@x.io\n", encoding="utf-8"
+    )
+    q = (
+        st.writeStream.foreachBatch(poisoned)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+        raise AssertionError("poisoned sink should have failed the query")
+    except StreamingQueryException:
+        pass
+
+    seen.clear()
+    q = (
+        st.writeStream.foreachBatch(healthy)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    # the crashed batch replayed exactly once, with exactly b.tsv's rows
+    replayed = [emails for _, emails in seen if emails]
+    assert replayed == [("b@x.io", "c@x.io")], seen
+
+
+def test_stream_reader_replay_names_vanished_files(tmp_path):
+    """The replay contract's failure mode is LOUD: readBetweenOffsets
+    over a committed range whose files were deleted out from under the
+    checkpoint raises naming the missing files — never a silent
+    empty-replay (which would ack data loss)."""
+    import pytest as _pytest
+
+    from bcg_contacts_data_pipeline_spark.io import datasource as DS
+
+    d = tmp_path / "drop"
+    d.mkdir()
+    (d / "kept.tsv").write_text("Email\nk@x.io\n", encoding="utf-8")
+    r = DS.ContactsTSVStreamReader(
+        {"path": str(d), "registry": json.dumps(CANONICAL)}
+    )
+    with _pytest.raises(FileNotFoundError, match="gone.tsv"):
+        r.readBetweenOffsets(
+            {"processed": []}, {"processed": ["gone.tsv", "kept.tsv"]}
+        )

@@ -287,6 +287,23 @@ def write_scale_md(rows: list[dict], factor: int, tier2: int) -> None:
         "algorithm meets a linear wall bound on it (measured >10 min at",
         "100x). The cap routes oversized clone clusters out of pairwise",
         "scoring, which is the documented 100 TB behavior (PERF.md r10).",
+        "The embedding-ANN tier-2 member is likewise the capped twin",
+        "(`embedding_ann_lsh_capped`, r11): identical clone vectors share",
+        "every sign bit, so the replica's clone families are indivisible",
+        "by hyperplanes and uncapped in-bucket scoring goes locally",
+        "quadratic (46.9x at 100x on the r10 board); the rep-cap bounds",
+        "per-bucket work at |bucket|*cap, exact for clones. Both uncapped",
+        "baselines remain in the 1x/" + "10x tier as completeness",
+        "certificates.",
+        "",
+        "An uncapped complete-candidate baseline can breach even the 10x",
+        "wall bound WITHOUT being a plan defect, because its required",
+        "OUTPUT grows quadratically in clone multiplicity on this",
+        "replica: `ngram_jaccard` measured 590 -> 284,000 output rows",
+        "(481x) from 1x to 10x data (r11 count probe) — a wall ratio",
+        "near 11x against a 481x output factor is ~43x SUB-output-linear.",
+        "Adjudication for any such row lives in PERF.md; the capped twin",
+        "(`prefix`/`minhash` cap family) is the production path.",
         "",
         "Raw rows (machine-readable, mirrored on stdout):",
         "",
