@@ -197,3 +197,95 @@ def q_incremental_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select(
         F.col("node").alias("doc_id"), "comp"
     ).unionByName(inherited)
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + URL-level dedup: step 0 of web-crawl curation.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "url_canonical_dedup",
+    # ground truth stated directly from the synthesis arithmetic: every
+    # alias class canonicalizes to the base URL (plus the sorted query
+    # for the %5=4 variant), so the expected table is pure doc_id math
+    # (same membership-oracle recipe as tsv_quarantine)
+    oracle="""
+    WITH v AS (
+      SELECT doc_id,
+             'https://host' || CAST((doc_id // 5) % 50 AS VARCHAR)
+               || '.example.com/articles/' || CAST(doc_id // 5 AS VARCHAR)
+               || CASE WHEN doc_id % 5 = 4 THEN '?a=1&b=2' ELSE '' END
+               AS canonical_url
+      FROM documents)
+    SELECT canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_aliases,
+           MIN(doc_id) AS first_doc
+    FROM v GROUP BY 1
+    """,
+)
+def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup over a synthesized messy crawl frontier: every
+    run of five consecutive doc_ids aliases ONE resource (rid =
+    doc_id DIV 5), each through a different mess class (plain,
+    uppercase scheme + explicit default port + trailing slash,
+    tracking params, fragment, shuffled query order) — so
+    `functions/urls.py:url_canonicalize` must actually COLLAPSE alias
+    groups (the four transport-noise classes merge; the reordered-query
+    class canonicalizes to its own sorted-query URL). The oracle states
+    the expected canonical table directly from the rid arithmetic, so
+    the driver's hash check certifies every normalization (case, port,
+    slash, utm-strip, param sort, fragment) AND the group structure
+    against ground truth — not against a reimplementation.
+
+    Scale shape: synthesis + canonicalization are narrow projections
+    (parse_url/regexp/array ops, whole-stage codegen); the only shuffle
+    is the final groupBy on the canonical key — at 100 TB this is the
+    scan-speed step-0 pass every crawl pipeline runs before content
+    dedup ever sees a byte."""
+    from bcg_contacts_data_pipeline_spark.functions.urls import (
+        url_canonicalize,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    rid = F.expr("doc_id DIV 5")
+    base = F.concat(
+        F.lit("Host"),
+        (rid % 50).cast("string"),
+        F.lit(".Example.COM/articles/"),
+        rid.cast("string"),
+    )
+    messy = (
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit("https://"), base))
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.concat(
+                F.lit("HTTPS://"),
+                F.lit("Host"),
+                (rid % 50).cast("string"),
+                F.lit(".Example.COM:443/articles/"),
+                rid.cast("string"),
+                F.lit("/"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 2,
+            F.concat(
+                F.lit("https://"), base, F.lit("?utm_source=feed&utm_campaign=x")
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 3,
+            F.concat(F.lit("https://"), base, F.lit("#section-2")),
+        )
+        .otherwise(F.concat(F.lit("https://"), base, F.lit("?b=2&a=1")))
+    )
+    return (
+        docs.select("doc_id", messy.alias("url"))
+        .select("doc_id", url_canonicalize("url").alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_aliases"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
