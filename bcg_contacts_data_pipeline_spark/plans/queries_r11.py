@@ -289,3 +289,73 @@ def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("first_doc"),
         )
     )
+
+
+@register(
+    "domain_quota_sample",
+    # ground truth from the synthesis arithmetic: 13 registered domains
+    # (rid2 % 13), per-domain ranking by (n_chars DESC, doc_id ASC),
+    # quota 40 — DuckDB states the kept set independently
+    oracle="""
+    WITH u AS (
+      SELECT doc_id, n_chars,
+             'site' || CAST((doc_id // 3) % 13 AS VARCHAR) || '.org'
+               AS domain
+      FROM documents),
+    ranked AS (
+      SELECT domain, doc_id, n_chars,
+             row_number() OVER (PARTITION BY domain
+                                ORDER BY n_chars DESC, doc_id) AS rk
+      FROM u)
+    SELECT domain,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN rk <= 40 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           MIN(CASE WHEN rk <= 40 THEN doc_id END) AS first_kept
+    FROM ranked GROUP BY domain
+    """,
+)
+def q_domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota sampling — the C4/Gopher-style domain-diversity
+    cap: no registered domain contributes more than ``cap`` documents,
+    and within a domain the highest-quality docs win (here n_chars as
+    the quality stand-in, doc_id as the deterministic tie-break). URLs
+    are synthesized deterministically (three consecutive docs share a
+    page, pages rotate over 13 mixed-case hosts) and reduced through
+    `functions/urls.py:url_registered_domain`, so the oracle can state
+    the kept set from the arithmetic while the Spark side must get
+    host extraction + lowercase + the quota window right.
+
+    Scale shape: one shuffle (the per-domain window partition). At
+    100 TB the quota rank is the standard curation pass; a domain hot
+    enough to skew its window partition is exactly the domain the cap
+    exists to truncate, and AQE splits the post-filter aggregation."""
+    from bcg_contacts_data_pipeline_spark.functions.urls import (
+        url_registered_domain,
+    )
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://WWW.Site"),
+        (F.expr("doc_id DIV 3") % 13).cast("string"),
+        F.lit(".ORG/page/"),
+        F.expr("doc_id DIV 3").cast("string"),
+    )
+    w = Window.partitionBy("domain").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    ranked = (
+        docs.select("doc_id", "n_chars", url.alias("url"))
+        .select(
+            "doc_id", "n_chars", url_registered_domain("url").alias("domain")
+        )
+        .withColumn("rk", F.row_number().over(w))
+    )
+    return ranked.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("rk") <= 40, 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.min(F.when(F.col("rk") <= 40, F.col("doc_id"))).alias("first_kept"),
+    )
