@@ -55,3 +55,37 @@ def test_host_and_registered_domain(spark):
     ).collect()
     assert (rows[0]["h"], rows[0]["d"]) == ("news.sub.example.co", "example.co")
     assert (rows[1]["h"], rows[1]["d"]) == ("localhost", "localhost")
+
+
+def test_canonicalize_idempotent(spark):
+    """The canonicalizer law: canon(canon(u)) == canon(u) for every URL
+    it accepts — a canonical form that re-canonicalizes to something
+    else is not canonical. One batched Spark round-trip over a URL
+    grid that crosses every normalization axis (scheme case x port x
+    path shape x query x fragment)."""
+    from bcg_contacts_data_pipeline_spark.functions.urls import (
+        url_canonicalize,
+    )
+    import pyspark.sql.functions as F
+
+    schemes = ["http://", "HTTPS://", "https://"]
+    hosts = ["Example.COM", "www.ex.org:443", "ex.org:8080"]
+    paths = ["", "/", "/a//b/", "/a/b"]
+    queries = ["", "?utm_source=x", "?b=2&a=1", "?a=1&utm_medium=m&z=0"]
+    frags = ["", "#top"]
+    urls = [
+        s + h + p + q + f
+        for s in schemes
+        for h in hosts
+        for p in paths
+        for q in queries
+        for f in frags
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    rows = df.select(
+        url_canonicalize("url").alias("c1"),
+        url_canonicalize(url_canonicalize("url")).alias("c2"),
+    ).collect()
+    assert all(r["c1"] is not None for r in rows)
+    bad = [(r["c1"], r["c2"]) for r in rows if r["c1"] != r["c2"]]
+    assert not bad, bad[:5]
