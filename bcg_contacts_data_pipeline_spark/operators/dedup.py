@@ -237,3 +237,99 @@ def renumber(
     # with_total hands it to callers (quantile binning needs N) so they
     # don't launch a second count job over the pinned frame.
     return (out, running) if with_total else out
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    words_per_para: int = 32,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Corpus-wide paragraph-level exact dedup (the CCNet/RefinedWeb
+    step between URL/document dedup and near-dup): split every document
+    into fixed-budget paragraphs of ``words_per_para`` whitespace
+    tokens, keep each distinct paragraph ONCE corpus-wide (first
+    occurrence in ``(id, para_idx)`` order — deterministic under any
+    partitioning), and rebuild each document from its surviving
+    paragraphs. Documents whose every paragraph already appeared
+    elsewhere survive with empty text — downstream length/quality
+    filters drop them, which is exactly the CCNet pipeline shape.
+
+    ``max_df``: additionally drop paragraphs occurring in MORE than
+    ``max_df`` documents *everywhere* (including the first occurrence) —
+    the boilerplate-removal variant (navigation chrome, cookie banners
+    repeat corpus-wide; keeping even one copy per paragraph still leaves
+    one doc full of chrome).
+
+    Output: ``(id, n_paras, paras_kept, text_dedup)`` for EVERY input
+    document (NULL/blank text -> ``n_paras = 0``, ``text_dedup = ''``).
+
+    Scale design: paragraphs are grouped by their 16-byte ``md5`` (not
+    the text) so the dedup shuffle carries hash + one winner struct per
+    distinct paragraph, never the full corpus text twice; the winner is
+    ``min(struct(id, para_idx, para))`` — a map-side-combinable
+    aggregate, no window over the corpus. Rebuild is one groupBy(id)
+    over only the SURVIVING paragraphs. Three shuffles total (hash agg,
+    rebuild agg, broadcast-or-shuffle join back to the doc spine), each
+    keyed on high-cardinality uniform keys; the known degenerate key is
+    the boilerplate paragraph repeated corpus-wide, which the hash agg
+    partial-combines map-side (one winner row per task, same shape the
+    empty-dedup-key skew probe in PERF.md measured flat)."""
+    if words_per_para <= 0:
+        raise ValueError("words_per_para must be positive")
+    from bcg_contacts_data_pipeline_spark.functions.text import tokens
+
+    k = words_per_para
+    toked = df.select(
+        F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__toks")
+    )
+    n_paras = F.ceil(F.size("__toks") / F.lit(k)).cast("long")
+    paras = toked.select(
+        "__id",
+        n_paras.alias("n_paras"),
+        F.posexplode_outer(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n_paras, F.lit(1))),
+                lambda i: F.array_join(
+                    F.slice(F.col("__toks"), (i - F.lit(1)) * k + F.lit(1), k),
+                    " ",
+                ),
+            )
+        ).alias("para_idx", "para"),
+    )
+    # a blank doc yields one empty paragraph from the greatest(...,1)
+    # floor; drop it here so it can't dedup against other blanks
+    real = paras.where(F.length("para") > 0)
+    agg = [F.min(F.struct("__id", "para_idx", "para")).alias("w")]
+    if max_df is not None:
+        agg.append(F.count_distinct("__id").alias("df"))
+    winners = real.groupBy(F.md5("para").alias("__h")).agg(*agg)
+    if max_df is not None:
+        winners = winners.where(F.col("df") <= F.lit(max_df))
+    rebuilt = (
+        winners.select("w.__id", "w.para_idx", "w.para")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("paras_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("para_idx", "para"))),
+                    lambda s: s["para"],
+                ),
+                " ",
+            ).alias("text_dedup"),
+        )
+    )
+    spine = paras.select("__id", "n_paras").groupBy("__id").agg(
+        F.first("n_paras").alias("n_paras")
+    )
+    return (
+        spine.join(rebuilt, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("n_paras"),
+            F.coalesce("paras_kept", F.lit(0)).cast("long").alias("paras_kept"),
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+        )
+    )

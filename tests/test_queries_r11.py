@@ -114,3 +114,96 @@ def test_incremental_curation_matches_registered_query_shape(spark):
     rows = out.collect()
     assert len(rows) == n_docs
     assert len({r["doc_id"] for r in rows}) == n_docs
+
+
+# ---------------------------------------------------------------------------
+# paragraph_dedup (operators/dedup.py:paragraph_dedup)
+# ---------------------------------------------------------------------------
+
+
+def _para_rows(spark, rows, k=4, max_df=None):
+    from bcg_contacts_data_pipeline_spark.operators.dedup import (
+        paragraph_dedup,
+    )
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = paragraph_dedup(df, "doc_id", "text", words_per_para=k,
+                          max_df=max_df)
+    return {r["doc_id"]: r for r in out.collect()}
+
+
+def test_paragraph_dedup_keeps_first_occurrence(spark):
+    got = _para_rows(spark, [
+        (1, "a b c d e f g h"),   # paras: "a b c d", "e f g h"
+        (2, "a b c d x y"),       # first para dups doc 1
+        (3, None),
+        (4, "   "),
+        (5, "e f g h"),           # fully duplicated -> empty survivor
+        (6, "a b c d e f g h"),   # exact clone of doc 1 -> empty
+    ])
+    assert (got[1]["n_paras"], got[1]["paras_kept"]) == (2, 2)
+    assert got[1]["text_dedup"] == "a b c d e f g h"
+    assert (got[2]["paras_kept"], got[2]["text_dedup"]) == (1, "x y")
+    for blank in (3, 4):
+        assert (got[blank]["n_paras"], got[blank]["paras_kept"],
+                got[blank]["text_dedup"]) == (0, 0, "")
+    assert (got[5]["n_paras"], got[5]["paras_kept"], got[5]["text_dedup"]) \
+        == (1, 0, "")
+    assert (got[6]["n_paras"], got[6]["paras_kept"], got[6]["text_dedup"]) \
+        == (2, 0, "")
+    assert len(got) == 6  # label frame is total
+
+
+def test_paragraph_dedup_order_and_boundaries(spark):
+    # 9 words at k=4 -> paras of 4, 4, 1; all unique -> reconstruction
+    # is the identity (trailing partial paragraph included, order kept)
+    got = _para_rows(spark, [(1, "w1 w2 w3 w4 w5 w6 w7 w8 w9")])
+    assert got[1]["n_paras"] == 3
+    assert got[1]["text_dedup"] == "w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    # duplicate INSIDE one doc dedups too (second copy dropped, the
+    # surviving text closes the gap)
+    got = _para_rows(spark, [(1, "a b c d a b c d z")])
+    assert got[1]["n_paras"] == 3
+    assert got[1]["paras_kept"] == 2
+    assert got[1]["text_dedup"] == "a b c d z"
+
+
+def test_paragraph_dedup_max_df_drops_boilerplate_everywhere(spark):
+    rows = [
+        (1, "nav bar here a b c d"),
+        (2, "nav bar here e f g h"),
+        (3, "nav bar here i j k l"),
+    ]
+    # k=3 so para 0 is exactly the shared "nav bar here" chrome
+    got = _para_rows(spark, rows, k=3, max_df=2)
+    for d in (1, 2, 3):
+        assert got[d]["n_paras"] == 3  # ceil(7/3)
+        assert "nav bar here" not in got[d]["text_dedup"]
+    assert got[1]["text_dedup"] == "a b c d"
+    # without the cap, doc 1 keeps the boilerplate (first occurrence)
+    got = _para_rows(spark, rows, k=3)
+    assert got[1]["text_dedup"].startswith("nav bar here")
+    assert "nav bar here" not in got[2]["text_dedup"]
+
+
+def test_paragraph_dedup_winner_is_partitioning_invariant(spark):
+    # first-occurrence = global (doc_id, para_idx) minimum, not an
+    # artifact of scan order: reversing input order changes nothing
+    rows = [(i, "same para text here") for i in range(1, 9)]
+    got_fwd = _para_rows(spark, rows)
+    got_rev = _para_rows(spark, list(reversed(rows)))
+    assert got_fwd == got_rev
+    assert got_fwd[1]["paras_kept"] == 1
+    assert all(got_fwd[i]["paras_kept"] == 0 for i in range(2, 9))
+
+
+def test_paragraph_dedup_registered_queries_total_at_sf0001(spark):
+    from bcg_contacts_data_pipeline_spark.plans.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    n_docs = spark.read.parquet(f"{sf}/documents.parquet").count()
+    for name in ("paragraph_dedup", "paragraph_boilerplate"):
+        rows = QUERIES[name](spark, sf).collect()
+        assert len(rows) == n_docs
+        assert len({r["doc_id"] for r in rows}) == n_docs
+        assert all(r["paras_kept"] <= r["n_paras"] for r in rows)
