@@ -470,3 +470,65 @@ q_paragraph_boilerplate.__doc__ = (
     " 5 at sf0.01, 18 at sf0.1), so this certifies the df-filter path,"
     " not a no-op."
 )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic corpus shuffle — the "shuffle before training" step.
+# ---------------------------------------------------------------------------
+
+_SHUFFLE_SEED = "shuffle-seed-42:"
+_SHUFFLE_SHARDS = 16
+
+
+@register(
+    "corpus_shuffle",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             md5('{_SHUFFLE_SEED}' || CAST(doc_id AS VARCHAR)) AS k
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, k,
+             CAST(row_number() OVER (ORDER BY k, doc_id) AS BIGINT) AS pos
+      FROM keyed
+    )
+    SELECT doc_id, pos,
+           CAST((pos - 1) % {_SHUFFLE_SHARDS} AS BIGINT) AS shard
+    FROM ranked ORDER BY doc_id
+    """,
+)
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic seeded corpus shuffle + round-robin shard
+    assignment — the data-ordering step every pretraining run performs
+    before writing epoch shards. The permutation key is
+    ``md5(seed || doc_id)``: engine-portable (the DuckDB oracle computes
+    the identical ordering), reshuffled by changing the seed string, and
+    uniform, so the range-partitioned renumber below gets evenly-sized
+    partitions with no sampling skew. Global contiguous ``pos`` comes
+    from ``operators/dedup.py:renumber`` (two-pass partition-offset —
+    range-repartition on the key, per-partition counts to the driver,
+    broadcast offsets + local row_number; no single-partition window at
+    any scale); ``shard = (pos-1) % n`` round-robins the permuted
+    stream so each of the n training shards is itself a uniform sample.
+    ID-only projection: the text payload never rides through the
+    shuffle — a writer joins shard assignments back to payloads, which
+    at 100 TB is one co-partitioned join instead of range-shuffling the
+    corpus bytes."""
+    from bcg_contacts_data_pipeline_spark.operators.dedup import renumber
+
+    docs = _t(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.md5(
+            F.concat(F.lit(_SHUFFLE_SEED), F.col("doc_id").cast("string"))
+        ).alias("__k"),
+    )
+    out = renumber(keyed, ["__k", "doc_id"], seq_name="pos")
+    return out.select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        ((F.col("pos") - F.lit(1)) % F.lit(_SHUFFLE_SHARDS))
+        .cast("long")
+        .alias("shard"),
+    )

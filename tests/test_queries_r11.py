@@ -207,3 +207,24 @@ def test_paragraph_dedup_registered_queries_total_at_sf0001(spark):
         assert len(rows) == n_docs
         assert len({r["doc_id"] for r in rows}) == n_docs
         assert all(r["paras_kept"] <= r["n_paras"] for r in rows)
+
+
+def test_corpus_shuffle_is_a_balanced_deterministic_permutation(spark):
+    from bcg_contacts_data_pipeline_spark.plans.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["corpus_shuffle"](spark, sf).collect()
+    again = QUERIES["corpus_shuffle"](spark, sf).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    n = len(rows)
+    assert sorted(r["pos"] for r in rows) == list(range(1, n + 1))
+    # round-robin over the permutation -> shard sizes differ by <= 1
+    from collections import Counter
+
+    sizes = Counter(r["shard"] for r in rows)
+    assert len(sizes) == 16
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    # the permutation actually shuffles: pos must not be the identity
+    # ordering of doc_id (md5 keying would have to collide massively)
+    by_id = sorted(rows, key=lambda r: r["doc_id"])
+    assert [r["pos"] for r in by_id] != sorted(r["pos"] for r in by_id)
