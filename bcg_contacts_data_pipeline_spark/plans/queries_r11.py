@@ -532,3 +532,84 @@ def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("shard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming URL frontier dedup — crawl step 0 as a stream.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_url_dedup",
+    # ground truth from the synthesis arithmetic (the url_canonical_dedup
+    # recipe): every alias class canonicalizes to the rid's base URL, the
+    # %5=4 class to its sorted-query URL — distinct canonical URLs are
+    # pure event_id math
+    oracle="""
+    SELECT DISTINCT
+           'https://frontier' || CAST((event_id // 5) % 50 AS VARCHAR)
+             || '.example.com/page/' || CAST(event_id // 5 AS VARCHAR)
+             || CASE WHEN event_id % 5 = 4 THEN '?a=1&b=2' ELSE '' END
+             AS canonical_url
+    FROM events
+    """,
+)
+def q_stream_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier URL dedup as a STREAM: discovered URLs arrive on
+    the event stream (synthesized messy aliases, five mess classes per
+    resource — the ``url_canonical_dedup`` fixture), are canonicalized
+    in-flight (`functions/urls.py:url_canonicalize`, pure Catalyst, no
+    state), and deduped with ``dropDuplicatesWithinWatermark`` keyed on
+    the canonical form — the streaming twin of batch
+    ``url_canonical_dedup``, i.e. the fetch-scheduler front of a live
+    crawl: each canonical URL is emitted exactly once, key state
+    expires with the 2-hour watermark so the store holds the recent
+    frontier, not crawl history. The oracle states the expected
+    distinct canonical set directly from the event_id arithmetic, so
+    the hash check certifies canonicalization + streaming dedup against
+    ground truth."""
+    from bcg_contacts_data_pipeline_spark import streaming as S
+    from bcg_contacts_data_pipeline_spark.functions.urls import (
+        url_canonicalize,
+    )
+
+    st = S.events_stream(spark, sf_dir)
+    rid = F.expr("event_id DIV 5")
+    base = F.concat(
+        F.lit("Frontier"),
+        (rid % 50).cast("string"),
+        F.lit(".Example.COM/page/"),
+        rid.cast("string"),
+    )
+    messy = (
+        F.when(F.col("event_id") % 5 == 0, F.concat(F.lit("https://"), base))
+        .when(
+            F.col("event_id") % 5 == 1,
+            F.concat(
+                F.lit("HTTPS://"),
+                F.lit("Frontier"),
+                (rid % 50).cast("string"),
+                F.lit(".Example.COM:443/page/"),
+                rid.cast("string"),
+                F.lit("/"),
+            ),
+        )
+        .when(
+            F.col("event_id") % 5 == 2,
+            F.concat(
+                F.lit("https://"), base, F.lit("?utm_source=feed&utm_campaign=x")
+            ),
+        )
+        .when(
+            F.col("event_id") % 5 == 3,
+            F.concat(F.lit("https://"), base, F.lit("#section-2")),
+        )
+        .otherwise(F.concat(F.lit("https://"), base, F.lit("?b=2&a=1")))
+    )
+    urls = st.select(
+        "ts", url_canonicalize(messy).alias("canonical_url")
+    )
+    dd = S.dedup_within_watermark(urls, ["canonical_url"], "ts", "2 hours")
+    return S.run_available_now(
+        dd.select("canonical_url"), "append", shuffle_partitions=8
+    )
