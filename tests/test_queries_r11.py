@@ -228,3 +228,70 @@ def test_corpus_shuffle_is_a_balanced_deterministic_permutation(spark):
     # ordering of doc_id (md5 keying would have to collide massively)
     by_id = sorted(rows, key=lambda r: r["doc_id"])
     assert [r["pos"] for r in by_id] != sorted(r["pos"] for r in by_id)
+
+
+# ---------------------------------------------------------------------------
+# paragraph_dedup vs a direct Python model (property)
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_WORDS = ["aa", "bb", "cc", "dd"]
+_doc = st.lists(st.sampled_from(_WORDS), min_size=0, max_size=12).map(
+    " ".join
+)
+
+
+def _para_model(docs, k, max_df=None):
+    """Direct Python replay of the declared semantics."""
+    paras = {}  # para -> list[(doc_id, idx)]
+    split = {}
+    for doc_id, text in docs:
+        words = (text or "").split()
+        ps = [
+            " ".join(words[i : i + k]) for i in range(0, len(words), k)
+        ]
+        split[doc_id] = ps
+        for idx, p in enumerate(ps):
+            paras.setdefault(p, []).append((doc_id, idx))
+    hot = (
+        {p for p, occ in paras.items() if len({d for d, _ in occ}) > max_df}
+        if max_df is not None
+        else set()
+    )
+    out = {}
+    for doc_id, text in docs:
+        kept = [
+            p
+            for idx, p in enumerate(split[doc_id])
+            if p not in hot and min(paras[p]) == (doc_id, idx)
+        ]
+        out[doc_id] = (len(split[doc_id]), len(kept), " ".join(kept))
+    return out
+
+
+@given(
+    st.lists(_doc, min_size=1, max_size=8),
+    st.integers(1, 4),
+    st.sampled_from([None, 1, 2]),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_paragraph_dedup_matches_python_model(spark, texts, k, max_df):
+    from bcg_contacts_data_pipeline_spark.operators.dedup import (
+        paragraph_dedup,
+    )
+
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_paras"], r["paras_kept"], r["text_dedup"])
+        for r in paragraph_dedup(
+            df, "doc_id", "text", words_per_para=k, max_df=max_df
+        ).collect()
+    }
+    assert got == _para_model(docs, k, max_df)
