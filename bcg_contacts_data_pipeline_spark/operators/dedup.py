@@ -270,8 +270,9 @@ def paragraph_dedup(
     distinct paragraph, never the full corpus text twice; the winner is
     ``min(struct(id, para_idx, para))`` — a map-side-combinable
     aggregate, no window over the corpus. Rebuild is one groupBy(id)
-    over only the SURVIVING paragraphs. Three shuffles total (hash agg,
-    rebuild agg, broadcast-or-shuffle join back to the doc spine), each
+    over only the SURVIVING paragraphs; the doc spine comes straight
+    from the tokenized narrow projection, so the whole operator is two
+    aggregate shuffles plus the broadcast-or-shuffle join back, each
     keyed on high-cardinality uniform keys; the known degenerate key is
     the boilerplate paragraph repeated corpus-wide, which the hash agg
     partial-combines map-side (one winner row per task, same shape the
@@ -287,9 +288,12 @@ def paragraph_dedup(
     n_paras = F.ceil(F.size("__toks") / F.lit(k)).cast("long")
     paras = toked.select(
         "__id",
-        n_paras.alias("n_paras"),
-        F.posexplode_outer(
+        F.posexplode(
             F.transform(
+                # the greatest(...,1) floor keeps sequence() ascending on
+                # blank docs (sequence(1,0) DESCENDS in Spark); the blank
+                # doc's single empty paragraph is dropped by the length
+                # filter below, and the spine still carries the doc
                 F.sequence(F.lit(1), F.greatest(n_paras, F.lit(1))),
                 lambda i: F.array_join(
                     F.slice(F.col("__toks"), (i - F.lit(1)) * k + F.lit(1), k),
@@ -298,8 +302,6 @@ def paragraph_dedup(
             )
         ).alias("para_idx", "para"),
     )
-    # a blank doc yields one empty paragraph from the greatest(...,1)
-    # floor; drop it here so it can't dedup against other blanks
     real = paras.where(F.length("para") > 0)
     agg = [F.min(F.struct("__id", "para_idx", "para")).alias("w")]
     if max_df is not None:
@@ -321,9 +323,11 @@ def paragraph_dedup(
             ).alias("text_dedup"),
         )
     )
-    spine = paras.select("__id", "n_paras").groupBy("__id").agg(
-        F.first("n_paras").alias("n_paras")
-    )
+    # the spine comes straight from the tokenized frame (one row per doc
+    # already) — re-aggregating the exploded paragraphs for it would be
+    # a third shuffle over corpus-sized data for information the narrow
+    # projection has for free
+    spine = toked.select("__id", n_paras.alias("n_paras"))
     return (
         spine.join(rebuilt, "__id", "left")
         .select(
