@@ -613,3 +613,198 @@ def q_stream_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.run_available_now(
         dd.select("canonical_url"), "append", shuffle_partitions=8
     )
+
+
+# ---------------------------------------------------------------------------
+# The full crawl-curation ladder composed into ONE query.
+# ---------------------------------------------------------------------------
+
+_CRAWL_QUOTA = 5     # max docs kept per host
+_CRAWL_MIN_WORDS = 24  # quality gate on the paragraph-deduped text
+
+
+@register(
+    "crawl_curation_e2e",
+    # one CTE chain, each leg the proven oracle pattern of its
+    # standalone query: URL survivors from the alias-class arithmetic
+    # (url_canonical_dedup), paragraph dedup verbatim from
+    # paragraph_dedup's oracle, then the quality + quota legs as plain
+    # window SQL
+    oracle=f"""
+    WITH v AS (
+      SELECT doc_id, text,
+             'https://crawl' || CAST((doc_id // 5) % 50 AS VARCHAR)
+               || '.example.com/item/' || CAST(doc_id // 5 AS VARCHAR)
+               || CASE WHEN doc_id % 5 = 4 THEN '?a=1&b=2' ELSE '' END
+               AS curl,
+             'crawl' || CAST((doc_id // 5) % 50 AS VARCHAR)
+               || '.example.com' AS host
+      FROM documents
+    ),
+    surv AS (
+      SELECT doc_id, text, host FROM (
+        SELECT *, row_number() OVER (PARTITION BY curl ORDER BY doc_id)
+               AS urn
+        FROM v) WHERE urn = 1
+    ),
+    toks AS (
+      SELECT doc_id, host,
+             CASE WHEN text IS NULL OR trim(text) = ''
+                  THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(trim(text), '\\s+') END AS w
+      FROM surv
+    ),
+    sized AS (
+      SELECT doc_id, host, w,
+             CAST(ceil(len(w) / {_PARA_K}.0) AS BIGINT) AS n_paras
+      FROM toks
+    ),
+    paras AS (
+      SELECT doc_id, host, n_paras,
+             CAST(unnest(range(0, n_paras)) AS BIGINT) AS para_idx,
+             unnest(list_transform(range(0, n_paras),
+               i -> array_to_string(
+                      w[(i*{_PARA_K}+1):(i*{_PARA_K}+{_PARA_K})], ' '))) AS para
+      FROM sized
+    ),
+    kept AS (
+      SELECT doc_id, host, n_paras, para_idx, para,
+             row_number() OVER (
+               PARTITION BY para ORDER BY doc_id, para_idx) AS rn
+      FROM paras
+    ),
+    rebuilt AS (
+      SELECT doc_id, host, max(n_paras) AS n_paras,
+             CAST(count(*) AS BIGINT) AS paras_kept,
+             string_agg(para, ' ' ORDER BY para_idx) AS text_dedup
+      FROM kept WHERE rn = 1 GROUP BY doc_id, host
+    ),
+    quality AS (
+      SELECT * FROM rebuilt
+      WHERE len(string_split_regex(trim(text_dedup), '\\s+'))
+            >= {_CRAWL_MIN_WORDS}
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY host
+               ORDER BY length(text_dedup) DESC, doc_id) AS rk
+      FROM quality
+    )
+    SELECT doc_id, host, n_paras, paras_kept,
+           md5(text_dedup) AS dedup_md5
+    FROM ranked WHERE rk <= {_CRAWL_QUOTA}
+    ORDER BY doc_id
+    """,
+)
+def q_crawl_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-curation ladder END-TO-END as one Spark plan — what a
+    user actually runs on a crawl snapshot, certifying the LEG HANDOFFS
+    the standalone queries cannot see (URL survivors feeding paragraph
+    dedup, rebuilt text feeding the quality gate, quality survivors
+    feeding the per-host quota):
+
+    1. URL-level dedup (``url_canonical_dedup``'s fixture + operator):
+       five messy alias classes per resource canonicalize in-flight;
+       one fetch survives per canonical URL (min doc_id).
+    2. Paragraph-level corpus dedup (``operators/dedup.py:
+       paragraph_dedup``) over the URL survivors; documents rebuilt
+       from first-occurrence paragraphs.
+    3. Quality gate: rebuilt docs under {min_words} whitespace tokens
+       drop (the CCNet shape — dedup first, THEN length-filter the
+       residue).
+    4. Per-host quota (``domain_quota_sample``'s cap): top {quota} docs
+       per host by surviving-text length, doc_id tiebreak.
+
+    Scale shape: every leg is a groupBy/window on a high-cardinality
+    key (canonical URL, paragraph md5, doc id, host) — no
+    corpus×corpus joins anywhere; the one text-carrying shuffle is the
+    URL-dedup winner agg, the same single-pass shape exact content
+    dedup pays. The host-partitioned quota window is bounded by the
+    quality survivors per host, not the corpus.
+    """
+    from bcg_contacts_data_pipeline_spark.functions.text import tokens
+    from bcg_contacts_data_pipeline_spark.functions.urls import (
+        url_canonicalize,
+        url_host,
+    )
+    from bcg_contacts_data_pipeline_spark.operators.dedup import (
+        paragraph_dedup,
+    )
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    rid = F.expr("doc_id DIV 5")
+    base = F.concat(
+        F.lit("Crawl"),
+        (rid % 50).cast("string"),
+        F.lit(".Example.COM/item/"),
+        rid.cast("string"),
+    )
+    messy = (
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit("https://"), base))
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.concat(
+                F.lit("HTTPS://"),
+                F.lit("Crawl"),
+                (rid % 50).cast("string"),
+                F.lit(".Example.COM:443/item/"),
+                rid.cast("string"),
+                F.lit("/"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 2,
+            F.concat(
+                F.lit("https://"), base, F.lit("?utm_source=feed&utm_campaign=x")
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 3,
+            F.concat(F.lit("https://"), base, F.lit("#section-2")),
+        )
+        .otherwise(F.concat(F.lit("https://"), base, F.lit("?b=2&a=1")))
+    )
+    canon = docs.select(
+        "doc_id", "text", url_canonicalize(messy).alias("curl")
+    )
+    # leg 1: one fetch per canonical URL — min_by carries the winner's
+    # payload through the single text-carrying shuffle
+    surv = (
+        canon.groupBy("curl")
+        .agg(F.min_by(F.struct("doc_id", "text"), F.col("doc_id")).alias("w"))
+        .select(
+            F.col("w.doc_id").alias("doc_id"),
+            F.col("w.text").alias("text"),
+            url_host("curl").alias("host"),
+        )
+    )
+    # leg 2: corpus-wide paragraph dedup over the survivors
+    paras = paragraph_dedup(surv, "doc_id", "text", words_per_para=_PARA_K)
+    rebuilt = paras.where(F.col("paras_kept") >= 1).join(
+        surv.select("doc_id", "host"), "doc_id"
+    )
+    # leg 3: quality gate on the deduped residue
+    quality = rebuilt.where(
+        F.size(tokens(F.col("text_dedup"))) >= _CRAWL_MIN_WORDS
+    )
+    # leg 4: per-host quota
+    w = Window.partitionBy("host").orderBy(
+        F.length("text_dedup").desc(), F.col("doc_id").asc()
+    )
+    return (
+        quality.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _CRAWL_QUOTA)
+        .select(
+            "doc_id",
+            "host",
+            "n_paras",
+            "paras_kept",
+            F.md5("text_dedup").alias("dedup_md5"),
+        )
+    )
+
+
+q_crawl_curation_e2e.__doc__ = q_crawl_curation_e2e.__doc__.format(
+    min_words=_CRAWL_MIN_WORDS, quota=_CRAWL_QUOTA
+)

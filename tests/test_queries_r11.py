@@ -295,3 +295,21 @@ def test_paragraph_dedup_matches_python_model(spark, texts, k, max_df):
         ).collect()
     }
     assert got == _para_model(docs, k, max_df)
+
+
+def test_crawl_curation_e2e_legs_bind(spark):
+    """Composition sanity at sf0.001: output only contains URL-dedup
+    winners (doc_id % 5 in {0, 4} by the alias arithmetic), per-host
+    counts respect the quota, and every kept doc passed the quality
+    gate on its DEDUPED text."""
+    from bcg_contacts_data_pipeline_spark.plans.queries import QUERIES
+
+    rows = QUERIES["crawl_curation_e2e"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows  # the ladder keeps something at the smallest SF
+    from collections import Counter
+
+    assert all(r["doc_id"] % 5 in (0, 4) for r in rows)
+    assert max(Counter(r["host"] for r in rows).values()) <= 5
+    assert all(1 <= r["paras_kept"] <= r["n_paras"] for r in rows)
