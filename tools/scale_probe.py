@@ -83,6 +83,7 @@ PROBE = [
     ("embedding_ann_lsh", "LSH ANN, auto planes"),
     ("embedding_ann_lsh_capped", "LSH ANN, rep-capped buckets"),
     ("incremental_curation_e2e", "incremental trio composed"),
+    ("crawl_curation_e2e", "crawl ladder composed"),
     ("sessionize", "window sessionization"),
     ("stream_hourly_counts", "streaming AvailableNow drain"),
     ("contacts_pipeline_e2e", "flagship e2e pipeline"),
@@ -113,7 +114,7 @@ TIER2 = ["q1_pricing_summary", "q9_product_profit", "exact_dedup",
          "hll_sketch_rollup", "token_stats", "paragraph_dedup",
          "minhash_recall_capped",
          "enrich_2of3", "dedup_components", "embedding_ann_lsh_capped",
-         "incremental_curation_e2e",
+         "incremental_curation_e2e", "crawl_curation_e2e",
          "sessionize", "stream_hourly_counts", "contacts_pipeline_e2e"]
 
 # Uncapped complete-candidate baselines whose REQUIRED OUTPUT grows
