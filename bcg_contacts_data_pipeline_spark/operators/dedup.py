@@ -272,11 +272,16 @@ def paragraph_dedup(
     aggregate, no window over the corpus. Rebuild is one groupBy(id)
     over only the SURVIVING paragraphs; the doc spine comes straight
     from the tokenized narrow projection, so the whole operator is two
-    aggregate shuffles plus the broadcast-or-shuffle join back, each
-    keyed on high-cardinality uniform keys; the known degenerate key is
-    the boilerplate paragraph repeated corpus-wide, which the hash agg
-    partial-combines map-side (one winner row per task, same shape the
-    empty-dedup-key skew probe in PERF.md measured flat)."""
+    aggregate shuffles plus the broadcast-or-shuffle join back (the
+    ``max_df`` twin adds one more: df = COUNT(DISTINCT doc) is staged
+    as groupBy(hash, doc) THEN groupBy(hash) so both stages stay
+    map-side combinable — a direct count_distinct would deliver one
+    row per document of the boilerplate paragraph to a single final
+    reducer). Each shuffle keys on high-cardinality uniform values;
+    the known degenerate key is the boilerplate paragraph repeated
+    corpus-wide, which every aggregate stage partial-combines map-side
+    (one winner row per task, same shape the empty-dedup-key skew
+    probe in PERF.md measured flat)."""
     if words_per_para <= 0:
         raise ValueError("words_per_para must be positive")
     from bcg_contacts_data_pipeline_spark.functions.text import tokens
@@ -303,12 +308,29 @@ def paragraph_dedup(
         ).alias("para_idx", "para"),
     )
     real = paras.where(F.length("para") > 0)
-    agg = [F.min(F.struct("__id", "para_idx", "para")).alias("w")]
-    if max_df is not None:
-        agg.append(F.count_distinct("__id").alias("df"))
-    winners = real.groupBy(F.md5("para").alias("__h")).agg(*agg)
-    if max_df is not None:
-        winners = winners.where(F.col("df") <= F.lit(max_df))
+    if max_df is None:
+        winners = real.groupBy(F.md5("para").alias("__h")).agg(
+            F.min(F.struct("__id", "para_idx", "para")).alias("w")
+        )
+    else:
+        # df needs COUNT(DISTINCT doc): a direct count_distinct would
+        # plan as partial-agg on (hash, doc) then a final agg that
+        # receives one row PER DOCUMENT on the paragraph's hash — the
+        # corpus-wide boilerplate key would arrive unreduced at a single
+        # reducer. Two explicit stages keep every shuffle combinable:
+        # (hash, doc) collapses each doc's repeats map-side, then the
+        # hash stage counts pre-deduped rows and min-merges the winner.
+        per_doc = real.groupBy(F.md5("para").alias("__h"), "__id").agg(
+            F.min(F.struct("__id", "para_idx", "para")).alias("w0")
+        )
+        winners = (
+            per_doc.groupBy("__h")
+            .agg(
+                F.min("w0").alias("w"),
+                F.count(F.lit(1)).alias("df"),
+            )
+            .where(F.col("df") <= F.lit(max_df))
+        )
     rebuilt = (
         winners.select("w.__id", "w.para_idx", "w.para")
         .groupBy("__id")

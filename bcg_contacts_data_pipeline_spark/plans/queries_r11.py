@@ -204,18 +204,74 @@ def q_incremental_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _messy_url(id_col: str, host_prefix: str, path_seg: str) -> "F.Column":
+    """The shared messy-crawl-frontier fixture: every run of five
+    consecutive ids aliases ONE resource (rid = id DIV 5), each through
+    a different mess class — plain, uppercase scheme + explicit default
+    port + trailing slash, tracking params, fragment, shuffled query
+    order. Single definition for the three URL queries
+    (``url_canonical_dedup``, ``stream_url_dedup``,
+    ``crawl_curation_e2e``) so the fixture and its oracles
+    (:func:`_canonical_url_sql`) cannot desynchronize per-query."""
+    rid = F.expr(f"{id_col} DIV 5")
+    idc = F.col(id_col)
+    host_n = (rid % 50).cast("string")
+    base = F.concat(
+        F.lit(host_prefix),
+        host_n,
+        F.lit(".Example.COM" + path_seg),
+        rid.cast("string"),
+    )
+    return (
+        F.when(idc % 5 == 0, F.concat(F.lit("https://"), base))
+        .when(
+            idc % 5 == 1,
+            F.concat(
+                F.lit("HTTPS://"),
+                F.lit(host_prefix),
+                host_n,
+                F.lit(".Example.COM:443" + path_seg),
+                rid.cast("string"),
+                F.lit("/"),
+            ),
+        )
+        .when(
+            idc % 5 == 2,
+            F.concat(
+                F.lit("https://"), base, F.lit("?utm_source=feed&utm_campaign=x")
+            ),
+        )
+        .when(
+            idc % 5 == 3,
+            F.concat(F.lit("https://"), base, F.lit("#section-2")),
+        )
+        .otherwise(F.concat(F.lit("https://"), base, F.lit("?b=2&a=1")))
+    )
+
+
+def _canonical_url_sql(id_col: str, host_prefix: str, path_seg: str) -> str:
+    """Ground-truth canonical form of :func:`_messy_url` as a DuckDB
+    expression — pure id arithmetic (the membership-oracle recipe):
+    every alias class canonicalizes to the rid's base URL, the %5=4
+    class to its own sorted-query URL."""
+    hp = host_prefix.lower()
+    return (
+        f"'https://{hp}' || CAST(({id_col} // 5) % 50 AS VARCHAR)"
+        f" || '.example.com{path_seg}' || CAST({id_col} // 5 AS VARCHAR)"
+        f" || CASE WHEN {id_col} % 5 = 4 THEN '?a=1&b=2' ELSE '' END"
+    )
+
+
 @register(
     "url_canonical_dedup",
     # ground truth stated directly from the synthesis arithmetic: every
     # alias class canonicalizes to the base URL (plus the sorted query
     # for the %5=4 variant), so the expected table is pure doc_id math
     # (same membership-oracle recipe as tsv_quarantine)
-    oracle="""
+    oracle=f"""
     WITH v AS (
       SELECT doc_id,
-             'https://host' || CAST((doc_id // 5) % 50 AS VARCHAR)
-               || '.example.com/articles/' || CAST(doc_id // 5 AS VARCHAR)
-               || CASE WHEN doc_id % 5 = 4 THEN '?a=1&b=2' ELSE '' END
+             {_canonical_url_sql("doc_id", "Host", "/articles/")}
                AS canonical_url
       FROM documents)
     SELECT canonical_url,
@@ -248,38 +304,7 @@ def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    rid = F.expr("doc_id DIV 5")
-    base = F.concat(
-        F.lit("Host"),
-        (rid % 50).cast("string"),
-        F.lit(".Example.COM/articles/"),
-        rid.cast("string"),
-    )
-    messy = (
-        F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit("https://"), base))
-        .when(
-            F.col("doc_id") % 5 == 1,
-            F.concat(
-                F.lit("HTTPS://"),
-                F.lit("Host"),
-                (rid % 50).cast("string"),
-                F.lit(".Example.COM:443/articles/"),
-                rid.cast("string"),
-                F.lit("/"),
-            ),
-        )
-        .when(
-            F.col("doc_id") % 5 == 2,
-            F.concat(
-                F.lit("https://"), base, F.lit("?utm_source=feed&utm_campaign=x")
-            ),
-        )
-        .when(
-            F.col("doc_id") % 5 == 3,
-            F.concat(F.lit("https://"), base, F.lit("#section-2")),
-        )
-        .otherwise(F.concat(F.lit("https://"), base, F.lit("?b=2&a=1")))
-    )
+    messy = _messy_url("doc_id", "Host", "/articles/")
     return (
         docs.select("doc_id", messy.alias("url"))
         .select("doc_id", url_canonicalize("url").alias("canonical_url"))
@@ -379,8 +404,12 @@ def _paragraph_oracle(max_df: int | None = None) -> str:
         if max_df is not None
         else ""
     )
-    hot_filter = (
-        "WHERE para NOT IN (SELECT para FROM hot)" if max_df is not None else ""
+    # para <> '' mirrors the operator's empty-paragraph drop (a trailing
+    # tab/newline makes regex-split emit a final empty token on BOTH
+    # engines -> a phantom empty paragraph; the operator filters it, so
+    # the oracle must too)
+    hot_filter = "WHERE para <> ''" + (
+        " AND para NOT IN (SELECT para FROM hot)" if max_df is not None else ""
     )
     return f"""
     WITH toks AS (
@@ -545,11 +574,9 @@ def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     # recipe): every alias class canonicalizes to the rid's base URL, the
     # %5=4 class to its sorted-query URL — distinct canonical URLs are
     # pure event_id math
-    oracle="""
+    oracle=f"""
     SELECT DISTINCT
-           'https://frontier' || CAST((event_id // 5) % 50 AS VARCHAR)
-             || '.example.com/page/' || CAST(event_id // 5 AS VARCHAR)
-             || CASE WHEN event_id % 5 = 4 THEN '?a=1&b=2' ELSE '' END
+           {_canonical_url_sql("event_id", "Frontier", "/page/")}
              AS canonical_url
     FROM events
     """,
@@ -562,50 +589,25 @@ def q_stream_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     state), and deduped with ``dropDuplicatesWithinWatermark`` keyed on
     the canonical form — the streaming twin of batch
     ``url_canonical_dedup``, i.e. the fetch-scheduler front of a live
-    crawl: each canonical URL is emitted exactly once, key state
-    expires with the 2-hour watermark so the store holds the recent
-    frontier, not crawl history. The oracle states the expected
-    distinct canonical set directly from the event_id arithmetic, so
-    the hash check certifies canonicalization + streaming dedup against
-    ground truth."""
+    crawl: each canonical URL is emitted exactly once WITHIN the 2-hour
+    watermark horizon; key state expires with the watermark, so the
+    store holds the recent frontier, not crawl history — a URL
+    re-discovered after its state expired re-emits, which is the
+    correct frontier semantics (refetch window), NOT a global-history
+    dedup (that is the batch twin's job). The oracle's global DISTINCT
+    equivalence holds because the finite fixture drains in one
+    AvailableNow micro-batch, inside which no state expires; an
+    unbounded deployment should size the watermark to its refetch
+    policy. The oracle states the expected distinct canonical set
+    directly from the event_id arithmetic, so the hash check certifies
+    canonicalization + streaming dedup against ground truth."""
     from bcg_contacts_data_pipeline_spark import streaming as S
     from bcg_contacts_data_pipeline_spark.functions.urls import (
         url_canonicalize,
     )
 
     st = S.events_stream(spark, sf_dir)
-    rid = F.expr("event_id DIV 5")
-    base = F.concat(
-        F.lit("Frontier"),
-        (rid % 50).cast("string"),
-        F.lit(".Example.COM/page/"),
-        rid.cast("string"),
-    )
-    messy = (
-        F.when(F.col("event_id") % 5 == 0, F.concat(F.lit("https://"), base))
-        .when(
-            F.col("event_id") % 5 == 1,
-            F.concat(
-                F.lit("HTTPS://"),
-                F.lit("Frontier"),
-                (rid % 50).cast("string"),
-                F.lit(".Example.COM:443/page/"),
-                rid.cast("string"),
-                F.lit("/"),
-            ),
-        )
-        .when(
-            F.col("event_id") % 5 == 2,
-            F.concat(
-                F.lit("https://"), base, F.lit("?utm_source=feed&utm_campaign=x")
-            ),
-        )
-        .when(
-            F.col("event_id") % 5 == 3,
-            F.concat(F.lit("https://"), base, F.lit("#section-2")),
-        )
-        .otherwise(F.concat(F.lit("https://"), base, F.lit("?b=2&a=1")))
-    )
+    messy = _messy_url("event_id", "Frontier", "/page/")
     urls = st.select(
         "ts", url_canonicalize(messy).alias("canonical_url")
     )
@@ -633,10 +635,7 @@ _CRAWL_MIN_WORDS = 24  # quality gate on the paragraph-deduped text
     oracle=f"""
     WITH v AS (
       SELECT doc_id, text,
-             'https://crawl' || CAST((doc_id // 5) % 50 AS VARCHAR)
-               || '.example.com/item/' || CAST(doc_id // 5 AS VARCHAR)
-               || CASE WHEN doc_id % 5 = 4 THEN '?a=1&b=2' ELSE '' END
-               AS curl,
+             {_canonical_url_sql("doc_id", "Crawl", "/item/")} AS curl,
              'crawl' || CAST((doc_id // 5) % 50 AS VARCHAR)
                || '.example.com' AS host
       FROM documents
@@ -671,7 +670,7 @@ _CRAWL_MIN_WORDS = 24  # quality gate on the paragraph-deduped text
       SELECT doc_id, host, n_paras, para_idx, para,
              row_number() OVER (
                PARTITION BY para ORDER BY doc_id, para_idx) AS rn
-      FROM paras
+      FROM paras WHERE para <> ''
     ),
     rebuilt AS (
       SELECT doc_id, host, max(n_paras) AS n_paras,
@@ -696,7 +695,9 @@ _CRAWL_MIN_WORDS = 24  # quality gate on the paragraph-deduped text
     ORDER BY doc_id
     """,
 )
-def q_crawl_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_crawl_curation_e2e(
+    spark: SparkSession, sf_dir: str, pins=None
+) -> DataFrame:
     """The crawl-curation ladder END-TO-END as one Spark plan — what a
     user actually runs on a crawl snapshot, certifying the LEG HANDOFFS
     the standalone queries cannot see (URL survivors feeding paragraph
@@ -733,51 +734,28 @@ def q_crawl_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = _t(spark, sf_dir, "documents")
-    rid = F.expr("doc_id DIV 5")
-    base = F.concat(
-        F.lit("Crawl"),
-        (rid % 50).cast("string"),
-        F.lit(".Example.COM/item/"),
-        rid.cast("string"),
-    )
-    messy = (
-        F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit("https://"), base))
-        .when(
-            F.col("doc_id") % 5 == 1,
-            F.concat(
-                F.lit("HTTPS://"),
-                F.lit("Crawl"),
-                (rid % 50).cast("string"),
-                F.lit(".Example.COM:443/item/"),
-                rid.cast("string"),
-                F.lit("/"),
-            ),
-        )
-        .when(
-            F.col("doc_id") % 5 == 2,
-            F.concat(
-                F.lit("https://"), base, F.lit("?utm_source=feed&utm_campaign=x")
-            ),
-        )
-        .when(
-            F.col("doc_id") % 5 == 3,
-            F.concat(F.lit("https://"), base, F.lit("#section-2")),
-        )
-        .otherwise(F.concat(F.lit("https://"), base, F.lit("?b=2&a=1")))
-    )
+    messy = _messy_url("doc_id", "Crawl", "/item/")
     canon = docs.select(
         "doc_id", "text", url_canonicalize(messy).alias("curl")
     )
+    from bcg_contacts_data_pipeline_spark.operators.pins import pin
+
     # leg 1: one fetch per canonical URL — min_by carries the winner's
-    # payload through the single text-carrying shuffle
-    surv = (
+    # payload through the single text-carrying shuffle. Persisted once:
+    # three consumers (the paragraph explode, its spine, the host join)
+    # would otherwise each re-run the scan + URL-winner aggregation —
+    # exchange reuse is not guaranteed across AQE-replanned branches.
+    # pins=None keeps the legacy session-lifetime contract the one-shot
+    # driver/bench callers rely on (released by clearCache).
+    surv = pin(
         canon.groupBy("curl")
         .agg(F.min_by(F.struct("doc_id", "text"), F.col("doc_id")).alias("w"))
         .select(
             F.col("w.doc_id").alias("doc_id"),
             F.col("w.text").alias("text"),
             url_host("curl").alias("host"),
-        )
+        ),
+        pins,
     )
     # leg 2: corpus-wide paragraph dedup over the survivors
     paras = paragraph_dedup(surv, "doc_id", "text", words_per_para=_PARA_K)
@@ -805,6 +783,9 @@ def q_crawl_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-q_crawl_curation_e2e.__doc__ = q_crawl_curation_e2e.__doc__.format(
-    min_words=_CRAWL_MIN_WORDS, quota=_CRAWL_QUOTA
-)
+# guard: under python -OO docstrings are stripped (None) and .format
+# would AttributeError at import, taking the whole registry down
+if q_crawl_curation_e2e.__doc__:
+    q_crawl_curation_e2e.__doc__ = q_crawl_curation_e2e.__doc__.format(
+        min_words=_CRAWL_MIN_WORDS, quota=_CRAWL_QUOTA
+    )

@@ -313,3 +313,46 @@ def test_crawl_curation_e2e_legs_bind(spark):
     assert all(r["doc_id"] % 5 in (0, 4) for r in rows)
     assert max(Counter(r["host"] for r in rows).values()) <= 5
     assert all(1 <= r["paras_kept"] <= r["n_paras"] for r in rows)
+
+
+def test_paragraph_oracle_parity_on_messy_whitespace(spark, tmp_path):
+    """Regression: a trailing tab/newline makes regex-split emit a final
+    empty token on BOTH engines -> a phantom empty paragraph. The
+    operator drops it; the oracle must mirror that drop or dedup_md5
+    diverges. Runs the registered query AND its DuckDB oracle on a
+    constructed corpus full of edge whitespace and compares exactly."""
+    import duckdb
+
+    from bcg_contacts_data_pipeline_spark.plans.queries import ORACLE, QUERIES
+
+    words = " ".join(f"w{i}" for i in range(16))  # exactly one paragraph
+    rows = [
+        (1, words + "\n"),        # trailing newline -> phantom empty para
+        (2, words + "\t"),        # trailing tab, duplicates doc 1's para
+        (3, "\t" + words),        # leading tab -> leading empty token
+        (4, words.replace(" ", "\n")),  # newline-separated words
+        (5, None),
+        (6, "   "),
+    ]
+    d = tmp_path / "sf_ws"
+    d.mkdir()
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(str(d / "documents.parquet"))
+
+    for name in ("paragraph_dedup", "paragraph_boilerplate"):
+        got = {
+            r["doc_id"]: (r["n_paras"], r["paras_kept"], r["dedup_md5"])
+            for r in QUERIES[name](spark, str(d)).collect()
+        }
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"'{d / 'documents.parquet'}/*.parquet'"
+        )
+        want = {
+            int(r[0]): (int(r[1]), int(r[2]), r[3])
+            for r in con.execute(ORACLE[name]).fetchall()
+        }
+        con.close()
+        assert got == want, name

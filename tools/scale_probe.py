@@ -76,6 +76,7 @@ PROBE = [
     ("token_stats", "text Catalyst expressions"),
     ("ngram_jaccard", "capped posting-list pair gen"),
     ("paragraph_dedup", "md5-grouped paragraph dedup"),
+    ("paragraph_boilerplate", "paragraph dedup, max_df twin"),
     ("minhash_recall", "MinHash LSH, complete candidates"),
     ("minhash_recall_capped", "MinHash LSH, hot-bucket cap"),
     ("enrich_2of3", "k-of-n key-match enrich join"),
@@ -112,7 +113,7 @@ PROBE = [
 TIER2 = ["q1_pricing_summary", "q9_product_profit", "exact_dedup",
          "dedup_merge", "orders_global_rank", "pack_shards",
          "hll_sketch_rollup", "token_stats", "paragraph_dedup",
-         "minhash_recall_capped",
+         "paragraph_boilerplate", "minhash_recall_capped",
          "enrich_2of3", "dedup_components", "embedding_ann_lsh_capped",
          "incremental_curation_e2e", "crawl_curation_e2e",
          "sessionize", "stream_hourly_counts", "contacts_pipeline_e2e"]
