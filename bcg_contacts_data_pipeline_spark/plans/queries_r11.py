@@ -16,7 +16,7 @@ composition.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bcg_contacts_data_pipeline_spark.plans.queries import (
@@ -204,7 +204,7 @@ def q_incremental_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _messy_url(id_col: str, host_prefix: str, path_seg: str) -> "F.Column":
+def _messy_url(id_col: str, host_prefix: str, path_seg: str) -> Column:
     """The shared messy-crawl-frontier fixture: every run of five
     consecutive ids aliases ONE resource (rid = id DIV 5), each through
     a different mess class — plain, uppercase scheme + explicit default
