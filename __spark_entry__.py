@@ -80,9 +80,17 @@ def _certification_rounds(root: str | None = None) -> dict[str, int]:
 #: Names here sort as if never certified. Curate per round; stale names
 #: are harmless (they just re-verify).
 _FORCE_HEAD: set[str] = {
-    # r9: no existing query's semantics or oracle changed this round.
-    # The round's one new query (statestore_open_sessions) is
-    # never-certified, so it sorts to the head without a listing.
+    # r12: domain_quota_sample switched from the 2-label heuristic to
+    # the PSL eTLD+1 broadcast join (same answer on its .org fixture,
+    # but the implementation changed — re-verify).
+    "domain_quota_sample",
+    # r12: paragraph grouping key md5 -> sha2-256 (ADVICE r11); the
+    # oracle partitions by raw text so it is unchanged, but the
+    # operator's equality decision changed — re-verify it and both
+    # composed consumers.
+    "paragraph_dedup",
+    "paragraph_boilerplate",
+    "crawl_curation_e2e",
 }
 
 

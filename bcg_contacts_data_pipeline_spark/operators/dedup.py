@@ -265,9 +265,15 @@ def paragraph_dedup(
     Output: ``(id, n_paras, paras_kept, text_dedup)`` for EVERY input
     document (NULL/blank text -> ``n_paras = 0``, ``text_dedup = ''``).
 
-    Scale design: paragraphs are grouped by their 16-byte ``md5`` (not
-    the text) so the dedup shuffle carries hash + one winner struct per
-    distinct paragraph, never the full corpus text twice; the winner is
+    Scale design: paragraphs are grouped by their ``sha2-256`` digest
+    (not the text) so the dedup shuffle carries hash + one winner
+    struct per distinct paragraph, never the full corpus text twice.
+    SHA-256 rather than md5 because the grouping key IS the equality
+    decision: md5 collisions are constructible (chosen-prefix attacks),
+    so adversarial crawl input could make two DISTINCT paragraphs
+    silently merge; no collision is known for SHA-256, which closes
+    that hole for 16 more bytes of shuffle key (ADVICE r11). The
+    winner is
     ``min(struct(id, para_idx, para))`` — a map-side-combinable
     aggregate, no window over the corpus. Rebuild is one groupBy(id)
     over only the SURVIVING paragraphs; the doc spine comes straight
@@ -309,7 +315,7 @@ def paragraph_dedup(
     )
     real = paras.where(F.length("para") > 0)
     if max_df is None:
-        winners = real.groupBy(F.md5("para").alias("__h")).agg(
+        winners = real.groupBy(F.sha2("para", 256).alias("__h")).agg(
             F.min(F.struct("__id", "para_idx", "para")).alias("w")
         )
     else:
@@ -320,7 +326,7 @@ def paragraph_dedup(
         # reducer. Two explicit stages keep every shuffle combinable:
         # (hash, doc) collapses each doc's repeats map-side, then the
         # hash stage counts pre-deduped rows and min-merges the winner.
-        per_doc = real.groupBy(F.md5("para").alias("__h"), "__id").agg(
+        per_doc = real.groupBy(F.sha2("para", 256).alias("__h"), "__id").agg(
             F.min(F.struct("__id", "para_idx", "para")).alias("w0")
         )
         winners = (

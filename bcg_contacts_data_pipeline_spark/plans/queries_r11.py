@@ -347,16 +347,22 @@ def q_domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the quality stand-in, doc_id as the deterministic tie-break). URLs
     are synthesized deterministically (three consecutive docs share a
     page, pages rotate over 13 mixed-case hosts) and reduced through
-    `functions/urls.py:url_registered_domain`, so the oracle can state
+    the PSL eTLD+1 path (`functions/public_suffix.py:from_url`, r12 —
+    on these default-rule ``.org`` hosts it answers exactly what the
+    pre-r12 2-label heuristic did, so the arithmetic oracle is
+    unchanged; the ccTLD/private-suffix hosts the heuristic got wrong
+    are certified by ``etld1_quota_sample``), so the oracle can state
     the kept set from the arithmetic while the Spark side must get
     host extraction + lowercase + the quota window right.
 
-    Scale shape: one shuffle (the per-domain window partition). At
-    100 TB the quota rank is the standard curation pass; a domain hot
-    enough to skew its window partition is exactly the domain the cap
-    exists to truncate, and AQE splits the post-filter aggregation."""
-    from bcg_contacts_data_pipeline_spark.functions.urls import (
-        url_registered_domain,
+    Scale shape: the PSL match is broadcast joins (no shuffle, plan
+    pinned in tests/test_public_suffix.py); the quota is one shuffle
+    (the per-domain window partition). At 100 TB the quota rank is the
+    standard curation pass; a domain hot enough to skew its window
+    partition is exactly the domain the cap exists to truncate, and
+    AQE splits the post-filter aggregation."""
+    from bcg_contacts_data_pipeline_spark.functions.public_suffix import (
+        from_url,
     )
     from pyspark.sql import Window
 
@@ -370,13 +376,9 @@ def q_domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("domain").orderBy(
         F.col("n_chars").desc(), F.col("doc_id").asc()
     )
-    ranked = (
-        docs.select("doc_id", "n_chars", url.alias("url"))
-        .select(
-            "doc_id", "n_chars", url_registered_domain("url").alias("domain")
-        )
-        .withColumn("rk", F.row_number().over(w))
-    )
+    ranked = from_url(
+        docs.select("doc_id", "n_chars", url.alias("url")), "url", out="domain"
+    ).drop("url").withColumn("rk", F.row_number().over(w))
     return ranked.groupBy("domain").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.when(F.col("rk") <= 40, 1).otherwise(0))
@@ -480,7 +482,7 @@ q_paragraph_dedup.__doc__ = (
     " occurrence), documents rebuilt from survivors — the CCNet/RefinedWeb"
     " curation step between URL-level and near-dup dedup. Output is the"
     " full per-document label frame (md5 of the rebuilt text keeps the"
-    " compare payload fixed-width). Dedup shuffle carries md5(para) + one"
+    " compare payload fixed-width). Dedup shuffle carries sha2(para) + one"
     " min-struct winner per distinct paragraph, map-side combinable —"
     " boilerplate repeated corpus-wide partial-aggregates to one row per"
     " task, the same flat-skew shape PERF.md measured for the empty"
@@ -527,7 +529,7 @@ _SHUFFLE_SHARDS = 16
     FROM ranked ORDER BY doc_id
     """,
 )
-def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str, pins=None) -> DataFrame:
     """Deterministic seeded corpus shuffle + round-robin shard
     assignment — the data-ordering step every pretraining run performs
     before writing epoch shards. The permutation key is
@@ -543,7 +545,13 @@ def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     ID-only projection: the text payload never rides through the
     shuffle — a writer joins shard assignments back to payloads, which
     at 100 TB is one co-partitioned join instead of range-shuffling the
-    corpus bytes."""
+    corpus bytes.
+
+    ``pins``: forwarded to ``renumber``'s load-bearing persist — pass a
+    PinScope for a targeted release in long-lived sessions; ``None``
+    keeps the legacy session-lifetime pin the one-shot driver/bench
+    callers rely on (released by clearCache), same contract as
+    ``q_crawl_curation_e2e``."""
     from bcg_contacts_data_pipeline_spark.operators.dedup import renumber
 
     docs = _t(spark, sf_dir, "documents")
@@ -553,7 +561,7 @@ def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit(_SHUFFLE_SEED), F.col("doc_id").cast("string"))
         ).alias("__k"),
     )
-    out = renumber(keyed, ["__k", "doc_id"], seq_name="pos")
+    out = renumber(keyed, ["__k", "doc_id"], seq_name="pos", pins=pins)
     return out.select(
         "doc_id",
         F.col("pos").cast("long").alias("pos"),

@@ -1,0 +1,156 @@
+"""PSL eTLD+1: snapshot parsing, prevailing-rule arithmetic, the
+broadcast-join plan shape, and agreement with the heuristic fallback on
+default-rule hosts."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bcg_contacts_data_pipeline_spark.functions.public_suffix import (
+    from_url,
+    parse_snapshot,
+    suffix_table,
+    with_registered_domain,
+)
+from bcg_contacts_data_pipeline_spark.functions.urls import (
+    url_registered_domain,
+)
+
+
+def test_parse_snapshot_kinds():
+    exact, wild, exc = parse_snapshot(
+        "// comment\n\nco.uk\n*.ck\n!www.ck\nGitHub.IO\n"
+    )
+    assert exact == {"co.uk", "github.io"}
+    assert wild == {"ck"}
+    assert exc == {"www.ck"}
+
+
+def test_shipped_snapshot_contents():
+    exact, wild, exc = parse_snapshot()
+    assert {"co.uk", "com.au", "github.io", "blogspot.com"} <= exact
+    assert {"ck", "kawasaki.jp"} <= wild
+    assert {"www.ck", "city.kawasaki.jp"} <= exc
+
+
+def test_suffix_table_max_labels(spark):
+    # 3-label exception rules + 2-label wildcard bases (match consumes
+    # base+1) both demand 3 candidate probes on the shipped snapshot
+    sfx, max_n = suffix_table(spark)
+    assert max_n == 3
+    assert sfx.count() == len(set().union(*parse_snapshot()))
+
+
+HOST_CASES = [
+    # default rule (unlisted suffix) == the 2-label heuristic
+    ("example.org", "example.org"),
+    ("www.example.org", "example.org"),
+    ("a.b.c.example.org", "example.org"),
+    # multi-label exact rules fold ccTLD hierarchies correctly
+    ("example.co.uk", "example.co.uk"),
+    ("shop.example.co.uk", "example.co.uk"),
+    ("deep.shop.example.co.uk", "example.co.uk"),
+    ("example.com.au", "example.com.au"),
+    ("x.example.com.au", "example.com.au"),
+    ("school.act.edu.au", "school.act.edu.au"),
+    # private-section multi-tenant hosts are separate publishers
+    ("alice.github.io", "alice.github.io"),
+    ("www.alice.github.io", "alice.github.io"),
+    ("blog.blogspot.com", "blog.blogspot.com"),
+    # wildcard TLD: every second level is a public suffix
+    ("foo.bar.ck", "foo.bar.ck"),
+    ("deep.foo.bar.ck", "foo.bar.ck"),
+    # exception rule beats the wildcard
+    ("www.ck", "www.ck"),
+    ("sub.www.ck", "www.ck"),
+    # wildcard city hierarchy + exception (3-label rules)
+    ("shop.chuo.kawasaki.jp", "shop.chuo.kawasaki.jp"),
+    ("city.kawasaki.jp", "city.kawasaki.jp"),
+    ("sub.city.kawasaki.jp", "city.kawasaki.jp"),
+    # plain co.jp exact rule still applies
+    ("example.co.jp", "example.co.jp"),
+    # a public suffix itself has no registrable domain
+    ("co.uk", None),
+    ("github.io", None),
+    ("bar.ck", None),
+    ("org", None),
+    # trailing dot is stripped; case is folded
+    ("Example.CO.UK.", "example.co.uk"),
+]
+
+
+def test_registered_domain_cases(spark):
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(HOST_CASES)], "i long, host string"
+    )
+    got = {
+        r["i"]: r["rd"]
+        for r in with_registered_domain(df, "host", out="rd").collect()
+    }
+    for i, (host, want) in enumerate(HOST_CASES):
+        assert got[i] == want, f"{host}: got {got[i]!r}, want {want!r}"
+
+
+def test_null_and_garbage_hosts(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, ".")], "i long, host string"
+    )
+    rows = {r["i"]: r["rd"] for r in with_registered_domain(df, "host", out="rd").collect()}
+    assert rows == {1: None, 2: None, 3: None}
+
+
+def test_from_url_extracts_host(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "https://Shop.Example.CO.UK:8443/a/b?x=1"),
+            (2, "http://alice.github.io/post"),
+            (3, "not a url"),
+            (4, None),
+        ],
+        "i long, url string",
+    )
+    rows = {r["i"]: r["rd"] for r in from_url(df, "url", out="rd").collect()}
+    assert rows == {
+        1: "example.co.uk",
+        2: "alice.github.io",
+        3: None,
+        4: None,
+    }
+
+
+def test_heuristic_agrees_on_default_rule_hosts(spark):
+    """On hosts whose suffix is governed by the PSL default rule, the
+    PSL path and the 2-label heuristic MUST agree — the heuristic is the
+    documented fallback, not a divergent second opinion."""
+    hosts = [
+        (i, f"sub{i}.site{i}.example{i}.org") for i in range(20)
+    ] + [(100 + i, f"site{i}.test") for i in range(5)]
+    df = spark.createDataFrame(hosts, "i long, host string")
+    out = with_registered_domain(df, "host", out="rd").select(
+        "i", "rd", url_registered_domain(F.concat(F.lit("https://"), F.col("host"))).alias("heur")
+    )
+    for r in out.collect():
+        assert r["rd"] == r["heur"], r
+
+
+def test_custom_snapshot_override(spark):
+    df = spark.createDataFrame([(1, "a.b.custom")], "i long, host string")
+    out = with_registered_domain(
+        df, "host", out="rd", snapshot="b.custom\n"
+    ).collect()
+    assert out[0]["rd"] == "a.b.custom"
+
+
+def test_plan_is_broadcast_no_shuffle(spark):
+    """The suffix match must stay a broadcast join chain: no Exchange
+    (shuffle) and no row-wise Python in the plan."""
+    df = spark.range(100).select(
+        F.concat(F.lit("host"), F.col("id"), F.lit(".example.co.uk")).alias(
+            "host"
+        )
+    )
+    plan = with_registered_domain(df, "host", out="rd")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -1,0 +1,97 @@
+"""Round-12 surface: eTLD+1 quota, single-batch drain invariant for the
+streaming URL dedup oracle, corpus_shuffle pin passthrough, and the
+sha2 paragraph-dedup key."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bcg_contacts_data_pipeline_spark.operators.pins import PinScope
+from bcg_contacts_data_pipeline_spark.plans.queries import QUERIES
+
+SF_SMALL = "/root/testdata/sf0.001"
+SF_MED = "/root/testdata/sf0.01"
+
+
+def test_etld1_quota_separates_cctld_registrants(spark):
+    """The heuristic failure the query exists to certify: .co.uk /
+    .com.au / .github.io registrants must land in SEPARATE quota
+    buckets (44 domains = 11 sites x 4 suffix classes), never one
+    bucket per suffix."""
+    out = QUERIES["etld1_quota_sample"](spark, SF_SMALL).collect()
+    domains = {r["domain"] for r in out}
+    assert len(domains) == 44, sorted(domains)
+    for suffix in ("org", "co.uk", "com.au", "github.io"):
+        got = {d for d in domains if d.endswith("." + suffix)}
+        assert len(got) == 11, (suffix, sorted(got))
+        # the collapsed bucket the 2-label heuristic would produce
+        assert suffix not in domains
+    # the quota never exceeds the cap
+    for r in out:
+        assert r["n_kept"] <= 8
+        assert r["n_kept"] <= r["n_docs"]
+
+
+def test_events_stream_drains_in_one_micro_batch(spark):
+    """stream_url_dedup's global-DISTINCT oracle is equivalent to
+    dropDuplicatesWithinWatermark ONLY because the finite events fixture
+    drains in a single AvailableNow micro-batch (no watermark state
+    expires mid-stream, so nothing can re-emit). events_stream sets no
+    maxFilesPerTrigger, so the whole table is one batch; this test pins
+    that invariant at the certification SF — if the events table ever
+    becomes multi-file or a trigger cap is added, this fails before the
+    certification silently weakens (ADVICE r11)."""
+    import tempfile
+
+    from bcg_contacts_data_pipeline_spark import streaming as S
+
+    st = S.events_stream(spark, SF_MED).select("event_id")
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            st.writeStream.format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        data_batches = [
+            p for p in q.recentProgress if p["numInputRows"] > 0
+        ]
+    assert len(data_batches) == 1, [
+        (p["batchId"], p["numInputRows"]) for p in q.recentProgress
+    ]
+
+
+def test_corpus_shuffle_forwards_pins(spark):
+    """ADVICE r11: q_corpus_shuffle must forward a PinScope to
+    renumber so long-lived sessions can release the load-bearing
+    persist without clearCache()."""
+    with PinScope() as scope:
+        out = QUERIES["corpus_shuffle"](spark, SF_SMALL, pins=scope)
+        n = out.count()
+        assert len(scope) == 1
+        pinned = scope._frames[0][0]
+        assert pinned.storageLevel.useMemory or pinned.storageLevel.useDisk
+    assert n > 0
+    lvl = pinned.storageLevel
+    assert not (lvl.useMemory or lvl.useDisk), lvl
+
+
+def test_paragraph_dedup_groups_by_sha2_not_md5(spark):
+    """ADVICE r11: the paragraph grouping key (the equality decision)
+    is sha2-256 — md5 collisions are constructible on adversarial crawl
+    input. Pin the key choice via the optimized plan."""
+    from bcg_contacts_data_pipeline_spark.operators.dedup import (
+        paragraph_dedup,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    out = paragraph_dedup(df, "doc_id", "text", words_per_para=2)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "sha2" in plan
+    assert "md5" not in plan
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["paras_kept"] == 2 and rows[2]["paras_kept"] == 0

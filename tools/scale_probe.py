@@ -75,7 +75,7 @@ PROBE = [
     ("hll_sketch_rollup", "mergeable sketch rollup"),
     ("token_stats", "text Catalyst expressions"),
     ("ngram_jaccard", "capped posting-list pair gen"),
-    ("paragraph_dedup", "md5-grouped paragraph dedup"),
+    ("paragraph_dedup", "sha2-grouped paragraph dedup"),
     ("paragraph_boilerplate", "paragraph dedup, max_df twin"),
     ("minhash_recall", "MinHash LSH, complete candidates"),
     ("minhash_recall_capped", "MinHash LSH, hot-bucket cap"),
