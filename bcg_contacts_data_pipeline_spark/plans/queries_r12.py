@@ -15,6 +15,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bcg_contacts_data_pipeline_spark.plans.queries import (
+    _COPY_OFFSET,
+    _DOT_SQL,
     _t,
     register,
 )
@@ -114,3 +116,174 @@ def q_etld1_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_kept"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic dedup: the dedup rung above near-dup.
+# ---------------------------------------------------------------------------
+
+_SEM_K = 8
+_SEM_TAU = 0.8
+#: rep-cap for within-cluster scoring; measured doubled-corpus cluster
+#: maxima: 140 at sf0.01, 584 at sf0.1 — idle at every shipped SF, so
+#: the uncapped DuckDB oracle applies verbatim (the ann_lsh_capped twin
+#: recipe). Engages only on the 100x clone replica, where any clone's
+#: original sorts into the cap-smallest-id base and scores 1.0.
+_SEM_CAP = 1024
+
+
+def _semantic_dedup_oracle() -> str:
+    dot_ee = _DOT_SQL.format(a="embedding", b="embedding")
+    dot_ec = _DOT_SQL.format(a="e.embedding", b="c.cvec")
+    dot_xy = _DOT_SQL.format(a="x.embedding", b="y.embedding")
+    return f"""
+    WITH base AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + {_COPY_OFFSET} AS vec_id, embedding FROM embeddings),
+    e AS (
+      SELECT vec_id, embedding, sqrt({dot_ee}) AS nrm FROM base),
+    c AS (
+      SELECT vec_id AS cid, embedding AS cvec, nrm AS cnrm
+      FROM e ORDER BY vec_id LIMIT {_SEM_K}),
+    a AS (
+      SELECT vec_id, cid AS cluster FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {dot_ec} / (e.nrm * c.cnrm) DESC, c.cid) AS rn
+        FROM e, c) WHERE rn = 1),
+    m AS (
+      SELECT a.vec_id, a.cluster, e.embedding, e.nrm
+      FROM a JOIN e USING (vec_id)),
+    p AS (
+      SELECT x.vec_id, MAX({dot_xy} / (x.nrm * y.nrm)) AS mp
+      FROM m x JOIN m y
+        ON x.cluster = y.cluster AND y.vec_id < x.vec_id
+      GROUP BY x.vec_id)
+    SELECT m.vec_id, m.cluster,
+           COALESCE(p.mp, -1.0) AS max_prior,
+           COALESCE(p.mp, -1.0) < {_SEM_TAU} AS keep
+    FROM m LEFT JOIN p ON m.vec_id = p.vec_id
+    """
+
+
+@register("semantic_dedup", oracle=_semantic_dedup_oracle())
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (`operators/similarity.py:
+    semantic_dedup`) over the constructed-duplicate corpus (the
+    ``minhash_recall`` proof shape): corpus ∪ id-offset copy, so every
+    copy has an exact semantic duplicate with a LOWER id — identical
+    vectors land in the same cluster for ANY codebook, the copy's
+    max-prior cosine is exactly 1.0 >= τ and it must be dropped, while
+    every original (no prior above 0.50 on this corpus, measured) must
+    be kept. The DuckDB oracle restates the ENTIRE pipeline — seeded
+    centroids, cosine assignment with (cos DESC, cid ASC) ties,
+    within-cluster lower-id max — so the driver's hash check certifies
+    assignment, grouping, scoring and the keep decision bit-for-bit
+    (scores on both engines accumulate dimension-sequentially; see
+    ``_seq_scores``).
+
+    Scale shape: one broadcast-codebook corpus pass, one shuffle
+    (groupBy cluster), per-cluster scoring capped at
+    |cluster| x {cap} by the rep-cap (idle at shipped SFs — cluster
+    max 584 at sf0.1 vs cap {cap}; engages on the 100x clone replica
+    where clusters grow ~100x, exact for clone families)."""
+    from bcg_contacts_data_pipeline_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    doubled = emb.unionByName(
+        emb.select(
+            (F.col("vec_id") + F.lit(_COPY_OFFSET)).alias("vec_id"),
+            "embedding",
+        )
+    )
+    return semantic_dedup(
+        doubled,
+        "vec_id",
+        "embedding",
+        n_clusters=_SEM_K,
+        threshold=_SEM_TAU,
+        max_cluster=_SEM_CAP,
+    )
+
+
+if q_semantic_dedup.__doc__:
+    q_semantic_dedup.__doc__ = q_semantic_dedup.__doc__.replace(
+        "{cap}", str(_SEM_CAP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF capped twin: the 100 TB production path for the IVF ANN family.
+# ---------------------------------------------------------------------------
+
+#: member-side cap for per-cell scoring. Measured doubled-corpus cell
+#: maxima (16 cells, 1 Lloyd iteration): 74 at sf0.01, 290 at sf0.1 —
+#: the cap never triggers at any shipped SF, so the query is
+#: bit-identical to `embedding_ann_ivf` and SHARES its
+#: constructed-duplicate recall oracle. On the 100x clone replica every
+#: clone family concentrates in one cell (identical vectors, identical
+#: centroid distances) and uncapped in-cell scoring goes locally
+#: quadratic — there the cap routes members to representative scoring
+#: (|queries| x cap, exact for clones). Same constant as
+#: `embedding_ann_lsh_capped`'s max_bucket.
+_IVF_MAX_CELL = 512
+
+
+@register(
+    "embedding_ann_ivf_capped",
+    oracle="""
+    SELECT CAST(2 * COUNT(*) AS BIGINT) AS n_true,
+           CAST(2 * COUNT(*) AS BIGINT) AS n_found,
+           CAST(2 * COUNT(*) AS DOUBLE) / (2 * COUNT(*)) AS recall
+    FROM embeddings
+    """,
+)
+def q_embedding_ann_ivf_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``embedding_ann_ivf`` with the PRODUCTION member-side cap
+    (``max_cell=512``): bit-identical to the uncapped baseline at every
+    shipped SF (cell max 290 at sf0.1 vs cap 512 — the cap is idle, so
+    the constructed-duplicate recall proof and its oracle apply
+    verbatim), engaged only by the clone-cell degeneracy the 100x
+    scale replica manufactures. This query is the tier-2 scale-probe
+    member for the IVF family (VERDICT r11 ask #6); the uncapped
+    baseline stays the completeness certificate at 1x/10x. Same twin
+    recipe as ``embedding_ann_lsh_capped`` / ``minhash_recall_capped``.
+    """
+    from bcg_contacts_data_pipeline_spark.operators.similarity import (
+        embedding_ann_ivf,
+    )
+    from bcg_contacts_data_pipeline_spark.plans.queries import (
+        _recall_frame,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    doubled = emb.unionByName(
+        emb.select(
+            (F.col("vec_id") + F.lit(_COPY_OFFSET)).alias("vec_id"),
+            "embedding",
+        )
+    )
+    out = embedding_ann_ivf(
+        doubled,
+        "vec_id",
+        "embedding",
+        n_centroids=16,
+        n_probe=4,
+        k=5,
+        max_cell=_IVF_MAX_CELL,
+    )
+    pairs = out.select(
+        F.col("query_id").alias("id_a"), F.col("neighbor_id").alias("id_b")
+    )
+    fwd = emb.select(
+        F.col("vec_id").alias("id_a"),
+        (F.col("vec_id") + F.lit(_COPY_OFFSET)).alias("id_b"),
+    )
+    truth = fwd.unionByName(
+        fwd.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    )
+    return _recall_frame(pairs, truth)

@@ -95,3 +95,68 @@ def test_paragraph_dedup_groups_by_sha2_not_md5(spark):
     assert "md5" not in plan
     rows = {r["doc_id"]: r for r in out.collect()}
     assert rows[1]["paras_kept"] == 2 and rows[2]["paras_kept"] == 0
+
+
+def test_semantic_dedup_drops_copies_keeps_originals(spark):
+    """The constructed-duplicate contract: id-offset copies (exact
+    1.0 cosine to a lower-id member) drop; originals (no prior near
+    the threshold) keep."""
+    out = QUERIES["semantic_dedup"](spark, SF_SMALL).collect()
+    OFF = 1 << 40
+    for r in out:
+        if r["vec_id"] >= OFF:
+            assert not r["keep"], r
+            assert abs(r["max_prior"] - 1.0) < 1e-9, r
+        else:
+            assert r["keep"], r
+            assert r["max_prior"] < 0.8, r
+
+
+def test_semantic_dedup_cap_idle_is_bit_identical(spark):
+    """The rep-cap twin contract (ann_lsh_capped recipe): with the cap
+    above the largest cluster, capped output is BIT-identical to
+    uncapped."""
+    from bcg_contacts_data_pipeline_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    a = semantic_dedup(emb, "vec_id", "embedding", n_clusters=4).collect()
+    b = semantic_dedup(
+        emb, "vec_id", "embedding", n_clusters=4, max_cluster=100_000
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_semantic_dedup_cap_engaged_exact_for_clones(spark):
+    """When a cluster overflows the cap, members score against only the
+    cap smallest-id members — still EXACT for clone families (any
+    clone's original sorts into the base and scores 1.0), so every
+    clone past the first is dropped."""
+    import numpy as np
+
+    from bcg_contacts_data_pipeline_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    rng = np.random.default_rng(7)
+    protos = rng.normal(size=(3, 16)).astype("float32")
+    rows = []
+    for i in range(60):
+        v = protos[0] if i < 40 else protos[1 + (i % 2)]
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup(
+            df, "vec_id", "embedding", n_clusters=2, max_cluster=5
+        ).collect()
+    }
+    # clone family of proto 0 = ids 0..39, far over the cap of 5:
+    # id 0 keeps, every other clone sees id 0 in the base and drops
+    assert out[0]["keep"]
+    for i in range(1, 40):
+        assert not out[i]["keep"], (i, out[i])
+        assert abs(out[i]["max_prior"] - 1.0) < 1e-9
