@@ -287,3 +287,175 @@ def q_embedding_ann_ivf_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         fwd.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     )
     return _recall_frame(pairs, truth)
+
+
+# ---------------------------------------------------------------------------
+# Batch URL-frontier history dedup: the batch twin of stream_url_dedup.
+# ---------------------------------------------------------------------------
+
+from bcg_contacts_data_pipeline_spark.plans.queries_r11 import (  # noqa: E402
+    _canonical_url_sql,
+    _messy_url,
+)
+
+
+@register(
+    "url_frontier_delta",
+    # ground truth from the alias-class arithmetic (the
+    # url_canonical_dedup recipe): a resource rid's aliases canonicalize
+    # to its base URL (+ the sorted-query URL for the %5=4 class);
+    # batch = rid % 6 IN (0, 2), history = rid % 3 <> 0, so rid%6==2
+    # discoveries are re-discoveries (already in the frontier) and only
+    # rid%6==0 canonicals are NEW — stated entirely in event_id math.
+    oracle=f"""
+    WITH b AS (
+      SELECT event_id,
+             {_canonical_url_sql("event_id", "Delta", "/page/")} AS cu
+      FROM events WHERE (event_id // 5) % 6 IN (0, 2)),
+    h AS (
+      SELECT DISTINCT
+             {_canonical_url_sql("event_id", "Delta", "/page/")} AS cu
+      FROM events WHERE (event_id // 5) % 3 <> 0)
+    SELECT cu AS canonical_url,
+           MIN(event_id) AS first_event,
+           CAST(COUNT(*) AS BIGINT) AS n_discoveries
+    FROM b WHERE cu NOT IN (SELECT cu FROM h)
+    GROUP BY cu
+    """,
+)
+def q_url_frontier_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch URL-frontier HISTORY dedup — the batch twin of
+    ``stream_url_dedup`` and the missing half of its disclosed
+    semantics: the stream's watermark state is the RECENT frontier
+    (refetch window), while global crawl history lives in a persisted
+    frontier table that today's discoveries are anti-joined against.
+    Fixture: discovered URLs synthesize from event_ids (the
+    ``url_canonical_dedup`` five-alias mess classes); the frontier
+    history is every resource with ``rid % 3 != 0``, today's discovery
+    batch every alias of resources with ``rid % 6 IN (0, 2)`` — so
+    rid%6==2 discoveries are RE-discoveries the history filter must
+    drop, rid%6==0 resources are genuinely new (two canonicals each:
+    the base URL and the sorted-query variant). Output is the frontier
+    DELTA: each new canonical URL with its first discovering event and
+    discovery count — exactly the rows a daily pipeline appends to the
+    frontier table as tomorrow's state.
+
+    Scale shape: the incremental-family contract — in-batch alias
+    collapse is one groupBy on the canonical key (O(batch)), then one
+    LEFT ANTI join against the frontier's canonical index; history is
+    touched only through that persisted index (recomputed here from
+    the fixture arithmetic because the oracle needs an independent
+    statement of it), never rescanned for pair work. Both sides key on
+    the high-cardinality canonical URL; at 100 TB the anti-join is the
+    standard new-key probe every crawl scheduler runs."""
+    from bcg_contacts_data_pipeline_spark.functions.urls import (
+        url_canonicalize,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    rid = F.expr("event_id DIV 5")
+    canon = url_canonicalize(
+        _messy_url("event_id", "Delta", "/page/")
+    ).alias("canonical_url")
+
+    batch = ev.filter((rid % 6).isin(0, 2)).select("event_id", canon)
+    history = ev.filter(rid % 3 != 0).select(canon).distinct()
+
+    return (
+        batch.groupBy("canonical_url")
+        .agg(
+            F.min("event_id").alias("first_event"),
+            F.count(F.lit(1)).alias("n_discoveries"),
+        )
+        .join(history, "canonical_url", "left_anti")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality-classifier calibration: reliability-diagram bins.
+# ---------------------------------------------------------------------------
+
+from bcg_contacts_data_pipeline_spark.plans.queries import (  # noqa: E402
+    _STOPLIST_SQL,
+    _TOKS_SQL,
+)
+
+
+@register(
+    "quality_calibration",
+    # the lang_quality oracle's exact-integer-component score, binned
+    # into reliability-diagram deciles against the table's labeled lang
+    # column; the decimal(27,15) staging makes the per-bin mean of
+    # bit-identical doubles associative (engine-exact), the same recipe
+    # as every money aggregate in this registry.
+    oracle=f"""
+    WITH counts AS (
+      SELECT doc_id, lang,
+             CAST(CASE WHEN length(trim(text)) > 0 THEN len({_TOKS_SQL}) ELSE 0 END AS DOUBLE) AS nt,
+             CAST(length(text) AS DOUBLE) AS nc,
+             CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) AS pc,
+             CAST(CASE WHEN length(trim(text)) > 0
+                  THEN len(list_filter({_TOKS_SQL}, t -> list_contains({_STOPLIST_SQL}, lower(t))))
+                  ELSE 0 END AS DOUBLE) AS st
+      FROM documents),
+    scored AS (
+      SELECT doc_id, lang,
+             CASE WHEN nt > 0 THEN
+               0.4 * least(nt / 100.0, 1.0)
+               + 0.3 * least(st / nt * 3.0, 1.0)
+               + 0.3 * (1.0 - least(pc / nc * 10.0, 1.0))
+             ELSE 0.0 END AS quality
+      FROM counts)
+    SELECT CAST(least(floor(quality * 10), 9) AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(quality AS DECIMAL(27,15))) AS DOUBLE) / COUNT(*)
+             AS avg_quality,
+           CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_en,
+           CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS frac_en
+    FROM scored GROUP BY 1
+    """,
+)
+def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram calibration of the quality classifier
+    (`functions/text.py:quality_score`) against the corpus's labeled
+    ``lang`` column: documents bin by score decile; each bin reports
+    its mean score (the classifier's stated confidence) next to the
+    observed English rate (what a quality-as-English-proxy signal
+    actually delivers). The divergence between ``avg_quality`` and
+    ``frac_en`` per bin is the calibration error a curation pipeline
+    monitors before trusting a score threshold to gate 100 TB of data
+    — the text-analysis family's model-evaluation rung (VERDICT r11
+    ask #8 option b).
+
+    Engine-exactness: the score is already bit-identical across
+    engines (exact integer components, one IEEE expression); the
+    per-bin mean stages the doubles through DECIMAL(27,15) so the sum
+    is associative (shuffle-order-proof), then one IEEE division —
+    the registry's standard recipe. Scale shape: one scan, one
+    groupBy on a 10-value key with map-side partials; AQE coalesces
+    the post-shuffle partitions."""
+    from bcg_contacts_data_pipeline_spark.functions import text as T
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "lang", T.quality_score("text").alias("quality")
+    )
+    en = F.when(F.col("lang") == "en", 1).otherwise(0)
+    return (
+        scored.withColumn(
+            "bin",
+            F.least(F.floor(F.col("quality") * 10), F.lit(9)).cast("long"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (
+                F.sum(F.col("quality").cast("decimal(27,15)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_quality"),
+            F.sum(en).cast("long").alias("n_en"),
+            (F.sum(en).cast("double") / F.count(F.lit(1))).alias("frac_en"),
+        )
+    )

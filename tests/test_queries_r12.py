@@ -160,3 +160,38 @@ def test_semantic_dedup_cap_engaged_exact_for_clones(spark):
     for i in range(1, 40):
         assert not out[i]["keep"], (i, out[i])
         assert abs(out[i]["max_prior"] - 1.0) < 1e-9
+
+
+def test_url_frontier_delta_filters_rediscoveries(spark):
+    """Frontier semantics: only rid%6==0 resources are NEW (rid%6==2
+    discoveries already sit in the rid%3!=0 history); each new resource
+    yields its base canonical (4 alias discoveries) and its
+    sorted-query canonical (1 discovery)."""
+    import re
+
+    out = QUERIES["url_frontier_delta"](spark, SF_SMALL).collect()
+    assert out
+    for r in out:
+        m = re.search(r"/page/(\d+)", r["canonical_url"])
+        rid = int(m.group(1))
+        assert rid % 6 == 0, r
+        if r["canonical_url"].endswith("?a=1&b=2"):
+            assert r["n_discoveries"] == 1, r
+        else:
+            # base canonical: alias classes 0-3 (class 4 keeps its query);
+            # the table edge may truncate the last resource's alias run
+            assert 1 <= r["n_discoveries"] <= 4, r
+            if r["n_discoveries"] == 4:
+                assert r["first_event"] == 5 * rid, r
+
+
+def test_quality_calibration_bins_are_complete_and_bounded(spark):
+    out = QUERIES["quality_calibration"](spark, SF_SMALL).collect()
+    n_docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").count()
+    assert sum(r["n_docs"] for r in out) == n_docs
+    for r in out:
+        assert 0 <= r["bin"] <= 9
+        assert 0.0 <= r["frac_en"] <= 1.0
+        assert 0.0 <= r["avg_quality"] <= 1.0
+        # the bin's mean score sits inside the bin's score range
+        assert r["bin"] / 10 <= r["avg_quality"] <= (r["bin"] + 1) / 10
