@@ -151,15 +151,28 @@ def build_scaled(factor: int, dest: str) -> None:
                 f"DESCRIBE SELECT * FROM '{SRC}/{t}.parquet'"
             ).fetchall()
         ]
-        sel = ", ".join(
-            f"({c} + r.i * {shifts[c]}) AS {c}" if c in shifts else c
-            for c in cols
-        )
-        con.execute(
-            f"COPY (SELECT {sel} FROM '{SRC}/{t}.parquet', "
-            f"range(0, {factor}) r(i)) TO '{dest}/{t}.parquet' "
-            f"(FORMAT PARQUET)"
-        )
+        # One part-file PER REPLICA, in a directory Spark reads as the
+        # table — the layout a real Fx corpus has (F ingest files), not
+        # one hyper-compressed monolith. This matters for honesty, not
+        # convenience: the F-way duplicated payload dictionary-encodes
+        # ~F:1 inside a single file (measured: 500k docs -> 4.4 MB at
+        # 100x), so byte-based split planning hands 32 cores TWO input
+        # partitions and every scan-bound probe row measures parallelism
+        # starvation instead of the operator (token_stats drew 44x at
+        # 100x with 2 tasks; the same data at 33 splits draws ~6x —
+        # PERF.md r12). Per-replica files restore the real corpus's
+        # bytes-per-row and file count in one move.
+        part_dir = f"{dest}/{t}.parquet"
+        os.makedirs(part_dir, exist_ok=True)
+        for i in range(factor):
+            sel = ", ".join(
+                f"({c} + {i} * {shifts[c]}) AS {c}" if c in shifts else c
+                for c in cols
+            )
+            con.execute(
+                f"COPY (SELECT {sel} FROM '{SRC}/{t}.parquet') TO "
+                f"'{part_dir}/part-{i:05d}.parquet' (FORMAT PARQUET)"
+            )
     con.close()
 
 
@@ -193,8 +206,12 @@ def main() -> int:
     for factor, dest in ((args.factor, d1), (args.tier2, d2)):
         # the atomic rename below guarantees a dest dir is complete —
         # but dirs left by the pre-rename code could be partial, so also
-        # demand the LAST-written table before trusting a reuse
-        if os.path.isdir(dest) and os.path.exists(
+        # demand the LAST-written table before trusting a reuse. isdir
+        # (not exists): replicated tables are per-replica part-file
+        # DIRECTORIES since r12 — a single-file embeddings.parquet is a
+        # pre-r12 monolith replica and must be rebuilt, or every
+        # scan-bound row re-measures the starved layout.
+        if os.path.isdir(dest) and os.path.isdir(
             os.path.join(dest, "embeddings.parquet")
         ):
             print(f"# reusing {dest}", file=sys.stderr)
