@@ -40,9 +40,15 @@ def url_host(c: Column | str) -> Column:
 
 
 def url_registered_domain(c: Column | str) -> Column:
-    """Last two dot-labels of the host — the crawl-quota key. A
-    heuristic (true eTLD+1 needs the public-suffix list, a lookup-table
-    join when precision matters); right for .com/.org-style hosts."""
+    """Last two dot-labels of the host — a HEURISTIC crawl-quota key,
+    right only for default-rule (.com/.org-style) hosts: on ccTLD or
+    private-suffix hosts it collapses whole hierarchies
+    (``shop.example.co.uk`` -> ``co.uk``). Quota/rollup callers should
+    use the true eTLD+1 instead:
+    `functions/public_suffix.py:with_registered_domain` (broadcast
+    suffix-match join against the checked-in public-suffix snapshot,
+    r12) — this expression is exactly its documented default-rule
+    fallback, kept for expression-only contexts."""
     h = url_host(c)
     parts = F.split(h, r"\.")
     n = F.size(parts)
