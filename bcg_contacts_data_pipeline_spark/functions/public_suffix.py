@@ -75,11 +75,16 @@ def parse_snapshot(
     return exact, wild, exc
 
 
-#: (session id, snapshot text) -> (table, max_n): the parsed table is
+#: snapshot text -> (owning session, table, max_n): the parsed table is
 #: deterministic and tiny, so re-parsing + re-planning it per operator
-#: call is pure fixed overhead; memoizing per session keeps repeat
-#: callers (every quota query in a bench run) at zero setup cost.
-_TABLE_CACHE: dict[tuple[int, int], tuple[DataFrame, int]] = {}
+#: call is pure fixed overhead; memoizing keeps repeat callers (every
+#: quota query in a bench run) at zero setup cost. The owning session
+#: rides along and is identity-checked on every hit: a DataFrame bound
+#: to a stopped/replaced SparkSession must never be served to a new one
+#: (id()-keyed caches can alias a recycled address; the full snapshot
+#: string as key also rules out hash collisions). A rebuild overwrites
+#: the entry, dropping the stale session reference.
+_TABLE_CACHE: dict[str, tuple[SparkSession, DataFrame, int]] = {}
 
 
 def suffix_table(
@@ -93,10 +98,10 @@ def suffix_table(
     exceptions count the labels their MATCH consumes — base+1 for a
     wildcard — not the stored string's). Memoized per (session,
     snapshot)."""
-    key = (id(spark), hash(snapshot if snapshot is not None else SNAPSHOT))
+    key = snapshot if snapshot is not None else SNAPSHOT
     hit = _TABLE_CACHE.get(key)
-    if hit is not None:
-        return hit
+    if hit is not None and hit[0] is spark:
+        return hit[1], hit[2]
     exact, wild, exc = parse_snapshot(snapshot)
     rows = sorted(
         {
@@ -114,7 +119,7 @@ def suffix_table(
         + [labels(r) for r in exc]
         + [1]
     )
-    _TABLE_CACHE[key] = (df, max_n)
+    _TABLE_CACHE[key] = (spark, df, max_n)
     return df, max_n
 
 

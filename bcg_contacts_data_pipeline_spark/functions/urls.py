@@ -47,8 +47,11 @@ def url_registered_domain(c: Column | str) -> Column:
     use the true eTLD+1 instead:
     `functions/public_suffix.py:with_registered_domain` (broadcast
     suffix-match join against the checked-in public-suffix snapshot,
-    r12) — this expression is exactly its documented default-rule
-    fallback, kept for expression-only contexts."""
+    r12) — on multi-label hosts without a trailing dot this expression
+    matches its default-rule fallback; they diverge on single-label
+    hosts (this returns the host, the PSL path NULL — nothing
+    registrable) and trailing-dot hosts (only the PSL path strips the
+    dot). Kept for expression-only contexts."""
     h = url_host(c)
     parts = F.split(h, r"\.")
     n = F.size(parts)

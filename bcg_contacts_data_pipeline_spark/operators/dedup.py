@@ -133,7 +133,17 @@ def content_hash(text: Column | str, normalize: bool = True) -> Column:
     """The exact-dedup content key: md5 over (optionally
     whitespace-normalized, lowercased) text — ONE definition shared by
     every consumer (exact_dedup, incremental_dedup) so two dedup passes
-    can never disagree about what "identical content" means."""
+    can never disagree about what "identical content" means.
+
+    Collision disclosure (the `paragraph_dedup` ADVICE applies here
+    too): md5 collisions are constructible, so adversarial input can
+    make two distinct documents share a key and silently merge. This
+    key stays md5 deliberately — it is the PERSISTED state key of the
+    incremental pipelines (the day-to-day hash index), so changing it
+    invalidates carried state; a deployment that needs the stronger
+    guarantee should set the key to ``F.sha2(t, 256)`` at index
+    creation (the `paragraph_dedup` choice) and accept 32 more bytes
+    per shuffle row."""
     t = F.col(text) if isinstance(text, str) else text
     if normalize:
         t = F.lower(F.trim(F.regexp_replace(t, r"\s+", " ")))
@@ -272,8 +282,8 @@ def paragraph_dedup(
     decision: md5 collisions are constructible (chosen-prefix attacks),
     so adversarial crawl input could make two DISTINCT paragraphs
     silently merge; no collision is known for SHA-256, which closes
-    that hole for 16 more bytes of shuffle key (ADVICE r11). The
-    winner is
+    that hole for 32 more bytes of shuffle key (the hex forms are 64
+    vs 32 chars; ADVICE r11). The winner is
     ``min(struct(id, para_idx, para))`` — a map-side-combinable
     aggregate, no window over the corpus. Rebuild is one groupBy(id)
     over only the SURVIVING paragraphs; the doc spine comes straight

@@ -106,7 +106,7 @@ def q_etld1_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranked = from_url(
         docs.select("doc_id", "n_chars", url.alias("url")), "url", out="domain"
-    ).withColumn("rk", F.row_number().over(w))
+    ).drop("url").withColumn("rk", F.row_number().over(w))
     return ranked.groupBy("domain").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.when(F.col("rk") <= _ETLD_QUOTA, 1).otherwise(0))
