@@ -154,3 +154,89 @@ def test_plan_is_broadcast_no_shuffle(spark):
     assert "BroadcastHashJoin" in plan
     assert "Exchange hashpartitioning" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def _psl_model(host: str, exact: set, wild: set, exc: set):
+    """Reference implementation of the publicsuffix.org algorithm over
+    the parsed rule sets (pure Python, independent of the join plan):
+    find all matching rules, prevail exception > longest > default '*',
+    registrable = suffix + one label (None if host == suffix)."""
+    host = host.lower().rstrip(".")
+    if not host:
+        return None
+    parts = host.split(".")
+    m = len(parts)
+
+    def last(n):
+        return ".".join(parts[m - n:])
+
+    ps_len = 1  # the default rule '*'
+    best = 0
+    for n in range(1, m + 1):
+        cand = last(n)
+        if cand in exc:
+            # exception: the public suffix is the rule minus its first label
+            ps_len = n - 1
+            best = None
+            break
+        if cand in exact:
+            best = max(best, n)
+        if cand in wild and m >= n + 1:
+            best = max(best, n + 1)
+    if best is not None:
+        ps_len = max(ps_len, best)
+    if m >= ps_len + 1:
+        return ".".join(parts[m - (ps_len + 1):])
+    return None
+
+
+def test_psl_model_agrees_on_shipped_cases():
+    exact, wild, exc = parse_snapshot()
+    for host, want in HOST_CASES:
+        got = _psl_model(host, exact, wild, exc)
+        assert got == want, f"model({host}) = {got!r}, want {want!r}"
+
+
+def test_psl_join_matches_python_model_on_generated_hosts(spark):
+    """Property check: the broadcast-join plan must agree with the
+    reference publicsuffix.org algorithm on a generated grid of hosts
+    — every rule kind x subdomain depth x case x edge shape."""
+    exact, wild, exc = parse_snapshot()
+    suffixes = (
+        sorted(exact)[::7]  # a spread of exact rules
+        + ["ck", "kawasaki.jp"]  # wildcard bases (match base+1)
+        + ["www.ck", "city.kawasaki.jp"]  # exception rules
+        + ["org", "test", "co.uk."]  # default-rule + trailing dot
+    )
+    hosts = []
+    for i, sfx in enumerate(suffixes):
+        hosts.append(sfx)  # the suffix itself
+        hosts.append(f"reg{i}.{sfx}")
+        hosts.append(f"sub.reg{i}.{sfx}")
+        hosts.append(f"a.b.reg{i}.{sfx}".upper())
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(hosts)], "i long, host string"
+    )
+    got = {
+        r["i"]: r["rd"]
+        for r in with_registered_domain(df, "host", out="rd").collect()
+    }
+    for i, h in enumerate(hosts):
+        want = _psl_model(h, exact, wild, exc)
+        assert got[i] == want, f"{h}: join={got[i]!r} model={want!r}"
+
+
+def test_suffix_table_cache_is_session_scoped(spark):
+    """A cached suffix table must never be served across sessions: a
+    different session object (here via newSession) rebuilds and
+    replaces the entry, so stopped-session DataFrames cannot leak."""
+    from bcg_contacts_data_pipeline_spark.functions import public_suffix as PS
+
+    df1, n1 = PS.suffix_table(spark)
+    assert PS.suffix_table(spark)[0] is df1  # same session: cache hit
+    other = spark.newSession()
+    df2, n2 = PS.suffix_table(other)
+    assert df2 is not df1 and n2 == n1
+    assert df2.sparkSession is other
+    # the entry was replaced, so the new session now hits its own copy
+    assert PS.suffix_table(other)[0] is df2
