@@ -1232,6 +1232,7 @@ def semantic_dedup(
     n_clusters: int = 8,
     threshold: float = 0.8,
     max_cluster: int | None = None,
+    exact_fold: bool = True,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): the
     dedup rung ABOVE near-dup — two documents with no shared n-grams
@@ -1272,11 +1273,25 @@ def semantic_dedup(
     heterogeneous tails, bit-identical to uncapped when idle.
     Measured cluster maxima on the shipped corpora (8 seeds, doubled
     corpus — the registered query's shape): 140 at sf0.01, 584 at
-    sf0.1 — a 1024 cap never triggers at any shipped SF. Scores use
-    dimension-sequential accumulation (`_seq_scores`) so they stay
-    bit-identical to the SQL fold.
+    sf0.1 — a 1024 cap never triggers at any shipped SF.
+
+    ``exact_fold``: True (default, the certified path) scores with
+    dimension-sequential accumulation (`_seq_scores`) so values stay
+    bit-identical to the SQL fold the DuckDB oracle computes; False
+    swaps in the BLAS matmul kernel — same algebra, ~3-5x faster at
+    100x where per-cluster scoring is the stage (PERF.md r12), values
+    identical within float ulps (pinned by test). Production runs that
+    do not need oracle bit-parity should pass False.
     """
     spark = df.sparkSession
+
+    def _scores(left: np.ndarray, right: np.ndarray) -> np.ndarray:
+        if exact_fold:
+            return _seq_scores(left, right)
+        num = left @ right.T
+        nl = np.sqrt((left * left).sum(axis=1))
+        nr = np.sqrt((right * right).sum(axis=1))
+        return num / np.outer(nl, nr)
     df = _non_null_vectors(df, vec_col)
     init = (
         df.orderBy(id_col).limit(n_clusters).select(id_col, vec_col).collect()
@@ -1291,7 +1306,7 @@ def semantic_dedup(
             if not len(pdf):
                 continue
             varr = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            sims = _seq_scores(varr, carr)
+            sims = _scores(varr, carr)
             # argmax returns the FIRST max: centroids are in ascending
             # id order, so ties break to the lowest centroid id — the
             # same total order as the oracle's (cos DESC, cid ASC)
@@ -1311,7 +1326,7 @@ def semantic_dedup(
         pdf = pdf.sort_values(id_col).reset_index(drop=True)
         varr = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
         m = len(pdf) if max_cluster is None else min(len(pdf), max_cluster)
-        scores = _seq_scores(varr, varr[:m])
+        scores = _scores(varr, varr[:m])
         # row i may see base columns j < min(i, m): strictly-lower ids
         # only, capped at the base width (the rep-cap)
         visible = np.arange(m)[None, :] < np.minimum(

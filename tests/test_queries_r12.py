@@ -195,3 +195,31 @@ def test_quality_calibration_bins_are_complete_and_bounded(spark):
         assert 0.0 <= r["avg_quality"] <= 1.0
         # the bin's mean score sits inside the bin's score range
         assert r["bin"] / 10 <= r["avg_quality"] <= (r["bin"] + 1) / 10
+
+
+def test_semantic_dedup_blas_kernel_matches_fold(spark):
+    """The production kernel (exact_fold=False, BLAS matmul) must agree
+    with the certified fold kernel within float ulps: identical
+    clusters and keep decisions, max_prior equal to 1e-12."""
+    from bcg_contacts_data_pipeline_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    fold = {
+        r["vec_id"]: r
+        for r in semantic_dedup(emb, "vec_id", "embedding", n_clusters=4).collect()
+    }
+    blas = {
+        r["vec_id"]: r
+        for r in semantic_dedup(
+            emb, "vec_id", "embedding", n_clusters=4, exact_fold=False
+        ).collect()
+    }
+    assert fold.keys() == blas.keys()
+    for k in fold:
+        assert fold[k]["cluster"] == blas[k]["cluster"], k
+        assert fold[k]["keep"] == blas[k]["keep"], k
+        assert abs(fold[k]["max_prior"] - blas[k]["max_prior"]) < 1e-12, k
