@@ -657,10 +657,21 @@ def _seq_scores(left: np.ndarray, right: np.ndarray) -> np.ndarray:
     """Cosine score matrix (len(left) x len(right)) with dimension-sequential
     accumulation. Per pair this is sum_d l[d]*r[d] / (|l|*|r|) with the same
     IEEE op sequence as the SQL fold; multiplication is commutative in IEEE
-    754, so either matrix orientation yields bit-identical per-pair scores."""
+    754, so either matrix orientation yields bit-identical per-pair scores.
+
+    One preallocated product buffer reused across the dim loop (multiply
+    into ``tmp``, add in place) instead of a fresh ``np.outer`` per
+    dimension: identical multiply-then-add op sequence, but dims x
+    len(left) x len(right) x 8 bytes of transient allocations collapse
+    to two stable buffers — on 100x-replica clusters (50k x 1024 x 64
+    dims = 64 fresh 400 MB temporaries per task, 8 tasks concurrent)
+    the allocator churn, not the FLOPs, was the measured wall (a 49 s
+    vs 176 s swing between probe runs; PERF.md r12)."""
     acc = np.zeros((len(left), len(right)))
+    tmp = np.empty_like(acc)
     for d in range(left.shape[1]):
-        acc += np.outer(left[:, d], right[:, d])
+        np.multiply(left[:, d, None], right[None, :, d], out=tmp)
+        acc += tmp
     return acc / np.outer(_seq_norms(left), _seq_norms(right))
 
 
@@ -1325,16 +1336,25 @@ def semantic_dedup(
     def prune(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col).reset_index(drop=True)
         varr = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-        m = len(pdf) if max_cluster is None else min(len(pdf), max_cluster)
-        scores = _scores(varr, varr[:m])
-        # row i may see base columns j < min(i, m): strictly-lower ids
-        # only, capped at the base width (the rep-cap)
-        visible = np.arange(m)[None, :] < np.minimum(
-            np.arange(len(pdf)), m
-        )[:, None]
-        mp = np.where(visible, scores, -np.inf).max(
-            axis=1, initial=-np.inf
-        )
+        n = len(pdf)
+        m = n if max_cluster is None else min(n, max_cluster)
+        # Row-chunked scoring: per-pair values are independent, so
+        # chunking changes nothing bit-wise but bounds the task's
+        # transient score matrix to chunk x cap instead of
+        # |cluster| x cap — on 100x-replica clusters the full matrix
+        # (50k x 1024 doubles) was pure allocator pressure.
+        chunk = 4096
+        mp = np.empty(n)
+        col = np.arange(m)[None, :]
+        for i0 in range(0, n, chunk):
+            i1 = min(i0 + chunk, n)
+            scores = _scores(varr[i0:i1], varr[:m])
+            # row i may see base columns j < min(i, m): strictly-lower
+            # ids only, capped at the base width (the rep-cap)
+            visible = col < np.minimum(np.arange(i0, i1), m)[:, None]
+            mp[i0:i1] = np.where(visible, scores, -np.inf).max(
+                axis=1, initial=-np.inf
+            )
         mp = np.where(np.isfinite(mp), mp, -1.0)
         return pd.DataFrame(
             {

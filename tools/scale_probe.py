@@ -85,6 +85,7 @@ PROBE = [
     ("embedding_ann_lsh_capped", "LSH ANN, rep-capped buckets"),
     ("embedding_ann_ivf_capped", "IVF ANN, rep-capped cells"),
     ("semantic_dedup", "SemDeDup, rep-capped clusters"),
+    ("etld1_quota_sample", "PSL broadcast joins + quota window"),
     ("incremental_curation_e2e", "incremental trio composed"),
     ("crawl_curation_e2e", "crawl ladder composed"),
     ("sessionize", "window sessionization"),
@@ -118,6 +119,7 @@ TIER2 = ["q1_pricing_summary", "q9_product_profit", "exact_dedup",
          "paragraph_boilerplate", "minhash_recall_capped",
          "enrich_2of3", "dedup_components", "embedding_ann_lsh_capped",
          "embedding_ann_ivf_capped", "semantic_dedup",
+         "etld1_quota_sample",
          "incremental_curation_e2e", "crawl_curation_e2e",
          "sessionize", "stream_hourly_counts", "contacts_pipeline_e2e"]
 
