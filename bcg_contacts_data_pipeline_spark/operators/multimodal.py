@@ -26,10 +26,16 @@ Design rules (the parts that matter at 100 TB):
 - AUDIO decode is REAL too: ``parse_audio_meta`` walks a RIFF/WAVE
   container's fmt/data chunks with stdlib ``struct``; the fixture
   (``synthesize_audio_payload``) emits complete spec-valid PCM WAVs.
-- VIDEO frame sampling remains the deterministic fake (real demuxing
-  genuinely needs av/ffmpeg); its arithmetic is SQL-expressible
-  (hex-char ascii math) so the mapInPandas plumbing stays
-  oracle-checkable.
+- VIDEO frame sampling is REAL too (since r7): ``mp4_bytes`` emits a
+  conformant ISO-BMFF container with a genuine sample table, and
+  ``parse_video_frames`` demuxes it with a stdlib box walk
+  (ftyp/moov/trak/mdia/minf/stbl -> stsz/stco byte ranges resolved
+  out of mdat) — no av/ffmpeg needed for sample extraction. Frame
+  payloads are derived from the text column with SQL-expressible
+  arithmetic so the synthesize->mux->demux round trip stays
+  oracle-checkable end to end. Codec-level pixel/waveform DECODE is
+  deliberately out of scope for all three modalities (that belongs
+  to the training loader, not the curation engine).
 """
 
 from __future__ import annotations
