@@ -23,6 +23,7 @@ def test_bench_emits_contract_json():
         SPARK_GRAFT_CPUS="4",
         SPARK_GRAFT_BENCH_RUNS="1",
         SPARK_GRAFT_CALIB_ROWS="50000000",  # keep the yardstick quick on 4 cpus
+        SPARK_GRAFT_CALIB_PAR_ROWS="2000000",  # ditto for the all-core probe
     )
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py"),
@@ -52,6 +53,20 @@ def test_bench_emits_contract_json():
     assert len(draws) == 5 and min(draws) == payload["calibration_s"]
     lo, hi = payload["value_per_calib_band"]
     assert lo <= payload["value_per_calib"] <= hi
+    # SECOND yardstick (r12 post-mortem): the all-core memory-touching
+    # probe that sees the multi-core contention the scalar one is blind
+    # to. Same contract shape: 5 draws, min is the point estimate, the
+    # per-calib band brackets it. Shuffle/agg/state-bound movers
+    # adjudicate against THIS band (two-yardstick policy, PERF.md r13).
+    assert payload["calibration_parallel_s"] > 0
+    pdraws = payload["calibration_parallel_draws"]
+    assert len(pdraws) == 5
+    assert min(pdraws) == payload["calibration_parallel_s"]
+    assert payload["value_per_calib_parallel"] == round(
+        payload["value"] / payload["calibration_parallel_s"], 2
+    )
+    plo, phi = payload["value_per_calib_parallel_band"]
+    assert plo <= payload["value_per_calib_parallel"] <= phi
 
 
 def test_certification_rotation_ignores_failed_rows(tmp_path):
