@@ -36,9 +36,26 @@ Semantics notes (disclosed, matching the PSL spec):
   IPv4 are not labels) — quarantine upstream if the corpus has them;
 - a trailing dot on the host (rare but legal) is stripped before
   matching.
+
+SNAPSHOT SUBSET POLICY (disclosed): the checked-in snapshot in
+`public_suffix_data.py` is a compact curated SUBSET (~400 lines) of
+the full upstream list (~10k rules). Every rule it contains is exact
+upstream text, so hosts under covered TLDs resolve exactly; a host
+under a ccTLD ABSENT from the snapshot silently takes the PSL default
+rule ``*`` — i.e. eTLD+1 = last two labels — which is WRONG for
+multi-level registries not in the subset (e.g. ``.ke``'s ``co.ke``
+is not shipped, so ``shop.example.co.ke`` -> ``co.ke`` instead of
+``example.co.ke``). This is the documented failure mode, pinned by
+``tests/test_public_suffix.py``. Refresh procedure: paste the full
+https://publicsuffix.org/list/ text over ``SNAPSHOT`` (or pass it as
+the ``snapshot=`` argument) — :func:`parse_snapshot` handles the full
+format (comments, wildcards, exceptions, private section) unchanged,
+and the broadcast table stays KB-scale either way.
 """
 
 from __future__ import annotations
+
+from collections import OrderedDict
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -82,9 +99,29 @@ def parse_snapshot(
 #: rides along and is identity-checked on every hit: a DataFrame bound
 #: to a stopped/replaced SparkSession must never be served to a new one
 #: (id()-keyed caches can alias a recycled address; the full snapshot
-#: string as key also rules out hash collisions). A rebuild overwrites
-#: the entry, dropping the stale session reference.
-_TABLE_CACHE: dict[str, tuple[SparkSession, DataFrame, int]] = {}
+#: string as key also rules out hash collisions). BOUNDED (r12 advice):
+#: an LRU capped at ``_TABLE_CACHE_MAX`` so distinct snapshot strings
+#: can't grow it without limit, and every access sweeps out entries
+#: whose owning session has been stopped (a stopped SparkContext's
+#: ``_jsc`` is None) so dead sessions aren't pinned until a same-key
+#: rebuild happens to evict them.
+_TABLE_CACHE: OrderedDict[str, tuple[SparkSession, DataFrame, int]] = (
+    OrderedDict()
+)
+_TABLE_CACHE_MAX = 8
+
+
+def _sweep_table_cache() -> None:
+    dead = []
+    for key, (sess, _df, _n) in _TABLE_CACHE.items():
+        try:
+            stopped = sess.sparkContext._jsc is None
+        except Exception:
+            stopped = True
+        if stopped:
+            dead.append(key)
+    for key in dead:
+        del _TABLE_CACHE[key]
 
 
 def suffix_table(
@@ -99,8 +136,10 @@ def suffix_table(
     wildcard — not the stored string's). Memoized per (session,
     snapshot)."""
     key = snapshot if snapshot is not None else SNAPSHOT
+    _sweep_table_cache()
     hit = _TABLE_CACHE.get(key)
     if hit is not None and hit[0] is spark:
+        _TABLE_CACHE.move_to_end(key)
         return hit[1], hit[2]
     exact, wild, exc = parse_snapshot(snapshot)
     rows = sorted(
@@ -120,6 +159,9 @@ def suffix_table(
         + [1]
     )
     _TABLE_CACHE[key] = (spark, df, max_n)
+    _TABLE_CACHE.move_to_end(key)
+    while len(_TABLE_CACHE) > _TABLE_CACHE_MAX:
+        _TABLE_CACHE.popitem(last=False)
     return df, max_n
 
 
@@ -140,7 +182,21 @@ def with_registered_domain(
     the broadcast suffix table with a LEFT join, then resolves the
     prevailing rule as a Column expression. No shuffle, no UDF; the
     helper columns are dropped before return.
+
+    Name hygiene (r12 advice): ``__psl_``-prefixed input columns are
+    rejected up front (they would silently collide with the internal
+    helper columns and surface only as an ambiguous-reference error at
+    resolution time), and a pre-existing column named ``out`` is
+    REPLACED (dropped before the result is appended) rather than
+    duplicated.
     """
+    if any(c.startswith("__psl_") for c in df.columns):
+        bad = [c for c in df.columns if c.startswith("__psl_")]
+        raise ValueError(
+            f"with_registered_domain: input columns {bad} collide with "
+            "the reserved __psl_ helper-column namespace — rename them "
+            "before calling"
+        )
     spark = df.sparkSession
     sfx, max_n = suffix_table(spark, snapshot)
 
@@ -213,7 +269,7 @@ def with_registered_domain(
             ".", F.slice(F.col("__psl_parts"), -(ps_len + 1), ps_len + 1)
         ),
     )
-    keep = [c for c in df.columns]
+    keep = [c for c in df.columns if c != out]
     return work.select(*keep, reg.alias(out))
 
 

@@ -240,3 +240,95 @@ def test_suffix_table_cache_is_session_scoped(spark):
     assert df2.sparkSession is other
     # the entry was replaced, so the new session now hits its own copy
     assert PS.suffix_table(other)[0] is df2
+
+
+def test_absent_cctld_falls_back_to_default_rule(spark):
+    """SNAPSHOT SUBSET DISCLOSURE (module docstring): the shipped
+    snapshot is a curated subset; a host under a ccTLD it does NOT
+    contain silently takes the PSL default rule `*` — eTLD+1 = last two
+    labels — which is WRONG for multi-level registries like .ke's
+    co.ke. This pins the documented failure mode AND the refresh path:
+    pasting the missing rules (snapshot= argument) fixes the answer
+    without any code change."""
+    from bcg_contacts_data_pipeline_spark.functions.public_suffix import (
+        with_registered_domain,
+    )
+    from bcg_contacts_data_pipeline_spark.functions.public_suffix_data import (
+        SNAPSHOT,
+    )
+
+    assert "co.ke" not in SNAPSHOT.split()  # premise: genuinely absent
+    df = spark.createDataFrame(
+        [("shop.example.co.ke",)], "host string"
+    )
+    got = with_registered_domain(df, "host", out="rd").collect()[0]["rd"]
+    assert got == "co.ke"  # the documented WRONG fallback answer
+    # refresh procedure: the full-list rules arrive via snapshot= and
+    # the same host now resolves correctly
+    fixed = with_registered_domain(
+        df, "host", out="rd", snapshot=SNAPSHOT + "\nke\nco.ke\n"
+    ).collect()[0]["rd"]
+    assert fixed == "example.co.ke"
+
+
+def test_reserved_helper_columns_rejected(spark):
+    """r12-advice guard: __psl_-prefixed input columns would collide
+    with the internal helper names and only surface as an ambiguous
+    reference at resolution time — reject them eagerly instead."""
+    import pytest
+
+    from bcg_contacts_data_pipeline_spark.functions.public_suffix import (
+        with_registered_domain,
+    )
+
+    df = spark.createDataFrame(
+        [("a.com", 1)], "host string, __psl_m int"
+    )
+    with pytest.raises(ValueError, match="__psl_"):
+        with_registered_domain(df, "host")
+
+
+def test_existing_out_column_is_replaced(spark):
+    """r12-advice guard: a pre-existing column named `out` is replaced,
+    not duplicated (select('*', alias) would have produced two columns
+    with the same name)."""
+    from bcg_contacts_data_pipeline_spark.functions.public_suffix import (
+        with_registered_domain,
+    )
+
+    df = spark.createDataFrame(
+        [("www.example.com", "stale")], "host string, rd string"
+    )
+    res = with_registered_domain(df, "host", out="rd")
+    assert res.columns == ["host", "rd"]
+    assert res.collect()[0]["rd"] == "example.com"
+
+
+def test_table_cache_bounded_and_sweeps_stopped_sessions(spark):
+    """r12-advice guard: the suffix-table cache is a capped LRU (distinct
+    snapshot strings can't grow it without bound) and every access
+    sweeps entries owned by stopped sessions (no dead-session pinning)."""
+    from bcg_contacts_data_pipeline_spark.functions import public_suffix as PS
+
+    PS._TABLE_CACHE.clear()
+    for i in range(PS._TABLE_CACHE_MAX + 4):
+        PS.suffix_table(spark, f"x{i}.example\n")
+    assert len(PS._TABLE_CACHE) == PS._TABLE_CACHE_MAX
+    # LRU: the oldest snapshots were evicted, the newest survive
+    assert f"x{PS._TABLE_CACHE_MAX + 3}.example\n" in PS._TABLE_CACHE
+    assert "x0.example\n" not in PS._TABLE_CACHE
+
+    # stopped-session sweep: fake a stopped owner without stopping the
+    # shared fixture session — an object whose sparkContext._jsc is None
+    class _DeadCtx:
+        _jsc = None
+
+    class _DeadSession:
+        sparkContext = _DeadCtx()
+
+    key = "dead.example\n"
+    df, n = PS.suffix_table(spark, key)
+    PS._TABLE_CACHE[key] = (_DeadSession(), df, n)
+    PS.suffix_table(spark, "sweep-trigger.example\n")
+    assert key not in PS._TABLE_CACHE
+    PS._TABLE_CACHE.clear()
