@@ -633,14 +633,27 @@ def simhash_pairs(
 
 
 def _non_null_vectors(df: DataFrame, vec_col: str) -> DataFrame:
-    """Exclude rows whose vector is NULL before any numpy kernel sees the
-    batch: ``np.stack`` over a column with None cells raises (ragged
+    """Exclude rows whose vector is NULL — or all-zeros — before any
+    numpy kernel sees the batch.
+
+    NULL: ``np.stack`` over a column with None cells raises (ragged
     shapes), and a row with no embedding cannot participate in similarity
     anyway — the same eligibility rule the text operators apply to docs
     with no tokens. Dirty corpora at scale DO carry null vectors (a failed
-    embed job writes the row with the column missing); dropping them here
-    is the semantics every caller wants and keeps every kernel total."""
-    return df.filter(F.col(vec_col).isNotNull())
+    embed job writes the row with the column missing).
+
+    Zero-norm (r12 advice): cosine against a zero vector is 0/0 = NaN;
+    NaN rows poison ``np.argmax``/comparison-based keep decisions with
+    an order the SQL fold does not share, so the batch answer would
+    silently diverge from the oracle the moment a corpus carried one.
+    A zero embedding carries no direction — it cannot be "similar" to
+    anything — so the defined semantics is INELIGIBLE, same as NULL
+    (an embed job that emits all-zeros failed, just less honestly).
+    The filter is a pure Catalyst ``exists`` probe, no UDF."""
+    c = F.col(vec_col)
+    return df.filter(
+        c.isNotNull() & F.exists(c, lambda x: x != F.lit(0.0))
+    )
 
 
 def _seq_norms(arr: np.ndarray) -> np.ndarray:

@@ -588,3 +588,35 @@ def test_embedding_ann_ivf_cell_cap(spark):
         (r["query_id"], r["neighbor_id"], r["rank"]) for r in df.collect()
     }
     assert key(loose) == key(base)
+
+
+def test_zero_norm_vectors_are_ineligible(spark):
+    """r12 advice: a zero-norm vector yields 0/0 = NaN cosine, and NaN
+    poisons argmax/keep decisions with an order the SQL fold does not
+    share. Defined semantics: zero vectors are INELIGIBLE, same as NULL
+    — filtered by _non_null_vectors before any numpy kernel. Pins both
+    the semantic_dedup keep decision (no NaN divergence) and the topk
+    candidate set (zero vector neither queries nor matches)."""
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.0, 0.0, 0.0]),  # zero-norm: must be excluded, not NaN
+        (4, None),  # null: excluded as before
+        (5, [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    sd = S.semantic_dedup(
+        df, "vec_id", "embedding", n_clusters=1, threshold=0.8
+    ).collect()
+    got_ids = {r["vec_id"] for r in sd}
+    assert got_ids == {1, 2, 5}  # 3 (zero) and 4 (null) dropped
+    for r in sd:
+        assert r["max_prior"] == r["max_prior"]  # no NaN leaked through
+    keeps = {r["vec_id"]: r["keep"] for r in sd}
+    assert keeps[1] and not keeps[2] and keeps[5]
+
+    tk = S.embedding_topk(df, "vec_id", "embedding", k=4).collect()
+    ids_seen = {r["query_id"] for r in tk} | {r["neighbor_id"] for r in tk}
+    assert 3 not in ids_seen and 4 not in ids_seen
+    assert all(r["score"] == r["score"] for r in tk)
