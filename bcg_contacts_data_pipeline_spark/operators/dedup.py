@@ -375,3 +375,110 @@ def paragraph_dedup(
             F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
         )
     )
+
+
+def substring_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_len: int = 15,
+    max_df: int = 64,
+) -> DataFrame:
+    """Exact substring (span) dedup — the suffix-array rung of the dedup
+    ladder (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better"): find maximal duplicated token spans of at least
+    ``min_len`` tokens shared across documents, so a curation pass can
+    trim repeated boilerplate/licence/quote blocks that document- and
+    paragraph-level dedup both miss (the span can sit ANYWHERE inside
+    two otherwise-different documents).
+
+    A literal suffix array is a sequential build over the concatenated
+    corpus — the one shape that does not distribute. The Spark-shaped
+    equivalent is k-gram fingerprint postings + per-diagonal run merge,
+    exact for every span >= k tokens:
+
+    1. postings: one row per (doc, position) holding the md5 of the
+       k-token window starting there (tokens = whitespace split) — the
+       gram ARRAY is built with ``transform`` + ``posexplode`` so the
+       token array is never duplicated per posting row;
+    2. df-cap: grams present in fewer than 2 or more than ``max_df``
+       DISTINCT documents are dropped — singletons can't pair, and
+       corpus-wide stop-grams (chrome, licence headers past the cap)
+       would otherwise fan the pair join out quadratically: the same
+       frequency-cap contract as every pair generator in
+       ``operators/similarity.py``;
+    3. pair join on the gram key: (doc_a < doc_b) position pairs;
+       co-partitioned on the key, so the cap join and the self join
+       ride one shuffle partitioning;
+    4. maximal-run merge: two matched positions extend the same span
+       iff both advance by one token, i.e. they sit on the same
+       DIAGONAL (ia - ib) at consecutive ia — group by (pair, diag),
+       split runs where ia gaps (``ia - row_number()`` island trick),
+       and a run of length r is a shared span of r + k - 1 tokens.
+
+    Output: ``(doc_a, doc_b, a_start, b_start, len_tokens)`` — one row
+    per maximal duplicated span >= ``min_len`` tokens (1-based token
+    offsets). Overlapping spans on DIFFERENT diagonals (periodic text)
+    are reported separately; each is maximal on its own diagonal, which
+    is the well-defined distributed statement of "maximal match".
+
+    Scale design: postings are O(total corpus tokens) rows of
+    (16-byte hash, int, long) — the text itself never shuffles.
+    ``max_df`` bounds the per-gram pair fan-out at max_df^2 position
+    combinations; the run-merge window keys on (doc_a, doc_b, diag)
+    whose group size is bounded by the shorter document's length, so
+    no degenerate window partition exists. Every stage is a Catalyst
+    expression — no UDF, no driver collect.
+    """
+    if k < 2:
+        raise ValueError("substring_spans: k must be >= 2")
+    toks = F.split(F.trim(F.col(text_col)), " ")
+    base = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("__doc"), toks.alias("__t"))
+        .filter(F.size("__t") >= k)
+    )
+    gram_arr = F.transform(
+        F.sequence(F.lit(1), F.size("__t") - (k - 1)),
+        lambda i: F.md5(F.concat_ws(" ", F.slice("__t", i, k))),
+    )
+    grams = base.select(
+        "__doc", F.posexplode(gram_arr).alias("__p", "__g")
+    ).select("__doc", (F.col("__p") + 1).alias("__i"), "__g")
+
+    keep = (
+        grams.groupBy("__g")
+        .agg(F.count_distinct("__doc").alias("__d"))
+        .filter((F.col("__d") >= 2) & (F.col("__d") <= max_df))
+        .select("__g")
+    )
+    a = grams.alias("a").join(keep, "__g")
+    b = grams.select(
+        F.col("__g").alias("__g"),
+        F.col("__doc").alias("__doc_b"),
+        F.col("__i").alias("__ib"),
+    )
+    pairs = a.join(b, "__g").filter(F.col("__doc") < F.col("__doc_b"))
+
+    run_w = Window.partitionBy(
+        "__doc", "__doc_b", F.col("__i") - F.col("__ib")
+    ).orderBy("__i")
+    runs = pairs.select(
+        F.col("__doc").alias("doc_a"),
+        F.col("__doc_b").alias("doc_b"),
+        F.col("__i").alias("ia"),
+        F.col("__ib").alias("ib"),
+        (F.col("__i") - F.col("__ib")).alias("__diag"),
+        (F.col("__i") - F.row_number().over(run_w)).alias("__run"),
+    )
+    return (
+        runs.groupBy("doc_a", "doc_b", "__diag", "__run")
+        .agg(
+            F.min("ia").alias("a_start"),
+            F.min("ib").alias("b_start"),
+            (F.max("ia") - F.min("ia") + k).alias("len_tokens"),
+        )
+        .filter(F.col("len_tokens") >= min_len)
+        .select("doc_a", "doc_b", "a_start", "b_start", "len_tokens")
+    )

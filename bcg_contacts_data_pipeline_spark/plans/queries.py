@@ -2485,3 +2485,4 @@ from bcg_contacts_data_pipeline_spark.plans import queries_r9  # noqa: E402,F401
 from bcg_contacts_data_pipeline_spark.plans import queries_r10  # noqa: E402,F401
 from bcg_contacts_data_pipeline_spark.plans import queries_r11  # noqa: E402,F401
 from bcg_contacts_data_pipeline_spark.plans import queries_r12  # noqa: E402,F401
+from bcg_contacts_data_pipeline_spark.plans import queries_r13  # noqa: E402,F401

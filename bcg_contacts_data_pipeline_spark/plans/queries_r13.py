@@ -1,0 +1,88 @@
+"""Round-13 surface: exact substring (span) dedup — the suffix-array
+rung of the dedup ladder (VERDICT r12 ask #8).
+
+The ladder so far covers URL, document (exact hash), paragraph,
+MinHash/SimHash near-dup, and semantic (SemDeDup) dedup; the remaining
+literature rung is Lee et al. 2022's exact substring dedup — duplicated
+token spans >= N tokens shared across otherwise-different documents
+(licence blocks, quoted passages, templated boilerplate). The operator
+(`operators/dedup.py:substring_spans`) re-expresses the suffix-array
+construction as k-gram fingerprint postings + per-diagonal maximal-run
+merge, exact for every span >= k tokens and df-capped like every pair
+generator in this engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bcg_contacts_data_pipeline_spark.operators.dedup import substring_spans
+from bcg_contacts_data_pipeline_spark.plans.queries import _t, register
+
+_SS_K = 8
+_SS_MIN_LEN = 15
+_SS_MAX_DF = 64
+
+
+@register(
+    "substring_dedup",
+    # The oracle restates the whole pipeline in DuckDB: same single-space
+    # tokenization, same md5 gram fingerprints, same 2..max_df df-cap,
+    # same diagonal/island run merge — so the hash check certifies every
+    # stage (postings, cap, pair join, window arithmetic) end to end.
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, str_split(trim(text), ' ') AS t
+      FROM documents WHERE text IS NOT NULL
+    ), grams AS (
+      SELECT doc_id, i,
+             md5(array_to_string(t[i:i+{_SS_K}-1], ' ')) AS g
+      FROM toks, unnest(range(1, len(t)-{_SS_K}+2)) AS r(i)
+      WHERE len(t) >= {_SS_K}
+    ), keep AS (
+      SELECT g FROM grams GROUP BY g
+      HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND {_SS_MAX_DF}
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.i AS ia, b.i AS ib
+      FROM grams a JOIN keep USING (g) JOIN grams b USING (g)
+      WHERE a.doc_id < b.doc_id
+    ), runs AS (
+      SELECT doc_a, doc_b, ia, ib, ia - ib AS diag,
+             ia - row_number() OVER (PARTITION BY doc_a, doc_b, ia - ib
+                                     ORDER BY ia) AS run
+      FROM pairs
+    ), spans AS (
+      SELECT doc_a, doc_b, MIN(ia) AS a_start, MIN(ib) AS b_start,
+             MAX(ia) - MIN(ia) + {_SS_K} AS len_tokens
+      FROM runs GROUP BY doc_a, doc_b, diag, run
+    )
+    SELECT doc_a, doc_b,
+           CAST(a_start AS BIGINT) AS a_start,
+           CAST(b_start AS BIGINT) AS b_start,
+           CAST(len_tokens AS BIGINT) AS len_tokens
+    FROM spans WHERE len_tokens >= {_SS_MIN_LEN}
+    ORDER BY doc_a, doc_b, a_start, b_start
+    """,
+)
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated token spans >= {min_len} tokens across the
+    documents corpus (k-gram postings + diagonal run merge — see
+    `operators/dedup.py:substring_spans` for the full scale design).
+    Reference scope note: the reference pipeline is contacts-TSV only;
+    this is beyond-reference training-data surface (Lee et al. 2022)."""
+    spans = substring_spans(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        k=_SS_K,
+        min_len=_SS_MIN_LEN,
+        max_df=_SS_MAX_DF,
+    )
+    return spans.select(
+        "doc_a",
+        "doc_b",
+        F.col("a_start").cast("long").alias("a_start"),
+        F.col("b_start").cast("long").alias("b_start"),
+        F.col("len_tokens").cast("long").alias("len_tokens"),
+    ).orderBy("doc_a", "doc_b", "a_start", "b_start")

@@ -164,3 +164,91 @@ def test_global_running_sum_and_pack_shards(spark):
     for i, s in rows:
         run += s
         assert inc[i] == run
+
+
+def _ss_corpus(spark):
+    """Constructed corpus for substring_spans: doc 1 and doc 2 share an
+    exact 20-token block at different offsets inside otherwise-different
+    text; doc 3 shares nothing >= 8 tokens; doc 4 repeats a gram
+    INTERNALLY (no cross-doc pair)."""
+    shared = " ".join(f"s{i}" for i in range(20))
+    d1 = "a1 a2 a3 a4 a5 " + shared + " z1 z2"
+    d2 = shared + " b1 b2 b3"
+    d3 = " ".join(f"c{i}" for i in range(30))
+    d4 = " ".join(["r1 r2 r3 r4 r5 r6 r7 r8"] * 3)
+    return spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3), (4, d4)], "doc_id long, text string"
+    )
+
+
+def test_substring_spans_finds_maximal_shared_span(spark):
+    out = D.substring_spans(
+        _ss_corpus(spark), "doc_id", "text", k=8, min_len=15
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    # doc1 tokens: 5 prefix + 20 shared -> span starts at token 6;
+    # doc2 starts with the shared block -> b_start 1; MAXIMAL: exactly
+    # the 20 shared tokens, not clipped to k or a sub-run
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    assert (r["a_start"], r["b_start"], r["len_tokens"]) == (6, 1, 20)
+
+
+def test_substring_spans_no_within_doc_pairs(spark):
+    """Doc 4's internally-repeated grams have document frequency 1 —
+    singleton grams can't pair, so internal repetition alone never
+    emits a span (cross-doc semantics, doc_a < doc_b)."""
+    out = D.substring_spans(
+        _ss_corpus(spark), "doc_id", "text", k=8, min_len=8
+    ).collect()
+    assert all({r["doc_a"], r["doc_b"]} == {1, 2} for r in out)
+
+
+def test_substring_spans_df_cap_drops_stop_grams(spark):
+    """A block shared by MORE than max_df documents is a stop-gram
+    (boilerplate): capped out of the postings, so no span is reported
+    for it, while a 2-doc span survives."""
+    boiler = " ".join(f"w{i}" for i in range(16))
+    rare = " ".join(f"q{i}" for i in range(16))
+    rows = [(i, boiler + f" tail{i}") for i in range(1, 5)]
+    rows += [(10, "x0 x1 " + rare), (11, rare + " y0 y1")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = D.substring_spans(df, "doc_id", "text", k=8, min_len=15, max_df=3).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in out} == {(10, 11)}
+    # raising the cap brings the boilerplate pairs back
+    out2 = D.substring_spans(df, "doc_id", "text", k=8, min_len=15, max_df=8).collect()
+    assert {(10, 11)} < {(r["doc_a"], r["doc_b"]) for r in out2}
+    assert len(out2) == 1 + 6  # C(4,2) boiler pairs + the rare pair
+
+
+def test_substring_spans_separate_runs_split_on_gaps(spark):
+    """Two disjoint shared blocks between the same pair -> two spans
+    (the island trick splits runs at the ia gap)."""
+    blk1 = " ".join(f"m{i}" for i in range(15))
+    blk2 = " ".join(f"n{i}" for i in range(15))
+    df = spark.createDataFrame(
+        [
+            (1, blk1 + " gap1 gap2 gap3 " + blk2),
+            (2, blk2 + " other1 other2 " + blk1),
+        ],
+        "doc_id long, text string",
+    )
+    out = sorted(
+        D.substring_spans(df, "doc_id", "text", k=8, min_len=15).collect(),
+        key=lambda r: r["a_start"],
+    )
+    assert [(r["a_start"], r["b_start"], r["len_tokens"]) for r in out] == [
+        (1, 18, 15),   # blk1: doc1 head, doc2 tail
+        (19, 1, 15),   # blk2: doc1 tail, doc2 head
+    ]
+
+
+def test_substring_spans_plan_is_pure_catalyst(spark):
+    """No Python UDF / mapInPandas anywhere in the plan — postings,
+    cap, pair join, and run merge are all Catalyst expressions."""
+    plan = D.substring_spans(
+        _ss_corpus(spark), "doc_id", "text"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "FlatMapsInPandas" not in plan and "MapInPandas" not in plan
