@@ -136,6 +136,93 @@ TIER2 = ["q1_pricing_summary", "q9_product_profit", "exact_dedup",
 OUTPUT_QUADRATIC = {"ngram_jaccard", "minhash_recall"}
 
 
+# ---------------------------------------------------------------------------
+# Production-dial rows (VERDICT r12 ask #2): NON-CERTIFIED probe rows
+# that measure the documented scaling dials the certified queries cannot
+# use (their DuckDB oracles restate the codebook literally, so they pin
+# tiny 8/16-entry codebooks and at 100x only 8/16 tasks run on 32
+# cores). The dial rows run the SAME operators with the codebook scaled
+# per the documented rule — SemDeDup `n_clusters ~ N / target_cluster`
+# (target = the 1x cluster size, so n_clusters = 8·F) with the BLAS
+# kernel (`exact_fold=False`, the production path for runs not needing
+# oracle bit-parity); IVF `n_centroids ~ sqrt(N)` (n_centroids =
+# 16·sqrt(F)) — converting the "the dial restores parallelism" claim
+# from argued (docstrings) to measured (a SCALE.md row under the same
+# linear bound as everything else).
+# ---------------------------------------------------------------------------
+
+_DIAL_COPY_OFFSET = 1 << 40
+
+
+def _doubled_embeddings(spark, sf_dir: str):
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    return emb.unionByName(
+        emb.select(
+            (F.col("vec_id") + F.lit(_DIAL_COPY_OFFSET)).alias("vec_id"),
+            "embedding",
+        )
+    )
+
+
+def _dial_semantic(factor: int):
+    def fn(spark, sf_dir: str):
+        from bcg_contacts_data_pipeline_spark.operators.similarity import (
+            semantic_dedup,
+        )
+
+        return semantic_dedup(
+            _doubled_embeddings(spark, sf_dir),
+            "vec_id",
+            "embedding",
+            n_clusters=8 * factor,  # N/target_cluster, target = 1x size
+            threshold=0.8,
+            max_cluster=1024,
+            exact_fold=False,  # production BLAS kernel
+        )
+
+    return fn
+
+
+def _dial_ivf(factor: int):
+    def fn(spark, sf_dir: str):
+        from bcg_contacts_data_pipeline_spark.operators.similarity import (
+            embedding_ann_ivf,
+        )
+
+        return embedding_ann_ivf(
+            _doubled_embeddings(spark, sf_dir),
+            "vec_id",
+            "embedding",
+            n_centroids=max(16, int(16 * factor**0.5)),  # ~sqrt(N)
+            n_probe=4,
+            k=5,
+            max_cell=512,
+        )
+
+    return fn
+
+
+#: (row name, claim, factory(factor) -> query callable). Factories take
+#: the replica factor so the dial tracks the data volume the way a real
+#: deployment would set it.
+DIAL = [
+    (
+        "semantic_dedup_dial",
+        "SemDeDup, production dial: n_clusters=8·F, BLAS kernel",
+        _dial_semantic,
+    ),
+    (
+        "embedding_ann_ivf_dial",
+        "IVF ANN, production dial: n_centroids=16·sqrt(F)",
+        _dial_ivf,
+    ),
+]
+
+
 def build_scaled(factor: int, dest: str) -> None:
     import duckdb
 
@@ -178,13 +265,15 @@ def build_scaled(factor: int, dest: str) -> None:
     con.close()
 
 
-def time_query(spark, name: str, sf_dir: str, runs: int = 2) -> float:
+def time_query(spark, name, sf_dir: str, runs: int = 2) -> float:
+    """Time a registered query (by name) or any (spark, sf_dir) callable."""
     from bcg_contacts_data_pipeline_spark.plans.queries import QUERIES
 
+    fn = QUERIES[name] if isinstance(name, str) else name
     best = None
     for _ in range(runs):
         t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).write.format("noop").mode(
+        fn(spark, sf_dir).write.format("noop").mode(
             "overwrite"
         ).save()
         dt = time.perf_counter() - t0
@@ -254,6 +343,24 @@ def main() -> int:
             t2 = time_query(spark, name, d2)
             entry[f"t_{args.tier2}x"] = round(t2, 2)
             entry["ratio2"] = round(t2 / t1, 1)
+        rows.append(entry)
+        print(f"# {json.dumps(entry)}", file=sys.stderr)
+
+    # production-dial rows (non-certified; codebook scales with factor)
+    for name, claim, factory in DIAL:
+        t1 = time_query(spark, factory(1), SRC)
+        tf = time_query(spark, factory(args.factor), d1)
+        t2 = time_query(spark, factory(args.tier2), d2)
+        entry = {
+            "query": name,
+            "claim": claim,
+            "t_1x": round(t1, 2),
+            f"t_{args.factor}x": round(tf, 2),
+            "ratio": round(tf / t1, 1),
+            f"t_{args.tier2}x": round(t2, 2),
+            "ratio2": round(t2 / t1, 1),
+            "dial": True,
+        }
         rows.append(entry)
         print(f"# {json.dumps(entry)}", file=sys.stderr)
 
@@ -345,6 +452,16 @@ def write_scale_md(rows: list[dict], factor: int, tier2: int) -> None:
         "per-bucket work at |bucket|*cap, exact for clones. Both uncapped",
         "baselines remain in the 1x/" + "10x tier as completeness",
         "certificates.",
+        "",
+        "Rows named `*_dial` are the NON-CERTIFIED production-dial",
+        "measurements (VERDICT r12 ask #2): the same semantic-dedup / IVF",
+        "operators with the codebook scaled per the documented rule",
+        "(SemDeDup `n_clusters ~ N/target` with the BLAS kernel; IVF",
+        "`n_centroids ~ sqrt(N)`) instead of the oracle-pinned 8/16-entry",
+        "codebooks the certified rows must keep. The certified rows'",
+        "steep-but-linear 100x ratios are 8/16-task parallelism artifacts;",
+        "the dial rows measure what a deployment that sets the dial",
+        "actually gets.",
         "",
         "An uncapped complete-candidate baseline can breach even the 10x",
         "wall bound WITHOUT being a plan defect, because its required",
