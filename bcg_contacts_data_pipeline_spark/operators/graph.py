@@ -146,6 +146,13 @@ def connected_components(
         # Checkpointing truncates the growing lineage (iterative plans
         # re-expand otherwise and planning cost compounds per round) and
         # lets the changed-count action reuse the materialized result.
+        # Eager on purpose (re-verified r13): a lazy localCheckpoint
+        # materialized by the count LOOKS like one job saved per round,
+        # but measured 5.3 s -> 8.0 s on dedup_components — the eager
+        # path checkpoints the AQE-finalized (coalesced) result, while
+        # the lazy path caches the pre-adaptive 32-partition RDD carved
+        # out at checkpoint-call time and every later round pays the
+        # un-coalesced partitioning.
         new_labels = _truncate(new_labels)
         changed = new_labels.filter(F.col("comp") != F.col("old")).count()
         # The new round is fully materialized (eager checkpoint + the

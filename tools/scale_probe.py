@@ -77,6 +77,7 @@ PROBE = [
     ("ngram_jaccard", "capped posting-list pair gen"),
     ("paragraph_dedup", "sha2-grouped paragraph dedup"),
     ("paragraph_boilerplate", "paragraph dedup, max_df twin"),
+    ("substring_dedup", "k-gram postings + diagonal run merge"),
     ("minhash_recall", "MinHash LSH, complete candidates"),
     ("minhash_recall_capped", "MinHash LSH, hot-bucket cap"),
     ("enrich_2of3", "k-of-n key-match enrich join"),
@@ -116,7 +117,8 @@ PROBE = [
 TIER2 = ["q1_pricing_summary", "q9_product_profit", "exact_dedup",
          "dedup_merge", "orders_global_rank", "pack_shards",
          "hll_sketch_rollup", "token_stats", "paragraph_dedup",
-         "paragraph_boilerplate", "minhash_recall_capped",
+         "paragraph_boilerplate", "substring_dedup",
+         "minhash_recall_capped",
          "enrich_2of3", "dedup_components", "embedding_ann_lsh_capped",
          "embedding_ann_ivf_capped", "semantic_dedup",
          "etld1_quota_sample",
