@@ -80,17 +80,18 @@ def _certification_rounds(root: str | None = None) -> dict[str, int]:
 #: Names here sort as if never certified. Curate per round; stale names
 #: are harmless (they just re-verify).
 _FORCE_HEAD: set[str] = {
-    # r12: domain_quota_sample switched from the 2-label heuristic to
-    # the PSL eTLD+1 broadcast join (same answer on its .org fixture,
-    # but the implementation changed — re-verify).
-    "domain_quota_sample",
-    # r12: paragraph grouping key md5 -> sha2-256 (ADVICE r11); the
-    # oracle partitions by raw text so it is unchanged, but the
-    # operator's equality decision changed — re-verify it and both
-    # composed consumers.
-    "paragraph_dedup",
-    "paragraph_boilerplate",
-    "crawl_curation_e2e",
+    # r13: _non_null_vectors now excludes zero-norm vectors alongside
+    # NULLs (ADVICE r12) — no fixture carries one, so answers are
+    # unchanged, but the eligibility filter in front of every numpy
+    # kernel changed: re-verify the advice-named query plus one
+    # representative per kernel family (topk, neardup).
+    "semantic_dedup",
+    "embedding_topk",
+    "embedding_neardup",
+    # r13: ngram_jaccard_pairs materializes the hot set once when
+    # max_df is set (plan change, value-identical) — re-verify the
+    # capped consumer the drift work touched.
+    "dedup_components",
 }
 
 
