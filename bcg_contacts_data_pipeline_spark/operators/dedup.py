@@ -482,3 +482,85 @@ def substring_spans(
         .filter(F.col("len_tokens") >= min_len)
         .select("doc_a", "doc_b", "a_start", "b_start", "len_tokens")
     )
+
+
+def substring_trim(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_len: int = 15,
+    max_df: int = 64,
+) -> DataFrame:
+    """The TRIM half of exact substring dedup (Lee et al. 2022 drop all
+    but one occurrence of every duplicated span): rebuild each document
+    with the tokens of its cross-document duplicated spans REMOVED,
+    keeping the span's first occurrence corpus-wide (lowest doc id — a
+    span row from :func:`substring_spans` always trims the HIGHER-id
+    ``doc_b`` side, so the ``doc_a`` occurrence survives; deterministic
+    under any partitioning, the same keep-first convention as
+    ``paragraph_dedup``).
+
+    Output: ``(id, n_tokens, dup_tokens, text_trimmed)`` for EVERY
+    input document — ``dup_tokens`` counts the distinct token positions
+    covered by at least one qualifying span; documents with no spans
+    (or fewer than k tokens, or NULL text) pass through untrimmed with
+    ``dup_tokens = 0``.
+
+    Scale design: one extra positions explode (O(corpus tokens) narrow
+    rows), span coverage expanded with ``sequence`` per span row (output
+    bounded by total duplicated tokens), a LEFT ANTI join on (doc, pos),
+    and one groupBy(doc) rebuild over struct(pos, token) — the same
+    rebuild shuffle shape as ``paragraph_dedup``; the df-cap inherited
+    from the span finder bounds everything upstream. All Catalyst.
+    """
+    spans = substring_spans(
+        df, id_col, text_col, k=k, min_len=min_len, max_df=max_df
+    )
+    covered = (
+        spans.select(
+            F.col("doc_b").alias("__doc"),
+            F.explode(
+                F.sequence(
+                    F.col("b_start"),
+                    F.col("b_start") + F.col("len_tokens") - 1,
+                )
+            ).alias("__p"),
+        )
+        .distinct()
+    )
+    toks = F.split(F.trim(F.col(text_col)), " ")
+    base = df.select(
+        F.col(id_col).alias("__doc"),
+        F.when(F.col(text_col).isNotNull(), toks).alias("__t"),
+    )
+    pos = base.select(
+        "__doc", F.posexplode("__t").alias("__p0", "__tok")
+    ).select("__doc", (F.col("__p0") + 1).alias("__p"), "__tok")
+    kept = pos.join(covered, ["__doc", "__p"], "left_anti")
+    rebuilt = kept.groupBy("__doc").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("__p", "__tok"))
+                ),
+                lambda s: s["__tok"],
+            ),
+            " ",
+        ).alias("text_trimmed"),
+        F.count(F.lit(1)).alias("__kept"),
+    )
+    spine = base.select(
+        "__doc", F.coalesce(F.size("__t"), F.lit(0)).alias("n_tokens")
+    )
+    return (
+        spine.join(rebuilt, "__doc", "left")
+        .select(
+            F.col("__doc").alias(id_col),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            (
+                F.col("n_tokens") - F.coalesce(F.col("__kept"), F.lit(0))
+            ).cast("long").alias("dup_tokens"),
+            F.coalesce("text_trimmed", F.lit("")).alias("text_trimmed"),
+        )
+    )

@@ -17,7 +17,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bcg_contacts_data_pipeline_spark.operators.dedup import substring_spans
+from bcg_contacts_data_pipeline_spark.operators.dedup import (
+    substring_spans,
+    substring_trim,
+)
 from bcg_contacts_data_pipeline_spark.plans.queries import _t, register
 
 _SS_K = 8
@@ -86,3 +89,71 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b_start").cast("long").alias("b_start"),
         F.col("len_tokens").cast("long").alias("len_tokens"),
     ).orderBy("doc_a", "doc_b", "a_start", "b_start")
+
+
+@register(
+    "substring_dedup_trim",
+    # Same full-pipeline restatement as substring_dedup, extended by the
+    # coverage expansion, the anti-join, and the ordered rebuild — so
+    # the hash check certifies the trim semantics (keep the lowest-id
+    # occurrence, drop covered tokens everywhere else) end to end.
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, str_split(trim(text), ' ') AS t
+      FROM documents WHERE text IS NOT NULL
+    ), grams AS (
+      SELECT doc_id, i,
+             md5(array_to_string(t[i:i+{_SS_K}-1], ' ')) AS g
+      FROM toks, unnest(range(1, len(t)-{_SS_K}+2)) AS r(i)
+      WHERE len(t) >= {_SS_K}
+    ), keep AS (
+      SELECT g FROM grams GROUP BY g
+      HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND {_SS_MAX_DF}
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.i AS ia, b.i AS ib
+      FROM grams a JOIN keep USING (g) JOIN grams b USING (g)
+      WHERE a.doc_id < b.doc_id
+    ), runs AS (
+      SELECT doc_a, doc_b, ia, ib, ia - ib AS diag,
+             ia - row_number() OVER (PARTITION BY doc_a, doc_b, ia - ib
+                                     ORDER BY ia) AS run
+      FROM pairs
+    ), spans AS (
+      SELECT doc_a, doc_b, MIN(ia) AS a_start, MIN(ib) AS b_start,
+             MAX(ia) - MIN(ia) + {_SS_K} AS len_tokens
+      FROM runs GROUP BY doc_a, doc_b, diag, run
+      HAVING MAX(ia) - MIN(ia) + {_SS_K} >= {_SS_MIN_LEN}
+    ), covered AS (
+      SELECT DISTINCT doc_b AS doc_id, b_start + u.i AS p
+      FROM spans, unnest(range(0, len_tokens)) AS u(i)
+    ), pos AS (
+      SELECT doc_id, i AS p, t[i] AS tok
+      FROM toks, unnest(range(1, len(t)+1)) AS r(i)
+    ), kept AS (
+      SELECT pos.doc_id, pos.p, pos.tok
+      FROM pos ANTI JOIN covered USING (doc_id, p)
+    )
+    SELECT toks.doc_id,
+           CAST(len(toks.t) AS BIGINT) AS n_tokens,
+           CAST(len(toks.t) - COUNT(kept.p) AS BIGINT) AS dup_tokens,
+           COALESCE(string_agg(kept.tok, ' ' ORDER BY kept.p), '')
+             AS text_trimmed
+    FROM toks LEFT JOIN kept ON kept.doc_id = toks.doc_id
+    GROUP BY toks.doc_id, len(toks.t)
+    ORDER BY toks.doc_id
+    """,
+)
+def q_substring_dedup_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRIM half of Lee et al. 2022 (`operators/dedup.py:
+    substring_trim`): every document rebuilt with its cross-document
+    duplicated spans removed, first (lowest-id) occurrence kept.
+    Completes the find->trim pair begun by ``substring_dedup``."""
+    out = substring_trim(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        k=_SS_K,
+        min_len=_SS_MIN_LEN,
+        max_df=_SS_MAX_DF,
+    )
+    return out.orderBy("doc_id")

@@ -252,3 +252,57 @@ def test_substring_spans_plan_is_pure_catalyst(spark):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "FlatMapsInPandas" not in plan and "MapInPandas" not in plan
+
+
+def test_substring_trim_removes_later_occurrence_only(spark):
+    """Keep-first semantics: the shared block survives in doc 1 (lowest
+    id) and is trimmed out of doc 2; untouched docs pass through with
+    dup_tokens=0 and their exact text."""
+    out = {
+        r["doc_id"]: r
+        for r in D.substring_trim(
+            _ss_corpus(spark), "doc_id", "text", k=8, min_len=15
+        ).collect()
+    }
+    shared = " ".join(f"s{i}" for i in range(20))
+    d1 = out[1]
+    assert d1["dup_tokens"] == 0 and shared in d1["text_trimmed"]
+    d2 = out[2]
+    assert d2["n_tokens"] == 23 and d2["dup_tokens"] == 20
+    assert d2["text_trimmed"] == "b1 b2 b3"
+    for did in (3, 4):
+        assert out[did]["dup_tokens"] == 0
+    # untouched docs keep their exact text
+    assert out[3]["text_trimmed"] == " ".join(f"c{i}" for i in range(30))
+    assert out[4]["text_trimmed"] == " ".join(["r1 r2 r3 r4 r5 r6 r7 r8"] * 3)
+
+
+def test_substring_trim_fully_duplicated_doc_goes_empty(spark):
+    """A document that is one big duplicated span of an earlier doc
+    trims to the empty string (downstream length filters drop it — the
+    same contract as paragraph_dedup)."""
+    blk = " ".join(f"v{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(1, blk + " extra1 extra2"), (2, blk)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in D.substring_trim(df, "doc_id", "text", k=8, min_len=15).collect()}
+    assert out[2]["text_trimmed"] == "" and out[2]["dup_tokens"] == 20
+    assert out[1]["dup_tokens"] == 0
+
+
+def test_substring_trim_overlapping_spans_count_positions_once(spark):
+    """dup_tokens counts COVERED POSITIONS (distinct), not span-length
+    sums: doc 30 shares one 25-token block with doc 10 and an
+    overlapping window of it with doc 20 — coverage must not
+    double-count the overlap."""
+    blk = " ".join(f"w{i}" for i in range(25))
+    sub = " ".join(f"w{i}" for i in range(5, 25))  # suffix window of blk
+    df = spark.createDataFrame(
+        [(10, blk), (20, sub + " x1 x2"), (30, "y1 y2 " + blk)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in D.substring_trim(df, "doc_id", "text", k=8, min_len=15).collect()}
+    assert out[30]["dup_tokens"] == 25  # 25 covered positions, once
+    assert out[30]["text_trimmed"] == "y1 y2"
+    assert out[10]["dup_tokens"] == 0  # lowest id keeps everything

@@ -84,7 +84,10 @@ BUDGET = {
     # r10: +8 from the SHUFFLE_HASH pins on corpus-derived join sides
     # (each de-broadcast join shuffles both sides — the static
     # broadcasts OOM'd the 100x probe; see PERF.md r10)
-    "neardup_degree_hist": 25,
+    # r13: -8 — ngram_jaccard_pairs materializes the max_df hot set
+    # once (localCheckpoint), so the four capped-postings consumers no
+    # longer each replay the document-frequency shuffle (PERF.md r13)
+    "neardup_degree_hist": 17,
     # round-7 continuation: the last three TPC-H shapes — every dim
     # broadcasts, the single exchange is the final groupBy's
     "q7_volume_shipping": 1,
@@ -143,7 +146,9 @@ BUDGET = {
     # shared agg, shingle explode recomputed per consumer - the
     # documented no-persist trade) + split joins + final cell agg.
     # r10: +4 from the no-static-broadcast SHUFFLE_HASH pins (PERF.md)
-    "split_leakage_audit": 12,
+    # r13: -4 — the checkpointed max_df hot set removes the replayed
+    # document-frequency shuffle from each consumer (PERF.md r13)
+    "split_leakage_audit": 8,
     # leaf groupBy + the tiny region window exchange; parent total
     # derives from the 25-row child aggregate, never a second scan
     "revenue_share_rollup": 2,
