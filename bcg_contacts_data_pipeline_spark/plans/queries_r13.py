@@ -157,3 +157,79 @@ def q_substring_dedup_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_df=_SS_MAX_DF,
     )
     return out.orderBy("doc_id")
+
+
+_GR_TOP_N, _GR_DUP_N = 2, 6
+_GR_TOP_MAX, _GR_DUP_MAX = 0.20, 0.14
+
+
+@register(
+    "gopher_repetition",
+    # Full-pipeline restatement: same tokenization, same md5 grams, the
+    # max-count top-gram mass, and the DISTINCT-position duplicated-gram
+    # coverage — certifying the overlap-safe coverage arithmetic and
+    # both keep thresholds end to end.
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, str_split(trim(text), ' ') AS t,
+             len(str_split(trim(text), ' ')) AS n
+      FROM documents WHERE text IS NOT NULL
+    ), g2 AS (
+      SELECT doc_id, n, i,
+             md5(array_to_string(t[i:i+{_GR_TOP_N}-1], ' ')) AS g
+      FROM toks, unnest(range(1, len(t)-{_GR_TOP_N}+2)) AS r(i)
+      WHERE n >= {_GR_TOP_N}
+    ), top AS (
+      SELECT doc_id, MAX(c) * {_GR_TOP_N} AS top_toks
+      FROM (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY doc_id, g)
+      GROUP BY doc_id
+    ), g6 AS (
+      SELECT doc_id, i,
+             md5(array_to_string(t[i:i+{_GR_DUP_N}-1], ' ')) AS g
+      FROM toks, unnest(range(1, len(t)-{_GR_DUP_N}+2)) AS r(i)
+      WHERE n >= {_GR_DUP_N}
+    ), dup AS (
+      SELECT doc_id, g FROM g6 GROUP BY doc_id, g HAVING COUNT(*) >= 2
+    ), cov AS (
+      SELECT doc_id, COUNT(*) AS covered FROM (
+        SELECT DISTINCT g6.doc_id, g6.i + u.o AS p
+        FROM g6 JOIN dup USING (doc_id, g),
+             unnest(range(0, {_GR_DUP_N})) AS u(o)
+      ) GROUP BY doc_id
+    )
+    SELECT toks.doc_id,
+           CAST(toks.n AS BIGINT) AS n_tokens,
+           CASE WHEN toks.n > 0
+                THEN COALESCE(top.top_toks, 0) * 1.0 / toks.n
+                ELSE 0.0 END AS top_frac,
+           CASE WHEN toks.n > 0
+                THEN COALESCE(cov.covered, 0) * 1.0 / toks.n
+                ELSE 0.0 END AS dup_frac,
+           (COALESCE(top.top_toks, 0) * 1.0 / toks.n <= {_GR_TOP_MAX}
+            AND COALESCE(cov.covered, 0) * 1.0 / toks.n <= {_GR_DUP_MAX})
+             AS keep
+    FROM toks
+    LEFT JOIN top USING (doc_id)
+    LEFT JOIN cov USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition quality filters (`operators/profile.py:
+    gopher_repetition`): top-2-gram token mass + duplicated-6-gram
+    position coverage per document, with the paper's keep thresholds.
+    The within-document rung of the quality family — catches repetition
+    no cross-document dedup can see."""
+    from bcg_contacts_data_pipeline_spark.operators.profile import (
+        gopher_repetition,
+    )
+
+    return gopher_repetition(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        top_n=_GR_TOP_N,
+        dup_n=_GR_DUP_N,
+        top_frac_max=_GR_TOP_MAX,
+        dup_frac_max=_GR_DUP_MAX,
+    ).orderBy("doc_id")
