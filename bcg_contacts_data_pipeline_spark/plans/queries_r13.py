@@ -136,18 +136,22 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT toks.doc_id,
            CAST(len(toks.t) AS BIGINT) AS n_tokens,
            CAST(len(toks.t) - COUNT(kept.p) AS BIGINT) AS dup_tokens,
-           COALESCE(string_agg(kept.tok, ' ' ORDER BY kept.p), '')
-             AS text_trimmed
+           md5(COALESCE(string_agg(kept.tok, ' ' ORDER BY kept.p), ''))
+             AS trim_md5
     FROM toks LEFT JOIN kept ON kept.doc_id = toks.doc_id
     GROUP BY toks.doc_id, len(toks.t)
-    ORDER BY toks.doc_id
     """,
 )
 def q_substring_dedup_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The TRIM half of Lee et al. 2022 (`operators/dedup.py:
     substring_trim`): every document rebuilt with its cross-document
     duplicated spans removed, first (lowest-id) occurrence kept.
-    Completes the find->trim pair begun by ``substring_dedup``."""
+    Completes the find->trim pair begun by ``substring_dedup``.
+    House conventions for corpus-sized outputs (the paragraph_dedup
+    precedent): NO global orderBy (a full range shuffle of the rebuilt
+    corpus buys nothing — the compare is order-insensitive), and the
+    rebuilt text ships as its md5 so the compare payload stays
+    fixed-width."""
     out = substring_trim(
         _t(spark, sf_dir, "documents"),
         "doc_id",
@@ -156,7 +160,12 @@ def q_substring_dedup_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_len=_SS_MIN_LEN,
         max_df=_SS_MAX_DF,
     )
-    return out.orderBy("doc_id")
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "dup_tokens",
+        F.md5("text_trimmed").alias("trim_md5"),
+    )
 
 
 _GR_TOP_N, _GR_DUP_N = 2, 6
@@ -211,7 +220,6 @@ _GR_TOP_MAX, _GR_DUP_MAX = 0.20, 0.14
     FROM toks
     LEFT JOIN top USING (doc_id)
     LEFT JOIN cov USING (doc_id)
-    ORDER BY doc_id
     """,
 )
 def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -232,4 +240,4 @@ def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup_n=_GR_DUP_N,
         top_frac_max=_GR_TOP_MAX,
         dup_frac_max=_GR_DUP_MAX,
-    ).orderBy("doc_id")
+    )  # no global orderBy: corpus-sized output, order-insensitive compare
