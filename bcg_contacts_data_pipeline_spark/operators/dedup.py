@@ -384,6 +384,7 @@ def substring_spans(
     k: int = 8,
     min_len: int = 15,
     max_df: int = 64,
+    occ_cap: int | None = None,
 ) -> DataFrame:
     """Exact substring (span) dedup — the suffix-array rung of the dedup
     ladder (Lee et al. 2022, "Deduplicating Training Data Makes Language
@@ -425,11 +426,26 @@ def substring_spans(
 
     Scale design: postings are O(total corpus tokens) rows of
     (16-byte hash, int, long) — the text itself never shuffles.
-    ``max_df`` bounds the per-gram pair fan-out at max_df^2 position
-    combinations; the run-merge window keys on (doc_a, doc_b, diag)
-    whose group size is bounded by the shorter document's length, so
-    no degenerate window partition exists. Every stage is a Catalyst
-    expression — no UDF, no driver collect.
+    ``max_df`` counts DISTINCT documents per gram, so the honest
+    per-gram pair-join bound is (sum of per-doc occurrence counts on
+    each side), i.e. max_df^2 only when every doc carries the gram
+    once: a degenerate document repeating one gram m times contributes
+    m postings and fans out m_a * m_b position pairs per doc pair
+    despite the cap. ``occ_cap`` closes that hole for production runs:
+    keep only the FIRST ``occ_cap`` positions of each gram within each
+    document (row_number over position, a (doc, gram)-keyed window
+    whose groups the cap itself then bounds), giving a hard
+    (max_df * occ_cap)^2 per-gram fan-out. The trade, disclosed: a
+    span whose grams recur within one document beyond the cap can be
+    reported truncated or split — exact for every corpus where no
+    (doc, gram) multiplicity exceeds the cap, which is every
+    non-pathological one (within-doc repetition past the cap is
+    exactly what ``profile.gopher_repetition`` flags). ``occ_cap=None``
+    (default) keeps the exact Lee et al. semantics. The run-merge
+    window keys on (doc_a, doc_b, diag) whose group size is bounded by
+    the shorter document's length, so no degenerate window partition
+    exists. Every stage is a Catalyst expression — no UDF, no driver
+    collect.
     """
     if k < 2:
         raise ValueError("substring_spans: k must be >= 2")
@@ -446,10 +462,31 @@ def substring_spans(
     grams = base.select(
         "__doc", F.posexplode(gram_arr).alias("__p", "__g")
     ).select("__doc", (F.col("__p") + 1).alias("__i"), "__g")
+    if occ_cap is not None:
+        if occ_cap < 1:
+            raise ValueError("substring_spans: occ_cap must be >= 1")
+        # production dial (see docstring): first occ_cap positions per
+        # (doc, gram), keep-lowest-position so the result is
+        # deterministic under any partitioning
+        occ_w = Window.partitionBy("__doc", "__g").orderBy("__i")
+        grams = (
+            grams.withColumn("__o", F.row_number().over(occ_w))
+            .filter(F.col("__o") <= occ_cap)
+            .drop("__o")
+        )
 
+    # df-cap staged as (gram, doc)-distinct then a plain count per gram —
+    # the paragraph_dedup two-stage house rule: both shuffles stay
+    # map-side combinable, so a corpus-wide stop-gram is partially
+    # deduped on every mapper before any reducer sees it. (Catalyst's
+    # distinct-aggregate rewrite compiles count_distinct to this exact
+    # physical shape too — verified plan-identical — but the explicit
+    # form is the one the house convention asks readers to see.)
     keep = (
-        grams.groupBy("__g")
-        .agg(F.count_distinct("__doc").alias("__d"))
+        grams.select("__g", "__doc")
+        .distinct()
+        .groupBy("__g")
+        .agg(F.count(F.lit(1)).alias("__d"))
         .filter((F.col("__d") >= 2) & (F.col("__d") <= max_df))
         .select("__g")
     )
@@ -491,6 +528,7 @@ def substring_trim(
     k: int = 8,
     min_len: int = 15,
     max_df: int = 64,
+    occ_cap: int | None = None,
 ) -> DataFrame:
     """The TRIM half of exact substring dedup (Lee et al. 2022 drop all
     but one occurrence of every duplicated span): rebuild each document
@@ -501,11 +539,17 @@ def substring_trim(
     under any partitioning, the same keep-first convention as
     ``paragraph_dedup``).
 
-    Output: ``(id, n_tokens, dup_tokens, text_trimmed)`` for EVERY
-    input document — ``dup_tokens`` counts the distinct token positions
-    covered by at least one qualifying span; documents with no spans
-    (or fewer than k tokens, or NULL text) pass through untrimmed with
-    ``dup_tokens = 0``.
+    Output: ``(id, n_tokens, dup_tokens, text_trimmed)`` for every
+    input document WITH NON-NULL TEXT — ``dup_tokens`` counts the
+    distinct token positions covered by at least one qualifying span;
+    documents with no spans (or fewer than k tokens) pass through
+    untrimmed with ``dup_tokens = 0``. NULL-text rows are excluded
+    from the output entirely (r13 advice: the whole substring family
+    scopes itself to text-bearing documents — the span finder already
+    does, and emitting NULL rows here with dup_tokens=0 made the
+    operator's spine silently wider than its certified oracle's).
+    ``occ_cap`` is forwarded to :func:`substring_spans` (production
+    fan-out dial, disclosed there).
 
     Scale design: one extra positions explode (O(corpus tokens) narrow
     rows), span coverage expanded with ``sequence`` per span row (output
@@ -515,7 +559,8 @@ def substring_trim(
     from the span finder bounds everything upstream. All Catalyst.
     """
     spans = substring_spans(
-        df, id_col, text_col, k=k, min_len=min_len, max_df=max_df
+        df, id_col, text_col, k=k, min_len=min_len, max_df=max_df,
+        occ_cap=occ_cap,
     )
     covered = (
         spans.select(
@@ -530,9 +575,10 @@ def substring_trim(
         .distinct()
     )
     toks = F.split(F.trim(F.col(text_col)), " ")
-    base = df.select(
-        F.col(id_col).alias("__doc"),
-        F.when(F.col(text_col).isNotNull(), toks).alias("__t"),
+    # NULL-text rows are out of scope (matches the oracle's
+    # `WHERE text IS NOT NULL` spine — see docstring)
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("__doc"), toks.alias("__t")
     )
     pos = base.select(
         "__doc", F.posexplode("__t").alias("__p0", "__tok")
@@ -550,9 +596,7 @@ def substring_trim(
         ).alias("text_trimmed"),
         F.count(F.lit(1)).alias("__kept"),
     )
-    spine = base.select(
-        "__doc", F.coalesce(F.size("__t"), F.lit(0)).alias("n_tokens")
-    )
+    spine = base.select("__doc", F.size("__t").alias("n_tokens"))
     return (
         spine.join(rebuilt, "__doc", "left")
         .select(

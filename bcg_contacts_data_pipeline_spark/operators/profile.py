@@ -93,7 +93,10 @@ def gopher_repetition(
       ``dedup.substring_trim``); paper threshold 0.14 for 6-grams.
 
     Output: ``(id, n_tokens, top_frac, dup_frac, keep)`` for every
-    input document; docs too short to form a gram score 0.0 and keep.
+    input document WITH NON-NULL TEXT; docs too short to form a gram
+    score 0.0 and keep. NULL-text rows are excluded entirely (r13
+    advice: the quality family scopes itself to text-bearing documents,
+    matching the certified oracle's `WHERE text IS NOT NULL` spine).
 
     Scale design: the only shuffles are per-doc-keyed aggregations and
     one join of gram occurrences against the per-doc duplicated-gram
@@ -103,11 +106,10 @@ def gopher_repetition(
     gram) groups.
     """
     toks = F.split(F.trim(F.col(text_col)), " ")
-    base = df.select(
-        F.col(id_col).alias("__doc"),
-        F.when(F.col(text_col).isNotNull(), toks).alias("__t"),
-    ).select(
-        "__doc", "__t", F.coalesce(F.size("__t"), F.lit(0)).alias("__n")
+    base = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("__doc"), toks.alias("__t"))
+        .select("__doc", "__t", F.size("__t").alias("__n"))
     )
 
     def grams(n: int) -> DataFrame:

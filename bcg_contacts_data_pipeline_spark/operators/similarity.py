@@ -661,10 +661,21 @@ def _non_null_vectors(df: DataFrame, vec_col: str) -> DataFrame:
     A zero embedding carries no direction — it cannot be "similar" to
     anything — so the defined semantics is INELIGIBLE, same as NULL
     (an embed job that emits all-zeros failed, just less honestly).
-    The filter is a pure Catalyst ``exists`` probe, no UDF."""
+
+    NaN (r13 advice): ``x != 0.0`` is TRUE for NaN in Spark SQL, so a
+    vector like [NaN, 0, ...] passed the zero-norm probe yet still
+    poisons the numpy kernels with NaN cosines — the exact argmax/keep
+    hazard the zero-norm rule exists to prevent. A NaN-carrying vector
+    is a failed embed job the same way an all-zeros one is, so the
+    eligibility predicate also requires every element finite-by-isnan
+    (``forall(c, !isnan(x))``; Infinity stays eligible — it yields
+    defined, if extreme, cosines on both engines).
+    The filter is a pure Catalyst exists/forall probe, no UDF."""
     c = F.col(vec_col)
     return df.filter(
-        c.isNotNull() & F.exists(c, lambda x: x != F.lit(0.0))
+        c.isNotNull()
+        & F.exists(c, lambda x: x != F.lit(0.0))
+        & F.forall(c, lambda x: ~F.isnan(x))
     )
 
 

@@ -65,7 +65,6 @@ _SS_MAX_DF = 64
            CAST(b_start AS BIGINT) AS b_start,
            CAST(len_tokens AS BIGINT) AS len_tokens
     FROM spans WHERE len_tokens >= {_SS_MIN_LEN}
-    ORDER BY doc_a, doc_b, a_start, b_start
     """,
 )
 def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -82,13 +81,19 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_len=_SS_MIN_LEN,
         max_df=_SS_MAX_DF,
     )
+    # House convention for growth-bound outputs (r13 post-close hygiene
+    # rule, extended to the find-half per VERDICT r13 ask #1): NO global
+    # orderBy — the span output is exactly what grows fastest with
+    # duplication (the query's own 100x SCALE row is output-bound), so a
+    # range shuffle of it is pure waste and the compare is
+    # order-insensitive anyway.
     return spans.select(
         "doc_a",
         "doc_b",
         F.col("a_start").cast("long").alias("a_start"),
         F.col("b_start").cast("long").alias("b_start"),
         F.col("len_tokens").cast("long").alias("len_tokens"),
-    ).orderBy("doc_a", "doc_b", "a_start", "b_start")
+    )
 
 
 @register(

@@ -239,3 +239,19 @@ def test_gopher_repetition_overlap_counts_positions_once(spark):
     )
     r = gopher_repetition(df, "doc_id", "text").collect()[0]
     assert r["dup_frac"] == 1.0 and r["n_tokens"] == 8
+
+
+def test_gopher_repetition_excludes_null_text(spark):
+    """r13 advice: NULL-text rows are excluded from the output entirely
+    (the certified oracle's spine is `WHERE text IS NOT NULL`), instead
+    of an uncertified dup_frac=0/keep=true pass-through."""
+    from bcg_contacts_data_pipeline_spark.operators.profile import (
+        gopher_repetition,
+    )
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(30))), (2, None)],
+        "doc_id long, text string",
+    )
+    out = gopher_repetition(df, "doc_id", "text").collect()
+    assert {r["doc_id"] for r in out} == {1}

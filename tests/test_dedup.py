@@ -306,3 +306,69 @@ def test_substring_trim_overlapping_spans_count_positions_once(spark):
     assert out[30]["dup_tokens"] == 25  # 25 covered positions, once
     assert out[30]["text_trimmed"] == "y1 y2"
     assert out[10]["dup_tokens"] == 0  # lowest id keeps everything
+
+
+def test_substring_family_excludes_null_text(spark):
+    """r13 advice: the substring family scopes itself to text-bearing
+    documents — trim emits NO row for a NULL-text doc (its certified
+    oracle's spine is `WHERE text IS NOT NULL`), rather than a
+    dup_tokens=0 pass-through the oracle never sees."""
+    blk = " ".join(f"s{i}" for i in range(16))
+    rows = [(1, "h1 h2 " + blk), (2, blk + " t1 t2"), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    trim = D.substring_trim(df, "doc_id", "text", k=8, min_len=15)
+    assert {r["doc_id"] for r in trim.collect()} == {1, 2}
+    spans = D.substring_spans(df, "doc_id", "text", k=8, min_len=15)
+    assert {(r["doc_a"], r["doc_b"]) for r in spans.collect()} == {(1, 2)}
+
+
+def test_substring_spans_occ_cap_exact_when_no_repeats(spark):
+    """occ_cap is a pure fan-out dial: on a corpus where no (doc, gram)
+    multiplicity exceeds the cap, the capped output is IDENTICAL to the
+    exact one (the production-twin contract)."""
+    blk1 = " ".join(f"m{i}" for i in range(15))
+    blk2 = " ".join(f"n{i}" for i in range(15))
+    df = spark.createDataFrame(
+        [
+            (1, blk1 + " gap1 gap2 gap3 " + blk2),
+            (2, blk2 + " other1 other2 " + blk1),
+        ],
+        "doc_id long, text string",
+    )
+    key = lambda rows: {  # noqa: E731
+        (r["doc_a"], r["doc_b"], r["a_start"], r["b_start"], r["len_tokens"])
+        for r in rows
+    }
+    exact = key(D.substring_spans(df, "doc_id", "text", k=8, min_len=15).collect())
+    capped = key(
+        D.substring_spans(
+            df, "doc_id", "text", k=8, min_len=15, occ_cap=1
+        ).collect()
+    )
+    assert exact == capped and len(exact) == 2
+
+
+def test_substring_spans_occ_cap_bounds_degenerate_doc(spark):
+    """The disclosed trade: a degenerate document repeating one gram m
+    times fans the pair join out m_a * m_b per doc pair despite the
+    DISTINCT-doc df-cap (r13 advice); occ_cap=1 keeps one posting per
+    (doc, gram) so the quadratic blowup — and its spans — are gone."""
+    degen = " ".join(["a"] * 30)
+    df = spark.createDataFrame(
+        [(1, degen), (2, degen)], "doc_id long, text string"
+    )
+    exact = D.substring_spans(df, "doc_id", "text", k=3, min_len=15).collect()
+    # every diagonal |d| <= 15 carries a full run: 31 spans of len 30-|d|
+    assert len(exact) == 31
+    capped = D.substring_spans(
+        df, "doc_id", "text", k=3, min_len=15, occ_cap=1
+    ).collect()
+    assert capped == []  # single posting per side -> 3-token run < min_len
+
+
+def test_substring_spans_occ_cap_validates(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        D.substring_spans(df, "doc_id", "text", occ_cap=0).collect()

@@ -31,14 +31,26 @@ corpus = st.lists(doc, min_size=2, max_size=6)
 K, MIN_LEN, MAX_DF = 3, 4, 3
 
 
-def _model_spans(texts: list[str], k: int, min_len: int, max_df: int):
+def _model_spans(
+    texts: list[str],
+    k: int,
+    min_len: int,
+    max_df: int,
+    occ_cap: int | None = None,
+):
     """Brute-force restatement of the declared semantics: postings on
-    the df-capped gram universe -> per (pair, diagonal) maximal runs."""
+    the df-capped gram universe (first ``occ_cap`` positions per
+    (doc, gram) when set) -> per (pair, diagonal) maximal runs."""
     toks = {i: t.strip().split(" ") for i, t in enumerate(texts)}
     posts: dict[tuple, list[tuple[int, int]]] = defaultdict(list)
     for d, t in toks.items():
+        seen: dict[tuple, int] = defaultdict(int)
         for i in range(len(t) - k + 1):
-            posts[tuple(t[i : i + k])].append((d, i + 1))
+            g = tuple(t[i : i + k])
+            seen[g] += 1
+            if occ_cap is not None and seen[g] > occ_cap:
+                continue
+            posts[g].append((d, i + 1))
     kept = {
         g: ps
         for g, ps in posts.items()
@@ -114,3 +126,29 @@ def test_substring_trim_matches_python_model(spark, texts):
         ).collect()
     }
     assert got == _model_trim(texts, K, MIN_LEN, MAX_DF)
+
+
+@given(corpus, st.sampled_from([1, 2, 99]))
+@settings(**SETTINGS)
+def test_substring_spans_occ_cap_matches_python_model(spark, texts, cap):
+    """The capped twin's declared semantics (first ``occ_cap`` positions
+    per (doc, gram), then the usual df-cap + diagonal runs) vs the
+    brute-force model — cap=99 also pins that a non-binding cap is
+    byte-identical to the exact operator on these corpora."""
+    from bcg_contacts_data_pipeline_spark.operators.dedup import (
+        substring_spans,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b, r.a_start, r.b_start, r.len_tokens)
+        for r in substring_spans(
+            df, "doc_id", "text", k=K, min_len=MIN_LEN, max_df=MAX_DF,
+            occ_cap=cap,
+        ).collect()
+    }
+    assert got == _model_spans(texts, K, MIN_LEN, MAX_DF, occ_cap=cap)
+    if cap == 99:
+        assert got == _model_spans(texts, K, MIN_LEN, MAX_DF)

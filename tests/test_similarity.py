@@ -620,3 +620,32 @@ def test_zero_norm_vectors_are_ineligible(spark):
     ids_seen = {r["query_id"] for r in tk} | {r["neighbor_id"] for r in tk}
     assert 3 not in ids_seen and 4 not in ids_seen
     assert all(r["score"] == r["score"] for r in tk)
+
+
+def test_nan_vectors_are_ineligible(spark):
+    """r13 advice: `x != 0.0` is TRUE for NaN in Spark SQL, so a
+    [NaN, 0, ...] vector passed the zero-norm probe yet still reached
+    the numpy kernels and produced NaN cosines. Eligibility now also
+    requires every element !isnan — a NaN vector is dropped exactly
+    like NULL and zero-norm; Infinity stays eligible (defined cosine)."""
+    nan = float("nan")
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [nan, 0.0, 0.0]),   # NaN with zero rest: was the hole
+        (4, [nan, 1.0, 2.0]),   # NaN among non-zeros
+        (5, [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    sd = S.semantic_dedup(
+        df, "vec_id", "embedding", n_clusters=1, threshold=0.8
+    ).collect()
+    assert {r["vec_id"] for r in sd} == {1, 2, 5}
+    for r in sd:
+        assert r["max_prior"] == r["max_prior"]  # no NaN leaked through
+
+    tk = S.embedding_topk(df, "vec_id", "embedding", k=4).collect()
+    ids_seen = {r["query_id"] for r in tk} | {r["neighbor_id"] for r in tk}
+    assert ids_seen == {1, 2, 5}
+    assert all(r["score"] == r["score"] for r in tk)
