@@ -80,18 +80,22 @@ def _certification_rounds(root: str | None = None) -> dict[str, int]:
 #: Names here sort as if never certified. Curate per round; stale names
 #: are harmless (they just re-verify).
 _FORCE_HEAD: set[str] = {
-    # r13: _non_null_vectors now excludes zero-norm vectors alongside
-    # NULLs (ADVICE r12) — no fixture carries one, so answers are
-    # unchanged, but the eligibility filter in front of every numpy
-    # kernel changed: re-verify the advice-named query plus one
-    # representative per kernel family (topk, neardup).
+    # r14: substring_spans dropped its consumer's global orderBy, staged
+    # the df-cap two-stage, and grew the occ_cap dial; trim and
+    # gopher_repetition now exclude NULL-text rows (oracle-spine
+    # alignment, ADVICE r13) — re-verify all three r13 queries in their
+    # new form.
+    "substring_dedup",
+    "substring_dedup_trim",
+    "gopher_repetition",
+    # r14: _non_null_vectors now also excludes NaN-carrying vectors
+    # (ADVICE r13) — no fixture carries one, so answers are unchanged,
+    # but the eligibility filter in front of every numpy kernel changed:
+    # re-verify one representative per kernel family, same as the r13
+    # zero-norm precedent.
     "semantic_dedup",
     "embedding_topk",
     "embedding_neardup",
-    # r13: ngram_jaccard_pairs materializes the hot set once when
-    # max_df is set (plan change, value-identical) — re-verify the
-    # capped consumer the drift work touched.
-    "dedup_components",
 }
 
 

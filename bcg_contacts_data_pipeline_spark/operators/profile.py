@@ -184,3 +184,130 @@ def gopher_repetition(
         )
     )
     return out
+
+
+#: Gopher's stop-word presence list (Rae et al. 2021, A1.1): a doc must
+#: contain at least 2 of these to look like running English prose.
+GOPHER_STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.10,
+    max_bullet_frac: float = 0.90,
+    max_ellipsis_frac: float = 0.30,
+    min_alpha_frac: float = 0.80,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """The rest of Gopher's A1.1 quality rule set (Rae et al. 2021) —
+    the structural rules FineWeb/Dolma/RefinedWeb compose with the
+    repetition pair from :func:`gopher_repetition`:
+
+    - word count in [``min_words``, ``max_words``];
+    - mean word length in [``min_mean_word_len``, ``max_mean_word_len``]
+      (gibberish/URL soup skews short or long);
+    - symbol-to-word ratio <= ``max_symbol_ratio`` — symbols are '#'
+      characters and non-overlapping '...' runs (the paper's hash and
+      ellipsis proxies for markup/truncation debris);
+    - < ``max_bullet_frac`` of lines starting with a bullet
+      ('-', '*', or U+2022) and < ``max_ellipsis_frac`` of lines ending
+      with '...' or U+2026 — list-shaped or truncated pages;
+    - >= ``min_alpha_frac`` of words containing at least one
+      [A-Za-z] character;
+    - >= ``min_stop_hits`` DISTINCT stop words from
+      :data:`GOPHER_STOP_WORDS` present.
+
+    Output: one row per non-NULL-text document —
+    ``(id, n_tokens, mean_word_len, symbol_ratio, bullet_frac,
+    ellipsis_frac, alpha_frac, n_stop_hits, keep)`` with ``keep`` the
+    conjunction of all eight rules. NULL-text rows are excluded (the
+    quality-family scope rule, same as ``gopher_repetition``).
+
+    Scale design: a PURE PROJECTION — every metric is a Catalyst
+    expression over the token/line arrays of the row itself (higher-
+    order ``transform``/``filter``/``aggregate``), so the operator has
+    ZERO shuffles at any scale: it pipelines inside whole-stage codegen
+    on top of the scan, the ideal 100 TB shape. No UDF, no collect.
+    Word = whitespace token; line = '\\n'-split segment — both stated
+    in the certified oracle so the two engines share the definition.
+    """
+    t = F.col("__t")
+    n = F.size("__t")
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.size(lines)
+    total_word_chars = F.aggregate(
+        F.transform(t, lambda w: F.length(w)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    n_hash = F.length(F.col(text_col)) - F.length(
+        F.regexp_replace(F.col(text_col), "#", "")
+    )
+    n_ellipsis_runs = F.regexp_count(F.col(text_col), F.lit(r"\.\.\."))
+    n_bullet_lines = F.size(
+        F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]"))
+    )
+    n_ellipsis_lines = F.size(
+        F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))
+    )
+    n_alpha_words = F.size(F.filter(t, lambda w: w.rlike("[A-Za-z]")))
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(t, lambda w: F.lower(w))),
+            F.array(*[F.lit(s) for s in GOPHER_STOP_WORDS]),
+        )
+    )
+
+    base = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("__id"),
+            F.col(text_col),
+            F.split(F.trim(F.col(text_col)), r"\s+").alias("__t"),
+        )
+        .select(
+            F.col("__id"),
+            n.cast("long").alias("n_tokens"),
+            F.when(n > 0, total_word_chars.cast("double") / n)
+            .otherwise(F.lit(0.0))
+            .alias("mean_word_len"),
+            F.when(n > 0, (n_hash + n_ellipsis_runs).cast("double") / n)
+            .otherwise(F.lit(0.0))
+            .alias("symbol_ratio"),
+            (n_bullet_lines.cast("double") / n_lines).alias("bullet_frac"),
+            (n_ellipsis_lines.cast("double") / n_lines).alias(
+                "ellipsis_frac"
+            ),
+            F.when(n > 0, n_alpha_words.cast("double") / n)
+            .otherwise(F.lit(0.0))
+            .alias("alpha_frac"),
+            n_stop.cast("long").alias("n_stop_hits"),
+        )
+    )
+    return base.select(
+        F.col("__id").alias(id_col),
+        "n_tokens",
+        "mean_word_len",
+        "symbol_ratio",
+        "bullet_frac",
+        "ellipsis_frac",
+        "alpha_frac",
+        "n_stop_hits",
+        (
+            F.col("n_tokens").between(min_words, max_words)
+            & F.col("mean_word_len").between(
+                min_mean_word_len, max_mean_word_len
+            )
+            & (F.col("symbol_ratio") <= max_symbol_ratio)
+            & (F.col("bullet_frac") < max_bullet_frac)
+            & (F.col("ellipsis_frac") < max_ellipsis_frac)
+            & (F.col("alpha_frac") >= min_alpha_frac)
+            & (F.col("n_stop_hits") >= min_stop_hits)
+        ).alias("keep"),
+    )

@@ -2486,3 +2486,4 @@ from bcg_contacts_data_pipeline_spark.plans import queries_r10  # noqa: E402,F40
 from bcg_contacts_data_pipeline_spark.plans import queries_r11  # noqa: E402,F401
 from bcg_contacts_data_pipeline_spark.plans import queries_r12  # noqa: E402,F401
 from bcg_contacts_data_pipeline_spark.plans import queries_r13  # noqa: E402,F401
+from bcg_contacts_data_pipeline_spark.plans import queries_r14  # noqa: E402,F401
