@@ -78,6 +78,9 @@ PROBE = [
     ("paragraph_dedup", "sha2-grouped paragraph dedup"),
     ("paragraph_boilerplate", "paragraph dedup, max_df twin"),
     ("substring_dedup", "k-gram postings + diagonal run merge"),
+    ("substring_dedup_capped", "substring spans, occ_cap fan-out dial"),
+    ("gopher_repetition", "doc-keyed repetition metrics"),
+    ("gopher_quality", "pure-projection quality rules"),
     ("minhash_recall", "MinHash LSH, complete candidates"),
     ("minhash_recall_capped", "MinHash LSH, hot-bucket cap"),
     ("enrich_2of3", "k-of-n key-match enrich join"),
@@ -89,6 +92,7 @@ PROBE = [
     ("etld1_quota_sample", "PSL broadcast joins + quota window"),
     ("incremental_curation_e2e", "incremental trio composed"),
     ("crawl_curation_e2e", "crawl ladder composed"),
+    ("curation_pipeline_v2_e2e", "v2 curation ladder composed"),
     ("sessionize", "window sessionization"),
     ("stream_hourly_counts", "streaming AvailableNow drain"),
     ("contacts_pipeline_e2e", "flagship e2e pipeline"),
@@ -118,11 +122,13 @@ TIER2 = ["q1_pricing_summary", "q9_product_profit", "exact_dedup",
          "dedup_merge", "orders_global_rank", "pack_shards",
          "hll_sketch_rollup", "token_stats", "paragraph_dedup",
          "paragraph_boilerplate", "substring_dedup",
+         "substring_dedup_capped", "gopher_repetition", "gopher_quality",
          "minhash_recall_capped",
          "enrich_2of3", "dedup_components", "embedding_ann_lsh_capped",
          "embedding_ann_ivf_capped", "semantic_dedup",
          "etld1_quota_sample",
          "incremental_curation_e2e", "crawl_curation_e2e",
+         "curation_pipeline_v2_e2e",
          "sessionize", "stream_hourly_counts", "contacts_pipeline_e2e"]
 
 # Uncapped complete-candidate baselines whose REQUIRED OUTPUT grows
