@@ -311,3 +311,100 @@ def gopher_quality(
             & (F.col("n_stop_hits") >= min_stop_hits)
         ).alias("keep"),
     )
+
+
+def c4_clean(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words_per_line: int = 3,
+    min_sentences: int = 5,
+    bad_words: tuple[str, ...] = (),
+) -> DataFrame:
+    """The C4 cleaning rules (Raffel et al. 2020, section 2.2 — the
+    filter set behind the public C4 corpus), the rung the quality
+    family composes BEFORE the Gopher rules: line-level retention plus
+    page-level discards.
+
+    Line rules (a line is a '\\n'-split segment; a word is a
+    whitespace token — the same definitions as ``gopher_quality``):
+
+    - keep only lines ending in a terminal punctuation mark
+      ('.', '!', '?', or a closing double quote), optionally followed
+      by trailing whitespace;
+    - keep only lines with at least ``min_words_per_line`` words;
+    - drop any line containing the word "javascript"
+      (case-insensitive substring — boilerplate "enable javascript"
+      chrome).
+
+    Page rules (evaluated on the RAW text, per the paper):
+
+    - drop pages whose CLEANED text has fewer than ``min_sentences``
+      sentences (sentence = non-blank segment between terminal
+      punctuation marks, split on ``[.!?]+`` — stated in the certified
+      oracle so both engines share the definition);
+    - drop pages containing the phrase "lorem ipsum"
+      (case-insensitive);
+    - drop pages containing a curly bracket ('{' or '}' — code, not
+      prose);
+    - drop pages containing any of ``bad_words`` (case-insensitive
+      whole-token match). The list itself is a deployment policy
+      artifact, so the default is EMPTY — pass your own; an empty
+      tuple compiles to no predicate at all.
+
+    Output: one row per non-NULL-text document (the quality-family
+    scope rule) — ``(id, n_lines, lines_kept, n_sentences, has_lorem,
+    has_brace, keep, text_clean)`` with ``text_clean`` the kept lines
+    re-joined with '\\n' and ``keep`` the conjunction of every page
+    rule.
+
+    Scale design: a PURE PROJECTION, same as ``gopher_quality`` —
+    every rule is a Catalyst higher-order expression over the row's
+    own line/token arrays, ZERO shuffles at any scale, pipelined
+    inside whole-stage codegen on top of the scan. No UDF, no collect.
+    """
+    raw = F.col(text_col)
+    lines = F.split(raw, "\n")
+    kept_lines = F.filter(
+        lines,
+        lambda l: l.rlike(r'[.!?"]\s*$')
+        & (F.size(F.split(F.trim(l), r"\s+")) >= min_words_per_line)
+        & ~F.contains(F.lower(l), F.lit("javascript")),
+    )
+    text_clean = F.array_join(kept_lines, "\n")
+    n_sentences = F.size(
+        F.filter(
+            F.transform(
+                F.split(text_clean, r"[.!?]+"), lambda s: F.trim(s)
+            ),
+            lambda s: F.length(s) > 0,
+        )
+    )
+    has_lorem = F.contains(F.lower(raw), F.lit("lorem ipsum"))
+    has_brace = F.contains(raw, F.lit("{")) | F.contains(raw, F.lit("}"))
+    keep = (n_sentences >= min_sentences) & ~has_lorem & ~has_brace
+    if bad_words:
+        toks_lower = F.array_distinct(
+            F.transform(
+                F.split(F.trim(raw), r"\s+"), lambda w: F.lower(w)
+            )
+        )
+        keep = keep & (
+            F.size(
+                F.array_intersect(
+                    toks_lower,
+                    F.array(*[F.lit(w.lower()) for w in bad_words]),
+                )
+            )
+            == 0
+        )
+    return df.filter(raw.isNotNull()).select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept_lines).cast("long").alias("lines_kept"),
+        n_sentences.cast("long").alias("n_sentences"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        keep.alias("keep"),
+        text_clean.alias("text_clean"),
+    )

@@ -397,3 +397,207 @@ def q_curation_pipeline_v2_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_shards"
         ),
     )
+
+
+@register(
+    "c4_line_filter",
+    # Full-pipeline restatement: same marker-word derivation (the
+    # fixture's documents are single-line punctuation-free token soup,
+    # so the query derives lined/punctuated text from six marker words
+    # — disclosed in the docstring — and the oracle restates the SAME
+    # derivation; DuckDB regexp_replace needs the explicit 'g' flag to
+    # match Spark's replace-all), same '\n' line split, same terminal-
+    # punctuation regex, same whitespace word split, same '[.!?]+'
+    # sentence split — so the hash check certifies every rule and the
+    # cleaned text end to end (md5 keeps the payload fixed-width).
+    oracle=r"""
+    WITH derived AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(regexp_replace(regexp_replace(
+                 text,
+                 '\bthe\b', '.', 'g'),
+                 '\bvalue\b', '!', 'g'),
+                 '\bquery\b', '?', 'g'),
+                 '\ba\b', chr(10), 'g'),
+                 '\bscan\b', 'javascript', 'g'),
+                 '\bdup\b', '{lorem ipsum}', 'g') AS text
+      FROM documents WHERE text IS NOT NULL
+    ), base AS (
+      SELECT doc_id, text, str_split(text, chr(10)) AS lines
+      FROM derived
+    ), cleaned AS (
+      SELECT doc_id, text, lines,
+             list_filter(lines, l ->
+               regexp_matches(l, '[.!?"]\s*$')
+               AND len(regexp_split_to_array(trim(l), '\s+')) >= 3
+               AND NOT contains(lower(l), 'javascript')) AS kl
+      FROM base
+    ), scored AS (
+      SELECT doc_id, text, lines, kl,
+             -- DuckDB array_to_string([]) is NULL; Spark array_join is ''
+             COALESCE(array_to_string(kl, chr(10)), '') AS tc
+      FROM cleaned
+    )
+    SELECT doc_id,
+      CAST(len(lines) AS BIGINT) AS n_lines,
+      CAST(len(kl) AS BIGINT) AS lines_kept,
+      CAST(len(list_filter(
+             list_transform(regexp_split_to_array(tc, '[.!?]+'),
+                            x -> trim(x)),
+             x -> x <> '')) AS BIGINT) AS n_sentences,
+      contains(lower(text), 'lorem ipsum') AS has_lorem,
+      (contains(text, '{') OR contains(text, '}')) AS has_brace,
+      (len(list_filter(
+             list_transform(regexp_split_to_array(tc, '[.!?]+'),
+                            x -> trim(x)),
+             x -> x <> '')) >= 5
+       AND NOT contains(lower(text), 'lorem ipsum')
+       AND NOT (contains(text, '{') OR contains(text, '}'))
+      ) AS keep,
+      md5(tc) AS clean_md5
+    FROM scored
+    """,
+)
+def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 cleaning rules (`operators/profile.py:c4_clean`, Raffel
+    et al. 2020 section 2.2): terminal-punctuation line retention,
+    >=3-words-per-line, javascript-line removal, >=5-sentence /
+    lorem-ipsum / curly-bracket page discards — the rung the public C4
+    corpus applies before anything else in the quality family.
+
+    Fixture adaptation (disclosed; restated verbatim in the oracle):
+    the synthetic documents are single-line punctuation-free token
+    soup, on which every C4 rule is vacuous. The query derives
+    lined/punctuated text by mapping six marker words — 'the'->'.',
+    'value'->'!', 'query'->'?', 'a'->newline, 'scan'->'javascript',
+    rare 'dup'->'{lorem ipsum}' — so EVERY rule engages with variance
+    (measured at sf0.01: 498/500 docs lose at least one line, 54
+    retain at least one, the javascript token lands in ~80% of docs,
+    the lorem/brace page rules fire on 25, and keep=true for 4 — every
+    output column takes both values). Pure projection either way:
+    zero shuffles at any scale (same shape as ``gopher_quality``)."""
+    from bcg_contacts_data_pipeline_spark.operators.profile import c4_clean
+
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    for pat, rep in (
+        (r"\bthe\b", "."),
+        (r"\bvalue\b", "!"),
+        (r"\bquery\b", "?"),
+        (r"\ba\b", "\n"),
+        (r"\bscan\b", "javascript"),
+        (r"\bdup\b", "{lorem ipsum}"),
+    ):
+        t = F.regexp_replace(t, pat, rep)
+    out = c4_clean(
+        docs.select("doc_id", t.alias("text")), "doc_id", "text"
+    )
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "lines_kept",
+        "n_sentences",
+        "has_lorem",
+        "has_brace",
+        "keep",
+        F.md5("text_clean").alias("clean_md5"),
+    )  # no global orderBy: corpus-sized output, order-insensitive compare
+
+
+@register(
+    "c4_span_dedup",
+    # Full-pipeline restatement grouped on the span TEXT (the operator's
+    # sha2 key is an implementation detail; the oracle needs only equal
+    # semantics): same marker-word derivation (content-anchored sentence
+    # boundaries — disclosed in the docstring; DuckDB regexp_replace
+    # needs the explicit 'g' flag to match Spark's replace-all), same
+    # sentence split, same chr(1) span boundary, same keep-first
+    # (doc_id, start) convention, same '. ' rebuild join.
+    oracle=r"""
+    WITH s0 AS (
+      SELECT doc_id,
+             list_filter(list_transform(
+               regexp_split_to_array(
+                 regexp_replace(text, '\b(a|the)\b', '.', 'g'),
+                 '[.!?]+'), x -> trim(x)),
+               x -> x <> '') AS s
+      FROM documents WHERE text IS NOT NULL
+    ), sized AS (
+      SELECT doc_id, s, len(s) AS n FROM s0
+    ), spans AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS start,
+             array_to_string(s[i:i+2], chr(1)) AS sp
+      FROM sized, unnest(range(1, n - 3 + 2)) AS r(i)
+      WHERE n >= 3
+    ), marked AS (
+      SELECT doc_id, start,
+             row_number() OVER (PARTITION BY sp ORDER BY doc_id, start)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY sp) AS cnt
+      FROM spans
+    ), cov AS (
+      SELECT DISTINCT doc_id, start + u.o AS p
+      FROM marked, unnest(range(0, 3)) AS u(o)
+      WHERE cnt >= 2 AND rn > 1
+    ), pos AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS p, s[i] AS sent
+      FROM sized, unnest(range(1, n + 1)) AS r(i)
+    ), kept AS (
+      SELECT pos.doc_id, pos.p, pos.sent
+      FROM pos ANTI JOIN cov USING (doc_id, p)
+    ), rebuilt AS (
+      SELECT sized.doc_id, sized.n,
+             COUNT(k.p) AS kc,
+             COALESCE(string_agg(k.sent, '. ' ORDER BY k.p), '') AS td
+      FROM sized LEFT JOIN kept k USING (doc_id)
+      GROUP BY sized.doc_id, sized.n
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_sentences,
+           CAST(greatest(n - 3 + 1, 0) AS BIGINT) AS n_spans,
+           CAST(n - kc AS BIGINT) AS dup_sentences,
+           md5(td) AS dedup_md5
+    FROM rebuilt
+    """,
+)
+def q_c4_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4's corpus-level three-sentence-span dedup
+    (`operators/dedup.py:c4_span_dedup`, Raffel et al. 2020 section
+    2.2): every 3-consecutive-sentence window occurring more than once
+    corpus-wide (within-document repeats count) keeps its first
+    (doc_id, start) occurrence; all other occurrences' sentences are
+    removed and the documents rebuilt. Span occurrences shuffle as
+    (sha2, doc, start) — the text never leaves the map side; min-struct
+    + count(*) are both map-side combinable.
+
+    Fixture adaptation (disclosed; restated verbatim in the oracle):
+    the punctuation-free fixture is re-sentenced by mapping the words
+    'a' and 'the' to '.' — a CONTENT-anchored boundary, so it is
+    shift-invariant: the fixture's cloned token regions yield
+    identical sentence runs at any offset, and the dedup path engages
+    for real (measured at sf0.01: 57 duplicate span occurrences, 30
+    removed, 10 documents trimmed — not a pass-through
+    certification)."""
+    from bcg_contacts_data_pipeline_spark.operators.dedup import (
+        c4_span_dedup,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = c4_span_dedup(
+        docs.select(
+            "doc_id",
+            F.regexp_replace(F.col("text"), r"\b(a|the)\b", ".").alias(
+                "text"
+            ),
+        ),
+        "doc_id",
+        "text",
+    )
+    return out.select(
+        "doc_id",
+        "n_sentences",
+        "n_spans",
+        "dup_sentences",
+        F.md5("text_dedup").alias("dedup_md5"),
+    )  # no global orderBy: corpus-sized output, order-insensitive compare

@@ -145,3 +145,219 @@ def test_gopher_quality_plan_is_shuffle_free(spark):
     )
     plan = gopher_quality(df, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# C4 family (round 14): c4_clean + c4_span_dedup vs direct Python models
+# ---------------------------------------------------------------------------
+
+from bcg_contacts_data_pipeline_spark.operators.dedup import (  # noqa: E402
+    c4_span_dedup,
+)
+from bcg_contacts_data_pipeline_spark.operators.profile import (  # noqa: E402
+    c4_clean,
+)
+
+# lines assembled from tokens that trip each C4 rule sometimes:
+# terminal-punct enders, short lines, javascript, lorem ipsum, braces
+C4_TOKENS = st.sampled_from(
+    [
+        "data", "rows", "move.", "done!", "why?", 'said"', "x",
+        "javascript", "lorem", "ipsum", "{", "}", "a.b", "...",
+    ]
+)
+
+
+@st.composite
+def c4_doc(draw):
+    n = draw(st.integers(min_value=1, max_value=40))
+    toks = [draw(C4_TOKENS) for _ in range(n)]
+    seps = [draw(SEP) for _ in range(n - 1)]
+    return "".join(t + s for t, s in zip(toks, seps + [""]))
+
+
+def _c4_model(text: str) -> dict:
+    """Brute-force restatement of the declared semantics. trim() on
+    BOTH engines strips spaces only, so the model uses strip(' ')."""
+    lines = text.split("\n")
+    kl = [
+        l
+        for l in lines
+        if re.search(r'[.!?"]\s*$', l)
+        and len(re.split(r"\s+", l.strip(" "))) >= 3
+        and "javascript" not in l.lower()
+    ]
+    tc = "\n".join(kl)
+    n_sent = len(
+        [s for s in re.split(r"[.!?]+", tc) if s.strip(" ") != ""]
+    )
+    lorem = "lorem ipsum" in text.lower()
+    brace = "{" in text or "}" in text
+    return dict(
+        n_lines=len(lines),
+        lines_kept=len(kl),
+        n_sentences=n_sent,
+        has_lorem=lorem,
+        has_brace=brace,
+        keep=(n_sent >= 5 and not lorem and not brace),
+        text_clean=tc,
+    )
+
+
+@given(st.lists(c4_doc(), min_size=1, max_size=6))
+@settings(**SETTINGS)
+def test_c4_clean_matches_python_model(spark, texts):
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in c4_clean(df, "doc_id", "text").collect()
+    }
+    assert set(got) == set(range(len(texts)))
+    for i, text in enumerate(texts):
+        want = _c4_model(text)
+        for k, v in want.items():
+            assert got[i][k] == v, (k, text, got[i][k], v)
+
+
+def test_c4_clean_rules_trip_individually(spark):
+    """One crafted doc per rule against an otherwise-passing baseline;
+    NULL text excluded entirely (the quality-family scope rule)."""
+    good_line = "the data rows move on."
+    page = "\n".join([good_line] * 6)  # 6 kept lines, 6 sentences
+    rows = [
+        (1, page),
+        (2, "\n".join(["no terminal punct"] * 6)),  # punct rule
+        (3, "\n".join(["so short."] * 6)),  # <3 words per line
+        (4, "\n".join(["enable javascript to view."] * 6)),  # js line
+        (5, page + "\nlorem ipsum dolor."),  # lorem page discard
+        (6, page + "\nint main() {."),  # brace page discard
+        (7, "\n".join([good_line] * 4)),  # only 4 sentences
+        (8, 'she said "done he said"'),  # closing-quote terminal OK
+        (9, None),  # excluded entirely
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r for r in c4_clean(df, "doc_id", "text").collect()
+    }
+    assert set(out) == set(range(1, 9))
+    assert out[1]["keep"] and out[1]["lines_kept"] == 6
+    assert out[2]["lines_kept"] == 0 and not out[2]["keep"]
+    assert out[3]["lines_kept"] == 0 and not out[3]["keep"]
+    assert out[4]["lines_kept"] == 0 and not out[4]["keep"]
+    assert out[5]["has_lorem"] and not out[5]["keep"]
+    assert out[6]["has_brace"] and not out[6]["keep"]
+    assert out[7]["n_sentences"] == 4 and not out[7]["keep"]
+    assert out[8]["lines_kept"] == 1  # ends in a closing double quote
+
+
+def test_c4_clean_plan_is_shuffle_free(spark):
+    df = spark.createDataFrame(
+        [(1, "the data rows move on.")], "doc_id long, text string"
+    )
+    plan = (
+        c4_clean(df, "doc_id", "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+# sentences drawn from a tiny pool so duplicated 3-sentence spans are
+# common rather than contrived (within-doc repeats included)
+C4_SENT = st.sampled_from(["aa bb", "cc", "dd ee", "ff"])
+
+
+@st.composite
+def span_doc(draw):
+    n = draw(st.integers(min_value=0, max_value=10))
+    sents = [draw(C4_SENT) for _ in range(n)]
+    punct = [draw(st.sampled_from([". ", "! ", "? "])) for _ in range(n)]
+    return "".join(s + p for s, p in zip(sents, punct))
+
+
+def _span_model(texts: list, span: int = 3) -> dict:
+    """Brute-force restatement: global occurrence counts per sentence
+    window, keep-first (doc, start), losers' positions removed."""
+    sents = {
+        d: [
+            s
+            for s in (
+                x.strip(" ") for x in re.split(r"[.!?]+", t)
+            )
+            if s != ""
+        ]
+        for d, t in texts
+        if t is not None
+    }
+    occ: dict = {}
+    for d, s in sents.items():
+        for i in range(len(s) - span + 1):
+            occ.setdefault(tuple(s[i : i + span]), []).append((d, i + 1))
+    covered: dict = {d: set() for d in sents}
+    for places in occ.values():
+        if len(places) >= 2:
+            w = min(places)
+            for d, start in places:
+                if (d, start) != w:
+                    covered[d].update(range(start, start + span))
+    out = {}
+    for d, s in sents.items():
+        kept = [x for p, x in enumerate(s, 1) if p not in covered[d]]
+        out[d] = dict(
+            n_sentences=len(s),
+            n_spans=max(len(s) - span + 1, 0),
+            dup_sentences=len(s) - len(kept),
+            text_dedup=". ".join(kept),
+        )
+    return out
+
+
+@given(st.lists(span_doc(), min_size=2, max_size=6))
+@settings(**SETTINGS)
+def test_c4_span_dedup_matches_python_model(spark, texts):
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in c4_span_dedup(df, "doc_id", "text").collect()
+    }
+    want = _span_model(rows)
+    assert set(got) == set(want)
+    for d, w in want.items():
+        for k, v in w.items():
+            assert got[d][k] == v, (k, d, texts, got[d][k], v)
+
+
+def test_c4_span_dedup_crafted(spark):
+    """Cross-doc dup (punctuation-variant spellings collapse), within-
+    doc repeat, short-doc passthrough, NULL-text exclusion."""
+    rows = [
+        (1, "A1. B2. C3. D4."),
+        (2, "X. A1. B2. C3."),  # loses A1 B2 C3 to doc 1
+        (3, "A1! B2? C3."),  # same span via other punctuation
+        (4, "P. Q. R. P. Q. R."),  # within-doc repeat of (P,Q,R)
+        (5, "one. two."),  # < span sentences: passthrough
+        (6, None),  # excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in c4_span_dedup(df, "doc_id", "text").collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert out[1]["dup_sentences"] == 0
+    assert out[1]["text_dedup"] == "A1. B2. C3. D4"
+    assert out[2]["dup_sentences"] == 3 and out[2]["text_dedup"] == "X"
+    assert out[3]["dup_sentences"] == 3 and out[3]["text_dedup"] == ""
+    assert out[4]["dup_sentences"] == 3
+    assert out[4]["text_dedup"] == "P. Q. R"
+    assert out[5] == dict(
+        doc_id=5,
+        n_sentences=2,
+        n_spans=0,
+        dup_sentences=0,
+        text_dedup="one. two",
+    )
