@@ -408,3 +408,84 @@ def c4_clean(
         keep.alias("keep"),
         text_clean.alias("text_clean"),
     )
+
+
+def gopher_dup_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    delimiter: str = "\n",
+    max_dup_frac: float = 0.30,
+    max_char_frac: float = 0.20,
+) -> DataFrame:
+    """The duplicate-line rungs of Gopher's repetition rule set (Rae et
+    al. 2021, appendix A1.1, table A1 rows 1-2 — the two rows
+    ``gopher_repetition`` does NOT cover): the fraction of a document's
+    lines that are duplicates of an earlier line, and the fraction of
+    its characters inside those duplicate occurrences. Pass
+    ``delimiter="\\n\\n"`` for the paragraph twins (table rows 3-4 —
+    same arithmetic, same paper thresholds).
+
+    A line is a ``delimiter``-split segment (``delimiter`` is a Java
+    regex), space-trimmed; EMPTY lines are excluded from both
+    numerator and denominator (blank separators are structure, not
+    content). With occurrence counts c_1..c_k over the k distinct
+    lines:
+
+    - ``dup_line_frac``  = (n - k) / n          (non-first occurrences)
+    - ``dup_char_frac``  = (sum c_i*len_i - sum len_i) / sum c_i*len_i
+
+    Documents with zero non-empty lines report 0.0 / 0.0 and keep=true
+    (nothing repeats); NULL-text rows are excluded entirely (the
+    quality-family scope rule).
+
+    Output: ``(id, n_lines, n_distinct_lines, dup_line_frac,
+    dup_char_frac, keep)`` with ``keep`` = both fractions within the
+    paper's thresholds.
+
+    Scale design: a PURE PROJECTION like ``gopher_quality`` — both
+    fractions are ``array_distinct`` + higher-order ``aggregate``
+    arithmetic over the row's own line array, ZERO shuffles at any
+    scale, pipelined inside whole-stage codegen on top of the scan.
+    No UDF, no collect.
+    """
+    lines = F.filter(
+        F.transform(
+            F.split(F.col(text_col), delimiter), lambda l: F.trim(l)
+        ),
+        lambda l: F.length(l) > 0,
+    )
+    distinct = F.array_distinct(F.col("__lines"))
+
+    def _chars(arr):
+        return F.aggregate(
+            F.transform(arr, lambda x: F.length(x)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+
+    n = F.size("__lines")
+    k = F.size(distinct)
+    tc = _chars(F.col("__lines"))
+    dc = _chars(distinct)
+    dup_line_frac = F.when(n > 0, (n - k).cast("double") / n).otherwise(
+        F.lit(0.0)
+    )
+    dup_char_frac = F.when(tc > 0, (tc - dc).cast("double") / tc).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), lines.alias("__lines"))
+        .select(
+            F.col(id_col),
+            n.cast("long").alias("n_lines"),
+            k.cast("long").alias("n_distinct_lines"),
+            dup_line_frac.alias("dup_line_frac"),
+            dup_char_frac.alias("dup_char_frac"),
+            (
+                (dup_line_frac <= max_dup_frac)
+                & (dup_char_frac <= max_char_frac)
+            ).alias("keep"),
+        )
+    )

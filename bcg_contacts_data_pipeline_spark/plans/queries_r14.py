@@ -601,3 +601,74 @@ def q_c4_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dup_sentences",
         F.md5("text_dedup").alias("dedup_md5"),
     )  # no global orderBy: corpus-sized output, order-insensitive compare
+
+
+@register(
+    "gopher_dup_lines",
+    # Full-pipeline restatement: same 12-marker-word newline derivation
+    # (disclosed in the docstring; DuckDB regexp_replace needs 'g'),
+    # same space-trim + empty-line exclusion, same distinct/char
+    # arithmetic and paper thresholds.
+    oracle=r"""
+    WITH derived AS (
+      SELECT doc_id,
+             regexp_replace(text,
+               '\b(a|the|table|value|row|key|join|hash|scan|batch|data|line)\b',
+               chr(10), 'g') AS text
+      FROM documents WHERE text IS NOT NULL
+    ), l0 AS (
+      SELECT doc_id,
+             list_filter(list_transform(str_split(text, chr(10)),
+                                        x -> trim(x)),
+                         x -> x <> '') AS ls
+      FROM derived
+    ), m AS (
+      SELECT doc_id, len(ls) AS n, len(list_distinct(ls)) AS k,
+             COALESCE(list_sum(list_transform(ls, x -> length(x))), 0)
+               AS tc,
+             COALESCE(list_sum(list_transform(list_distinct(ls),
+                                              x -> length(x))), 0) AS dc
+      FROM l0
+    )
+    SELECT doc_id,
+      CAST(n AS BIGINT) AS n_lines,
+      CAST(k AS BIGINT) AS n_distinct_lines,
+      CASE WHEN n > 0 THEN (n - k) * 1.0 / n ELSE 0.0 END
+        AS dup_line_frac,
+      CASE WHEN tc > 0 THEN (tc - dc) * 1.0 / tc ELSE 0.0 END
+        AS dup_char_frac,
+      ((CASE WHEN n > 0 THEN (n - k) * 1.0 / n ELSE 0.0 END) <= 0.30
+       AND (CASE WHEN tc > 0 THEN (tc - dc) * 1.0 / tc ELSE 0.0 END)
+           <= 0.20) AS keep
+    FROM m
+    """,
+)
+def q_gopher_dup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The duplicate-line rungs of Gopher's repetition table
+    (`operators/profile.py:gopher_dup_lines`, Rae et al. 2021 A1.1
+    table A1 rows 1-2 — the rows ``gopher_repetition`` does not
+    cover): fraction of lines that repeat an earlier line, and the
+    character mass inside those repeats, with the paper's 0.30 / 0.20
+    keep thresholds. Pure projection: zero shuffles at any scale.
+
+    Fixture adaptation (disclosed; restated verbatim in the oracle):
+    the single-line fixture is re-lined by mapping 12 marker words to
+    newlines — short inter-marker segments DO repeat within documents
+    (measured at sf0.01: 254/500 docs carry duplicate lines, mean
+    dup_line_frac 5.7%, and the keep decision flips on 3), so both
+    fractions and the threshold pair engage with variance."""
+    from bcg_contacts_data_pipeline_spark.operators.profile import (
+        gopher_dup_lines,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    derived = docs.select(
+        "doc_id",
+        F.regexp_replace(
+            F.col("text"),
+            r"\b(a|the|table|value|row|key|join|hash|scan|batch|data|line)\b",
+            "\n",
+        ).alias("text"),
+    )
+    return gopher_dup_lines(derived, "doc_id", "text")
+    # no global orderBy: corpus-sized output, order-insensitive compare

@@ -361,3 +361,106 @@ def test_c4_span_dedup_crafted(spark):
         dup_sentences=0,
         text_dedup="one. two",
     )
+
+
+# ---------------------------------------------------------------------------
+# gopher_dup_lines (round 14): duplicate-line fraction rungs vs model
+# ---------------------------------------------------------------------------
+
+from bcg_contacts_data_pipeline_spark.operators.profile import (  # noqa: E402
+    gopher_dup_lines,
+)
+
+# short lines from a tiny pool so within-doc duplicates are common
+DL_LINE = st.sampled_from(["aa", "bb cc", "dd", "", "  ", "ee ff gg"])
+
+
+@st.composite
+def dl_doc(draw):
+    n = draw(st.integers(min_value=0, max_value=12))
+    return "\n".join(draw(DL_LINE) for _ in range(n))
+
+
+def _dl_model(text: str) -> dict:
+    lines = [
+        l for l in (x.strip(" ") for x in text.split("\n")) if l != ""
+    ]
+    n, k = len(lines), len(set(lines))
+    tc = sum(len(l) for l in lines)
+    dc = sum(len(l) for l in set(lines))
+    lf = (n - k) / n if n > 0 else 0.0
+    cf = (tc - dc) / tc if tc > 0 else 0.0
+    return dict(
+        n_lines=n,
+        n_distinct_lines=k,
+        dup_line_frac=lf,
+        dup_char_frac=cf,
+        keep=(lf <= 0.30 and cf <= 0.20),
+    )
+
+
+@given(st.lists(dl_doc(), min_size=1, max_size=6))
+@settings(**SETTINGS)
+def test_gopher_dup_lines_matches_python_model(spark, texts):
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in gopher_dup_lines(df, "doc_id", "text").collect()
+    }
+    assert set(got) == set(range(len(texts)))
+    for i, text in enumerate(texts):
+        for key, v in _dl_model(text).items():
+            assert got[i][key] == v, (key, text, got[i][key], v)
+
+
+def test_gopher_dup_lines_crafted(spark):
+    rows = [
+        (1, "x y\nx y\nx y\nz"),  # 2/4 dup lines, heavy char mass
+        (2, "p\nq\nr"),  # all distinct: keep
+        (3, ""),  # no lines: 0.0/0.0, keep
+        (4, "solo\n\n  \nsolo"),  # blanks excluded, 1 dup of 2
+        (5, None),  # excluded entirely
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in gopher_dup_lines(df, "doc_id", "text").collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1]["n_lines"] == 4 and out[1]["n_distinct_lines"] == 2
+    assert out[1]["dup_line_frac"] == 0.5 and not out[1]["keep"]
+    assert out[2]["keep"] and out[2]["dup_line_frac"] == 0.0
+    assert out[3] == dict(
+        doc_id=3,
+        n_lines=0,
+        n_distinct_lines=0,
+        dup_line_frac=0.0,
+        dup_char_frac=0.0,
+        keep=True,
+    )
+    assert out[4]["n_lines"] == 2 and out[4]["dup_line_frac"] == 0.5
+    # paragraph twin: same arithmetic over a '\n\n' regex split
+    para = gopher_dup_lines(
+        spark.createDataFrame(
+            [(1, "aa\n\naa\n\nbb")], "doc_id long, text string"
+        ),
+        "doc_id",
+        "text",
+        delimiter="\n\n",
+    ).collect()[0]
+    assert para["n_lines"] == 3 and para["n_distinct_lines"] == 2
+
+
+def test_gopher_dup_lines_plan_is_shuffle_free(spark):
+    df = spark.createDataFrame(
+        [(1, "x\nx\ny")], "doc_id long, text string"
+    )
+    plan = (
+        gopher_dup_lines(df, "doc_id", "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan

@@ -83,6 +83,7 @@ PROBE = [
     ("gopher_quality", "pure-projection quality rules"),
     ("c4_line_filter", "pure-projection C4 line/page rules"),
     ("c4_span_dedup", "sentence-span dedup, keep-first"),
+    ("gopher_dup_lines", "pure-projection dup-line fractions"),
     ("minhash_recall", "MinHash LSH, complete candidates"),
     ("minhash_recall_capped", "MinHash LSH, hot-bucket cap"),
     ("enrich_2of3", "k-of-n key-match enrich join"),
@@ -125,7 +126,7 @@ TIER2 = ["q1_pricing_summary", "q9_product_profit", "exact_dedup",
          "hll_sketch_rollup", "token_stats", "paragraph_dedup",
          "paragraph_boilerplate", "substring_dedup",
          "substring_dedup_capped", "gopher_repetition", "gopher_quality",
-         "c4_line_filter", "c4_span_dedup",
+         "c4_line_filter", "c4_span_dedup", "gopher_dup_lines",
          "minhash_recall_capped",
          "enrich_2of3", "dedup_components", "embedding_ann_lsh_capped",
          "embedding_ann_ivf_capped", "semantic_dedup",
