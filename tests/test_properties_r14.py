@@ -464,3 +464,29 @@ def test_gopher_dup_lines_plan_is_shuffle_free(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_c4_clean_bad_words_page_discard(spark):
+    """The parametrized bad-words hook (empty by default): a page
+    containing any listed word (case-insensitive whole-token match)
+    flips keep; the metrics columns are unaffected."""
+    good_line = "the data rows move on."
+    page = "\n".join([good_line] * 6)
+    df = spark.createDataFrame(
+        [(1, page), (2, page + "\nBADWORD data rows go.")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in c4_clean(
+            df, "doc_id", "text", bad_words=("badword",)
+        ).collect()
+    }
+    assert out[1]["keep"]
+    assert not out[2]["keep"]  # token matched case-insensitively
+    # same doc without the hook: keep stands
+    out2 = {
+        r["doc_id"]: r["keep"]
+        for r in c4_clean(df, "doc_id", "text").collect()
+    }
+    assert out2[2]
