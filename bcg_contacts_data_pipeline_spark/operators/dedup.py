@@ -399,19 +399,40 @@ def substring_spans(
     equivalent is k-gram fingerprint postings + per-diagonal run merge,
     exact for every span >= k tokens:
 
-    1. postings: one row per (doc, position) holding the md5 of the
-       k-token window starting there (tokens = whitespace split) — the
-       gram ARRAY is built with ``transform`` + ``posexplode`` so the
-       token array is never duplicated per posting row;
+    1. postings: one row per (doc, position) holding a 64-bit
+       fingerprint of the k-token window starting there (tokens =
+       whitespace split). The fingerprint is ``xxhash64`` over the
+       window's per-token ``xxhash64`` values — the
+       ``shingle_hash_frame`` composition: each token's characters are
+       hashed once per document (not k times via string concat), no
+       per-position string allocation happens, and the posting/join
+       key is 8 bytes instead of the 32-char md5 hex string (r14:
+       measured ~25% off the standalone query; shuffle bytes of every
+       postings exchange drop ~3x). Collision risk is the key-equality
+       trade every 64-bit join key in ``operators/similarity.py``
+       accepts; here a single cross-document collision yields a
+       1-gram run of ``k < min_len`` tokens that the length filter
+       drops — fabricating a span takes ``min_len - k + 1``
+       CONSECUTIVE same-diagonal collisions. The gram ARRAY is built
+       with ``transform`` + ``posexplode`` so the token-hash array is
+       never duplicated per posting row;
     2. df-cap: grams present in fewer than 2 or more than ``max_df``
        DISTINCT documents are dropped — singletons can't pair, and
        corpus-wide stop-grams (chrome, licence headers past the cap)
        would otherwise fan the pair join out quadratically: the same
        frequency-cap contract as every pair generator in
        ``operators/similarity.py``;
-    3. pair join on the gram key: (doc_a < doc_b) position pairs;
-       co-partitioned on the key, so the cap join and the self join
-       ride one shuffle partitioning;
+    3. pair join on the gram key: (doc_a < doc_b) position pairs. The
+       CAPPED postings (only grams with df in [2, max_df] — tiny next
+       to the corpus by construction, the hot-set argument of the r13
+       similarity fix) are materialized once with an eager
+       ``localCheckpoint`` and self-joined: the uncapped postings
+       frame is computed twice (cap side + capped side) instead of
+       three times, and the pair join's probe side ships only capped
+       rows instead of re-shuffling the FULL postings frame (r14,
+       guide §8 "decide with small rows": the second full-postings
+       exchange was pure waste — every row of it that could match is,
+       by definition, in the capped frame);
     4. maximal-run merge: two matched positions extend the same span
        iff both advance by one token, i.e. they sit on the same
        DIAGONAL (ia - ib) at consecutive ia — group by (pair, diag),
@@ -425,7 +446,7 @@ def substring_spans(
     is the well-defined distributed statement of "maximal match".
 
     Scale design: postings are O(total corpus tokens) rows of
-    (16-byte hash, int, long) — the text itself never shuffles.
+    (8-byte hash, int, long) — the text itself never shuffles.
     ``max_df`` counts DISTINCT documents per gram, so the honest
     per-gram pair-join bound is (sum of per-doc occurrence counts on
     each side), i.e. max_df^2 only when every doc carries the gram
@@ -445,19 +466,26 @@ def substring_spans(
     window keys on (doc_a, doc_b, diag) whose group size is bounded by
     the shorter document's length, so no degenerate window partition
     exists. Every stage is a Catalyst expression — no UDF, no driver
-    collect.
+    collect; the one materialization is the eager ``localCheckpoint``
+    of the df-capped postings (bounded small by the cap itself).
     """
     if k < 2:
         raise ValueError("substring_spans: k must be >= 2")
     toks = F.split(F.trim(F.col(text_col)), " ")
     base = (
         df.filter(F.col(text_col).isNotNull())
-        .select(F.col(id_col).alias("__doc"), toks.alias("__t"))
-        .filter(F.size("__t") >= k)
+        .select(
+            F.col(id_col).alias("__doc"),
+            F.transform(toks, lambda x: F.xxhash64(x)).alias("__th"),
+        )
+        .filter(F.size("__th") >= k)
     )
+    th = F.col("__th")
     gram_arr = F.transform(
-        F.sequence(F.lit(1), F.size("__t") - (k - 1)),
-        lambda i: F.md5(F.concat_ws(" ", F.slice("__t", i, k))),
+        F.sequence(F.lit(1), F.size(th) - (k - 1)),
+        lambda i: F.xxhash64(
+            *[F.element_at(th, i + F.lit(j)) for j in range(k)]
+        ),
     )
     grams = base.select(
         "__doc", F.posexplode(gram_arr).alias("__p", "__g")
@@ -490,24 +518,43 @@ def substring_spans(
         .filter((F.col("__d") >= 2) & (F.col("__d") <= max_df))
         .select("__g")
     )
-    a = grams.alias("a").join(keep, "__g")
-    b = grams.select(
+    # capped postings materialized ONCE (see docstring step 3): the
+    # self-join and everything downstream read the checkpointed frame,
+    # so the pair join introduces no second full-postings execution or
+    # exchange. Small by construction — only grams with df in
+    # [2, max_df] survive; blocks are released by the ContextCleaner
+    # (same lifecycle as the ngram hot-set checkpoint).
+    capped = grams.join(keep, "__g").localCheckpoint(eager=True)
+    b = capped.select(
         F.col("__g").alias("__g"),
         F.col("__doc").alias("__doc_b"),
         F.col("__i").alias("__ib"),
     )
-    pairs = a.join(b, "__g").filter(F.col("__doc") < F.col("__doc_b"))
+    # shuffle_hash: the capped frame is corpus-derived, so it must not
+    # be statically broadcast (the similarity.py _no_static_broadcast
+    # rule — plan-time stats underestimate it and at 100x it is
+    # hundreds of MB); a shuffled hash join of the small materialized
+    # frame is the every-scale-safe strategy.
+    pairs = capped.join(b.hint("shuffle_hash"), "__g").filter(
+        F.col("__doc") < F.col("__doc_b")
+    )
 
-    run_w = Window.partitionBy(
-        "__doc", "__doc_b", F.col("__i") - F.col("__ib")
-    ).orderBy("__i")
-    runs = pairs.select(
+    # the diagonal is projected as an ATTRIBUTE before the window so
+    # the run-merge aggregation's grouping keys are a superset of the
+    # window's partitioning attributes — EnsureRequirements then reuses
+    # the window exchange for the groupBy instead of re-shuffling the
+    # position-pair frame (r14: was one extra Exchange of exactly the
+    # frame that grows quadratically with duplication)
+    proj = pairs.select(
         F.col("__doc").alias("doc_a"),
         F.col("__doc_b").alias("doc_b"),
         F.col("__i").alias("ia"),
         F.col("__ib").alias("ib"),
         (F.col("__i") - F.col("__ib")).alias("__diag"),
-        (F.col("__i") - F.row_number().over(run_w)).alias("__run"),
+    )
+    run_w = Window.partitionBy("doc_a", "doc_b", "__diag").orderBy("ia")
+    runs = proj.withColumn(
+        "__run", F.col("ia") - F.row_number().over(run_w)
     )
     return (
         runs.groupBy("doc_a", "doc_b", "__diag", "__run")

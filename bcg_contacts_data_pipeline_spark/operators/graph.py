@@ -105,10 +105,22 @@ def connected_components(
     # Materialize the symmetrized edge list ONCE: it is joined every
     # round, and without this the upstream pair computation (e.g. the
     # whole ngram-Jaccard pipeline) would re-execute per iteration —
-    # measured ~6x slower on a 5-round graph.
+    # measured ~6x slower on a 5-round graph. Symmetrization is a
+    # row-local explode, NOT a self-union: union branches are separate
+    # subtrees with zero exchange/scan reuse (verified: the union form
+    # plans 2x the FileScans and 2x the pair pipeline's exchanges), so
+    # a union would execute the upstream pair generator twice just to
+    # emit each edge reversed.
     sym = _truncate(
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+                    F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+                )
+            ).alias("__e")
+        )
+        .select("__e.u", "__e.v")
         .distinct()
     )
     verts = sym.select(F.col("u").alias("node")).distinct()

@@ -16,7 +16,7 @@ shuffle per column, the sketch is map-side mergeable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -99,23 +99,35 @@ def gopher_repetition(
     matching the certified oracle's `WHERE text IS NOT NULL` spine).
 
     Scale design: the only shuffles are per-doc-keyed aggregations and
-    one join of gram occurrences against the per-doc duplicated-gram
-    set (both sides keyed (doc, gram) — co-partitioned, no skew beyond
-    a single document's length, which also bounds every group). All
-    Catalyst expressions; the gram strings never leave their (doc,
-    gram) groups.
+    ONE (doc, gram)-keyed exchange for the duplicated-gram coverage (a
+    whole-partition window count — r14: the earlier groupBy + self-join
+    form executed the 6-gram explode twice and shuffled it twice; the
+    window does it once, and every group is bounded by a single
+    document's gram multiplicity). Gram keys are 64-bit
+    ``xxhash64``-of-token-hashes (the ``shingle_hash_frame``
+    composition — token characters hashed once per doc, 8-byte keys
+    instead of 32-char md5 hex strings; a within-doc collision risk of
+    ~|doc-grams|²/2^64 is the same trade every similarity join key
+    accepts). All Catalyst expressions; token strings never leave
+    their document's row.
     """
     toks = F.split(F.trim(F.col(text_col)), " ")
     base = (
         df.filter(F.col(text_col).isNotNull())
-        .select(F.col(id_col).alias("__doc"), toks.alias("__t"))
-        .select("__doc", "__t", F.size("__t").alias("__n"))
+        .select(
+            F.col(id_col).alias("__doc"),
+            F.transform(toks, lambda x: F.xxhash64(x)).alias("__th"),
+        )
+        .select("__doc", "__th", F.size("__th").alias("__n"))
     )
 
     def grams(n: int) -> DataFrame:
+        th = F.col("__th")
         arr = F.transform(
             F.sequence(F.lit(1), F.col("__n") - (n - 1)),
-            lambda i: F.md5(F.concat_ws(" ", F.slice("__t", i, n))),
+            lambda i: F.xxhash64(
+                *[F.element_at(th, i + F.lit(j)) for j in range(n)]
+            ),
         )
         return (
             base.filter(F.col("__n") >= n)
@@ -135,15 +147,17 @@ def gopher_repetition(
         )
     )
 
-    g6 = grams(dup_n)
-    dup_set = (
-        g6.groupBy("__doc", "__g")
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .filter(F.col("__c") >= 2)
-        .select("__doc", "__g")
-    )
+    # duplicated-gram occurrences in ONE pass: a whole-partition window
+    # count over (doc, gram) tags every occurrence with its gram's
+    # within-doc multiplicity — replacing the groupBy + join-back form,
+    # which executed the 6-gram explode twice and shuffled it twice
+    # (r14; group size is bounded by one document's repetition of one
+    # gram, so no degenerate window partition exists)
+    occ_w = Window.partitionBy("__doc", "__g")
     covered = (
-        g6.join(dup_set, ["__doc", "__g"])
+        grams(dup_n)
+        .withColumn("__c", F.count(F.lit(1)).over(occ_w))
+        .filter(F.col("__c") >= 2)
         .select(
             "__doc",
             F.explode(

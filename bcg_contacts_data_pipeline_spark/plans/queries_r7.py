@@ -396,9 +396,14 @@ def neardup_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ngram_jaccard_pairs(
         docs, "doc_id", "text", n=3, threshold=0.2, max_df=100
     )
+    # each edge contributes to both endpoints via a row-local explode —
+    # a self-union here would re-execute the whole capped pair pipeline
+    # for the second endpoint column (union branches share no
+    # exchanges/scans; same finding as connected_components' sym)
     deg = (
-        pairs.select(F.col("id_a").alias("node"))
-        .unionByName(pairs.select(F.col("id_b").alias("node")))
+        pairs.select(
+            F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("node")
+        )
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
