@@ -156,25 +156,44 @@ def kofn_enrich(
     if not with_change_log:
         return enriched, None
 
-    log_parts = []
-    for c, src in fill.items():
-        log_parts.append(
-            enriched_keys.filter(
-                F.col("__sid").isNotNull()
-                & F.col(f"__tf_{c}").isNull()
-                & F.col(f"__sf_{src}").isNotNull()
-            ).select(
-                F.col("__tid").alias(target_id),
-                F.lit(c).alias("field"),
-                F.col(f"__tf_{c}").cast("string").alias("old_value"),
-                F.col(f"__sf_{src}").cast("string").alias("new_value"),
-                F.col("__sid").alias("source_id"),
-                F.array_join(matched_on, ",").alias("matched_on"),
-            )
+    # ONE pass over enriched_keys for every fill field (r14, guide
+    # §2.4): the former per-field filtered-select union re-planned and
+    # re-executed the whole enrich pipeline (both joins + the candidate
+    # union) once per fill column. Each row now emits its filled cells
+    # as an exploded struct array — same row multiset, one execution.
+    entries = F.array_compact(
+        F.array(
+            *[
+                F.when(
+                    F.col(f"__tf_{c}").isNull()
+                    & F.col(f"__sf_{src}").isNotNull(),
+                    F.struct(
+                        F.lit(c).alias("field"),
+                        F.col(f"__tf_{c}").cast("string").alias("old_value"),
+                        F.col(f"__sf_{src}").cast("string").alias("new_value"),
+                    ),
+                )
+                for c, src in fill.items()
+            ]
         )
-    change_log = log_parts[0]
-    for part in log_parts[1:]:
-        change_log = change_log.unionByName(part)
+    )
+    change_log = (
+        enriched_keys.filter(F.col("__sid").isNotNull())
+        .select(
+            F.col("__tid").alias(target_id),
+            F.explode(entries).alias("__e"),
+            F.col("__sid").alias("source_id"),
+            F.array_join(matched_on, ",").alias("matched_on"),
+        )
+        .select(
+            target_id,
+            F.col("__e.field").alias("field"),
+            F.col("__e.old_value").alias("old_value"),
+            F.col("__e.new_value").alias("new_value"),
+            "source_id",
+            "matched_on",
+        )
+    )
 
     return enriched, change_log
 

@@ -256,9 +256,20 @@ def connected_components_star(
         return (row["n"], row["x"])
 
     def _large_star(e: DataFrame) -> DataFrame:
-        sym = e.select("u", "v").unionByName(
-            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        )
+        # row-local explode, not a self-union (the connected_components
+        # sym finding): e is checkpointed, but a union would still plan
+        # and execute the materialized scan + downstream twice per
+        # consumer
+        sym = e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u"), F.col("v")),
+                    F.struct(
+                        F.col("v").alias("u"), F.col("u").alias("v")
+                    ),
+                )
+            ).alias("__e")
+        ).select("__e.u", "__e.v")
         mins = sym.groupBy("u").agg(
             F.least(F.min("v"), F.first("u")).alias("m")
         )
@@ -296,7 +307,16 @@ def connected_components_star(
     fp = _fingerprint(e)
     prev_ck: DataFrame | None = e
     for _ in range(max_iter):
-        nxt = _truncate(_small_star(_large_star(e)))
+        # the large-star result is materialized before small-star reads
+        # it: small-star references its input twice (mins + the rewire
+        # join), so an unmaterialized large-star subtree would execute
+        # twice per round (r14; same per-consumer recompute rule as the
+        # CC loop's label checkpoints). The intermediate's blocks are
+        # freed as soon as the round's result exists.
+        ls = _truncate(_large_star(e))
+        nxt = _truncate(_small_star(ls))
+        if checkpoint == "local":
+            free_local_checkpoint(ls)
         nfp = _fingerprint(nxt)
         if checkpoint == "local" and prev_ck is not None and prev_ck is not nxt:
             free_local_checkpoint(prev_ck)

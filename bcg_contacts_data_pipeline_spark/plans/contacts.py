@@ -190,7 +190,8 @@ def fill_missing(
     master: DataFrame,
     source: DataFrame,
     fill_fields: dict[str, str] | None = None,
-) -> tuple[DataFrame, DataFrame]:
+    with_change_log: bool = True,
+) -> tuple[DataFrame, DataFrame | None]:
     """fill_missing_contacts.py semantics: fill firstname/lastname/
     fullname/mobile (SURVEY J2 fill set) from the first source row
     agreeing on >=2 of (name, email, phone).
@@ -215,6 +216,7 @@ def fill_missing(
         source_order="sid",
         min_matches=2,
         broadcast_source=True,
+        with_change_log=with_change_log,
     )
     # Splice filled values back into the full-width master. The fill side
     # is NARROW (id + fill columns) and deduped by content id — identical
@@ -405,7 +407,7 @@ def validate_contacts(df: DataFrame) -> DataFrame:
 @dataclass
 class PipelineResult:
     cleaned: DataFrame
-    errors: DataFrame
+    errors: DataFrame | None
     fill_log: DataFrame | None = None
     mailchimp_log: DataFrame | None = None
 
@@ -416,6 +418,7 @@ def run_pipeline(
     mailchimp: DataFrame | None = None,
     merge_empty_keys: bool = False,
     pins: PinScope | None = None,
+    side_outputs: bool = True,
 ) -> PipelineResult:
     """The whole reference pipeline as one lazy plan:
     stage 0 (optional) mailchimp enrich -> stage 1 fill-missing ->
@@ -424,13 +427,20 @@ def run_pipeline(
     ``pins``: scope for the renumber persists the dedup stage creates —
     the CLI releases it after every sink has run, so embedded callers
     running many pipelines in one session don't accumulate cached
-    frames."""
+    frames.
+
+    ``side_outputs=False`` skips CONSTRUCTING the errors frame and the
+    fill change log (returned as None) — plan-BUILD cost, not execution
+    cost: these frames are ~0.7 s of py4j round-trips and analyzer
+    passes that a caller consuming only ``cleaned`` pays for nothing
+    (r14; the e2e benchmark query derives its per-row error count as a
+    column via ``contact_error_count`` instead)."""
     df = conform_to_master(master)
     mc_log = fill_log = None
     if mailchimp is not None:
         df, mc_log = mailchimp_enrich(df, mailchimp, pins=pins)
     if sources is not None:
-        df, fill_log = fill_missing(df, sources)
+        df, fill_log = fill_missing(df, sources, with_change_log=side_outputs)
     cleaned = dedup_contacts(clean_fields(df), merge_empty_keys=merge_empty_keys, pins=pins)
-    errors = validate_contacts(cleaned)
+    errors = validate_contacts(cleaned) if side_outputs else None
     return PipelineResult(cleaned, errors, fill_log, mc_log)

@@ -936,11 +936,30 @@ def _recall_frame(found_pairs: DataFrame, truth: DataFrame) -> DataFrame:
 
 
 def _docs_with_copy(docs: DataFrame) -> DataFrame:
-    base = docs.select("doc_id", "text")
-    copy = base.select(
-        (F.col("doc_id") + F.lit(_COPY_OFFSET)).alias("doc_id"), "text"
+    # row-local explode, not a self-union (r14, guide §2.4): union
+    # branches are separate subtrees with zero scan/exchange reuse, so
+    # the union form read the documents parquet (text included — the
+    # heavy column) TWICE and re-ran every downstream per-branch stage
+    # twice; each row now emits (id, id+offset) against one scan
+    return docs.select(
+        F.explode(
+            F.array(F.col("doc_id"), F.col("doc_id") + F.lit(_COPY_OFFSET))
+        ).alias("doc_id"),
+        "text",
     )
-    return base.unionByName(copy)
+
+
+def _emb_with_copy(emb: DataFrame) -> DataFrame:
+    """Corpus ∪ id-offset copy for the embedding recall corpora — the
+    vector twin of ``_docs_with_copy``, same row-local explode instead
+    of a self-union (r14: the union read the embeddings parquet — the
+    heavy vector column — once per branch per downstream consumer)."""
+    return emb.select(
+        F.explode(
+            F.array(F.col("vec_id"), F.col("vec_id") + F.lit(_COPY_OFFSET))
+        ).alias("vec_id"),
+        "embedding",
+    )
 
 
 @register(
@@ -1925,22 +1944,28 @@ def q_embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    doubled = emb.unionByName(
-        emb.select(
-            (F.col("vec_id") + F.lit(_COPY_OFFSET)).alias("vec_id"), "embedding"
-        )
-    )
     out = embedding_ann_ivf(
-        doubled, "vec_id", "embedding", n_centroids=16, n_probe=4, k=5
+        _emb_with_copy(emb), "vec_id", "embedding", n_centroids=16, n_probe=4, k=5
     )
     pairs = out.select(
         F.col("query_id").alias("id_a"), F.col("neighbor_id").alias("id_b")
     )
-    fwd = emb.select(
-        F.col("vec_id").alias("id_a"),
-        (F.col("vec_id") + F.lit(_COPY_OFFSET)).alias("id_b"),
-    )
-    truth = fwd.unionByName(fwd.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")))
+    # both truth directions from ONE pass over the id column (r14: the
+    # fwd ∪ reversed(fwd) union planned the scan twice)
+    truth = emb.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("vec_id").alias("id_a"),
+                    (F.col("vec_id") + F.lit(_COPY_OFFSET)).alias("id_b"),
+                ),
+                F.struct(
+                    (F.col("vec_id") + F.lit(_COPY_OFFSET)).alias("id_a"),
+                    F.col("vec_id").alias("id_b"),
+                ),
+            )
+        ).alias("__t")
+    ).select("__t.id_a", "__t.id_b")
     return _recall_frame(pairs, truth)
 
 
@@ -2393,7 +2418,10 @@ def q_contacts_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lower("c_name"), F.lit("@corp.example")).alias("s_email"),
         (F.col("c_custkey") * 7919 + 10000000).cast("string").alias("s_mobile"),
     )
-    result = C.run_pipeline(master, sources=source)
+    # side_outputs=False: this query consumes only `cleaned` (n_errors
+    # is the pure-projection column below), so the errors frame and the
+    # fill change log would be ~0.7 s of pure plan-build waste (r14)
+    result = C.run_pipeline(master, sources=source, side_outputs=False)
     # n_errors is derivable from the row alone (validation is a pure
     # projection), so attach it as a column instead of aggregating
     # result.errors and joining back — the join form computes the whole

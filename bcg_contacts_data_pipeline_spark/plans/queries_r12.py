@@ -193,15 +193,11 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         semantic_dedup,
     )
 
+    from bcg_contacts_data_pipeline_spark.plans.queries import _emb_with_copy
+
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    doubled = emb.unionByName(
-        emb.select(
-            (F.col("vec_id") + F.lit(_COPY_OFFSET)).alias("vec_id"),
-            "embedding",
-        )
-    )
     return semantic_dedup(
-        doubled,
+        _emb_with_copy(emb),
         "vec_id",
         "embedding",
         n_clusters=_SEM_K,
@@ -260,15 +256,11 @@ def q_embedding_ann_ivf_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         _recall_frame,
     )
 
+    from bcg_contacts_data_pipeline_spark.plans.queries import _emb_with_copy
+
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    doubled = emb.unionByName(
-        emb.select(
-            (F.col("vec_id") + F.lit(_COPY_OFFSET)).alias("vec_id"),
-            "embedding",
-        )
-    )
     out = embedding_ann_ivf(
-        doubled,
+        _emb_with_copy(emb),
         "vec_id",
         "embedding",
         n_centroids=16,
@@ -279,13 +271,22 @@ def q_embedding_ann_ivf_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = out.select(
         F.col("query_id").alias("id_a"), F.col("neighbor_id").alias("id_b")
     )
-    fwd = emb.select(
-        F.col("vec_id").alias("id_a"),
-        (F.col("vec_id") + F.lit(_COPY_OFFSET)).alias("id_b"),
-    )
-    truth = fwd.unionByName(
-        fwd.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
-    )
+    # both truth directions from ONE pass over the id column (r14: the
+    # fwd ∪ reversed(fwd) union planned the scan twice)
+    truth = emb.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("vec_id").alias("id_a"),
+                    (F.col("vec_id") + F.lit(_COPY_OFFSET)).alias("id_b"),
+                ),
+                F.struct(
+                    (F.col("vec_id") + F.lit(_COPY_OFFSET)).alias("id_a"),
+                    F.col("vec_id").alias("id_b"),
+                ),
+            )
+        ).alias("__t")
+    ).select("__t.id_a", "__t.id_b")
     return _recall_frame(pairs, truth)
 
 

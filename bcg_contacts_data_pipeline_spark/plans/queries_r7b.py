@@ -1120,14 +1120,24 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     closing = e.select(
         F.col("id_a").alias("a3"), F.col("id_b").alias("c3")
     )
-    tris = wedges.join(
+    # ONE pass over the wedge frame for both counts (r14, guide §2.4):
+    # the former shape aggregated `wedges` once for n_wedges and joined
+    # it against `closing` again for n_triangles — the wedge join (the
+    # largest frame here) executed twice. A LEFT join preserves every
+    # wedge row exactly once when unmatched, and the pair generator
+    # guarantees (id_a, id_b) distinct, so count(*) is still the wedge
+    # count and count(a3) is exactly the inner-join triangle count.
+    closed = wedges.join(
         closing,
         (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")),
+        "left",
     )
     n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
-    n_wedges = wedges.agg(F.count(F.lit(1)).alias("n_wedges"))
-    n_tris = tris.agg(F.count(F.lit(1)).alias("n_triangles"))
-    return n_edges.crossJoin(n_wedges).crossJoin(n_tris)
+    wt = closed.agg(
+        F.count(F.lit(1)).alias("n_wedges"),
+        F.count("a3").alias("n_triangles"),
+    )
+    return n_edges.crossJoin(wt)
 
 
 # ---------------------------------------------------------------------------
@@ -1380,29 +1390,58 @@ def fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
 
-    def audit(name, fact, key, dim, dim_key):
-        total = fact.agg(F.count(F.lit(1)).alias("n_rows"))
-        orphans = fact.join(
-            dim, F.col(key) == F.col(dim_key), "left_anti"
-        ).agg(F.count(F.lit(1)).alias("n_orphans"))
-        return (
-            total.crossJoin(orphans)
-            .select(
-                F.lit(name).alias("relationship"), "n_rows", "n_orphans"
-            )
-        )
+    # ONE pass per fact table (r14, guide §2.4): the per-relationship
+    # anti-join form scanned lineitem SIX times (3 totals + 3 antis).
+    # Each fact now left-joins the DISTINCT key projection of its dims
+    # (distinct so a hypothetically duplicated dim key cannot multiply
+    # fact rows — preserving the anti-join's exact row accounting) and
+    # a single aggregate emits the total plus every per-FK orphan
+    # count: NULL-keyed fact rows match nothing, exactly as the
+    # anti-join counted them.
+    def keyed(dim, dim_key):
+        return dim.select(F.col(dim_key)).distinct()
 
-    frames = [
-        audit("lineitem.l_orderkey -> orders", li, "l_orderkey", o, "o_orderkey"),
-        audit("lineitem.l_partkey -> part", li, "l_partkey", p, "p_partkey"),
-        audit("lineitem.l_suppkey -> supplier", li, "l_suppkey", s, "s_suppkey"),
-        audit("orders.o_custkey -> customer", o, "o_custkey", c, "c_custkey"),
-        audit("customer.c_nationkey -> nation", c, "c_nationkey", n, "n_nationkey"),
-    ]
-    out = frames[0]
-    for f in frames[1:]:
-        out = out.unionByName(f)
-    return out
+    li_row = (
+        li.select("l_orderkey", "l_partkey", "l_suppkey")
+        .join(keyed(o, "o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey"), "left")
+        .join(keyed(p, "p_partkey"), F.col("l_partkey") == F.col("p_partkey"), "left")
+        .join(keyed(s, "s_suppkey"), F.col("l_suppkey") == F.col("s_suppkey"), "left")
+        .agg(
+            F.count(F.lit(1)).alias("li_n"),
+            F.count_if(F.col("o_orderkey").isNull()).alias("orph_o"),
+            F.count_if(F.col("p_partkey").isNull()).alias("orph_p"),
+            F.count_if(F.col("s_suppkey").isNull()).alias("orph_s"),
+        )
+    )
+    o_row = (
+        o.select("o_custkey")
+        .join(keyed(c, "c_custkey"), F.col("o_custkey") == F.col("c_custkey"), "left")
+        .agg(
+            F.count(F.lit(1)).alias("o_n"),
+            F.count_if(F.col("c_custkey").isNull()).alias("orph_c"),
+        )
+    )
+    c_row = (
+        c.select("c_nationkey")
+        .join(keyed(n, "n_nationkey"), F.col("c_nationkey") == F.col("n_nationkey"), "left")
+        .agg(
+            F.count(F.lit(1)).alias("c_n"),
+            F.count_if(F.col("n_nationkey").isNull()).alias("orph_n"),
+        )
+    )
+    return (
+        li_row.crossJoin(o_row)
+        .crossJoin(c_row)
+        .selectExpr(
+            "stack(5, "
+            "'lineitem.l_orderkey -> orders', li_n, orph_o, "
+            "'lineitem.l_partkey -> part', li_n, orph_p, "
+            "'lineitem.l_suppkey -> supplier', li_n, orph_s, "
+            "'orders.o_custkey -> customer', o_n, orph_c, "
+            "'customer.c_nationkey -> nation', c_n, orph_n"
+            ") AS (relationship, n_rows, n_orphans)"
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1603,18 +1642,18 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ngram_jaccard_pairs(
         docs, "doc_id", "text", n=3, threshold=0.2, max_df=100
     ).select("id_a", "id_b")
-    splits = docs.select(
-        "doc_id", assign_split("doc_id", seed="corpus-v1").alias("split")
-    )
-    sa = splits.select(
-        F.col("doc_id").alias("id_a"), F.col("split").alias("sa")
-    )
-    sb = splits.select(
-        F.col("doc_id").alias("id_b"), F.col("split").alias("sb")
-    )
-    labeled = pairs.join(sa, "id_a").join(sb, "id_b").select(
-        F.least("sa", "sb").alias("split_a"),
-        F.greatest("sa", "sb").alias("split_b"),
+    # assign_split is a PURE deterministic expression of the id
+    # (hash_bucket of the value + seed), and every pair endpoint is a
+    # doc_id from the same frame — so the former splits-frame joins
+    # were identity lookups of a value the expression computes in
+    # place. Evaluating it directly on the endpoints removes two joins
+    # and two document scans from the plan (r14, guide §2.4); results
+    # are bit-identical because the join key WAS the expression input.
+    sa = assign_split(F.col("id_a"), seed="corpus-v1")
+    sb = assign_split(F.col("id_b"), seed="corpus-v1")
+    labeled = pairs.select(
+        F.least(sa, sb).alias("split_a"),
+        F.greatest(sa, sb).alias("split_b"),
     )
     return labeled.groupBy("split_a", "split_b").agg(
         F.count(F.lit(1)).alias("n_pairs"),
