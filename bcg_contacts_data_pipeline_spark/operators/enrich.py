@@ -106,18 +106,53 @@ def kofn_enrich(
     )
 
     # >= k-of-n  ==  equality on at least one size-k key combination.
-    pair_frames = []
-    for combo in combinations(keys, min_matches):
+    # ONE join over banded rows, not one join per combination (r14,
+    # guide §2.4 — the LSH-banding shape): each side explodes every
+    # size-k combination into a (combo_id, key values...) row and a
+    # single equi-join on those columns replaces the per-combo
+    # join-then-union, which executed the corpus-sized probe side once
+    # per combination (3 full passes at the default 2-of-3). The row
+    # multiset of (target, source) candidates is identical: a pair
+    # matching on m combinations contributes m rows in both forms, and
+    # standard (non-null-safe) column equality keeps the NULL-never-
+    # matches contract. Rows carrying a NULL key value in a combo are
+    # dropped before the join — they cannot match and would only pad
+    # the exchange.
+    combos = list(combinations(keys, min_matches))
+    kf = [f"__k{j}" for j in range(min_matches)]
+
+    def banded(frame, prefix, id_alias):
+        rows = frame.select(
+            F.col(id_alias),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("__combo"),
+                            *[
+                                F.col(f"{prefix}{k.name}").alias(kf[j])
+                                for j, k in enumerate(combo)
+                            ],
+                        )
+                        for i, combo in enumerate(combos)
+                    ]
+                )
+            ).alias("__b"),
+        ).select(id_alias, "__b.*")
         cond = None
-        for k in combo:
-            c = F.col(f"__tk_{k.name}") == F.col(f"__sk_{k.name}")
+        for j in range(min_matches):
+            c = F.col(kf[j]).isNotNull()
             cond = c if cond is None else (cond & c)
-        pair_frames.append(
-            needy.join(s_keyed, on=cond, how="inner").select("__tid", "__sid")
-        )
-    candidates = pair_frames[0]
-    for frame in pair_frames[1:]:
-        candidates = candidates.unionByName(frame)
+        return rows.filter(cond)
+
+    s_banded = banded(s_keyed, "__sk_", "__sid")
+    if broadcast_source:
+        s_banded = F.broadcast(s_banded)
+    candidates = (
+        banded(needy, "__tk_", "__tid")
+        .join(s_banded, on=["__combo", *kf])
+        .select("__tid", "__sid")
+    )
 
     # First accepted match == minimum source_order per target. A partial-
     # aggregatable min, not a window: map-side combine absorbs the skew of

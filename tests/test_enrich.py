@@ -102,3 +102,41 @@ def test_two_key_strict_variant(spark):
     )
     # phone normalizes to last-10 on both sides -> match; email filled
     assert enriched.collect()[0]["email"] == "ann@x.com"
+
+
+def test_banded_join_multi_combo_and_all_three_match(spark):
+    """Pins the r14 banded-combination join: a target matching a source
+    on ALL THREE keys satisfies every 2-of-3 combination (three banded
+    candidate rows for one logical pair) yet must enrich exactly once,
+    with matched_on listing all three keys; and a target whose two
+    agreeing keys span DIFFERENT combos with different sources takes
+    the min-sid source."""
+    target = spark.createDataFrame(
+        [
+            (1, "Ann Lee", "a@x.com", "0412345678", None),   # 3/3 vs sid 10
+            (2, "Bob Roy", "b@x.com", "0499999999", None),   # name+email sid 20; name+phone sid 30
+        ],
+        "id long, name string, email string, phone string, title string",
+    )
+    source = spark.createDataFrame(
+        [
+            (10, "ann lee", "A@X.COM", "0412345678", "Dr"),
+            (20, "Bob Roy", "b@x.com", "0400000000", "Mr"),
+            (30, "Bob Roy", "bob@other.com", "0499999999", "Ms"),
+        ],
+        "sid long, s_name string, s_email string, s_phone string, s_title string",
+    )
+    enriched, log = kofn_enrich(
+        target, source, keys3(), {"title": "s_title"}, "id", "sid",
+        min_matches=2,
+    )
+    rows = {r["id"]: r for r in enriched.collect()}
+    assert rows[1]["title"] == "Dr"
+    assert rows[1]["matched_source_id"] == 10
+    assert set(rows[1]["matched_on"]) == {"name", "email", "phone"}
+    # one enriched row per target despite 3 banded candidate rows
+    assert enriched.count() == 2
+    assert rows[2]["matched_source_id"] == 20  # min sid across combos
+    assert rows[2]["title"] == "Mr"
+    log_rows = {(r["id"], r["field"]) for r in log.collect()}
+    assert log_rows == {(1, "title"), (2, "title")}
