@@ -41,7 +41,9 @@ BUDGET = {
     "q19_disjunctive_revenue": 1,
     # reference-parity operators
     "dedup_merge": 1,
-    "enrich_2of3": 6,  # 3 pairwise probes + pick-first windows
+    # r14: one banded equi-join over exploded (combo, keys) rows
+    # replaced the 3 pairwise probe joins (OPTIMIZATION_r14.md #13)
+    "enrich_2of3": 4,
     "error_histogram": 1,
     "topk_parts_per_brand": 2,
     "profile_columns": 2,  # partial+final of the single fused agg
@@ -87,7 +89,9 @@ BUDGET = {
     # r13: -8 — ngram_jaccard_pairs materializes the max_df hot set
     # once (localCheckpoint), so the four capped-postings consumers no
     # longer each replay the document-frequency shuffle (PERF.md r13)
-    "neardup_degree_hist": 17,
+    # r14: endpoint explode replaced the degree self-union, halving
+    # the pair-pipeline executions (OPTIMIZATION_r14.md #2)
+    "neardup_degree_hist": 10,
     # round-7 continuation: the last three TPC-H shapes — every dim
     # broadcasts, the single exchange is the final groupBy's
     "q7_volume_shipping": 1,
@@ -125,7 +129,9 @@ BUDGET = {
     "quality_weighted_sample": 0,
     # pinned edge list reprinted per consumer (q15 pattern) + the two
     # join-side exchanges per wedge/closing probe + three scalar counts
-    "triangle_count": 9,
+    # r14: wedges counted and closed in ONE left-join pass
+    # (OPTIMIZATION_r14.md #8)
+    "triangle_count": 6,
     # three physical passes (median, MAD, threshold count) + joins of
     # the pinned 5-row stats; textual count includes cached-build
     # reprints (2 distinct scan ids)
@@ -136,7 +142,9 @@ BUDGET = {
     "retention_cohorts": 4,
     # 5 relationships x (total SinglePartition + anti-join count); the
     # dim sides broadcast, so each audit row costs exactly 2
-    "fk_orphan_audit": 10,
+    # r14: one left-join aggregate pass per fact table (3 frames)
+    # instead of 5 total+anti pairs (OPTIMIZATION_r14.md #10)
+    "fk_orphan_audit": 8,
     # total SinglePartition + digit agg; the 1-row total broadcasts
     "benford_digit_audit": 2,
     # rangepartitioning (printed twice via the pinned frame's reprint)
