@@ -598,18 +598,29 @@ def substring_trim(
     ``occ_cap`` is forwarded to :func:`substring_spans` (production
     fan-out dial, disclosed there).
 
-    Scale design: one extra positions explode (O(corpus tokens) narrow
-    rows), span coverage expanded with ``sequence`` per span row (output
-    bounded by total duplicated tokens), a LEFT ANTI join on (doc, pos),
-    and one groupBy(doc) rebuild over struct(pos, token) — the same
-    rebuild shuffle shape as ``paragraph_dedup``; the df-cap inherited
-    from the span finder bounds everything upstream. All Catalyst.
+    Scale design (r14): the span rows expand to covered positions with
+    ``sequence`` (bounded by total duplicated tokens) and fold straight
+    into one ``collect_set`` per trimmed doc — a set of INT positions,
+    bounded by the doc's own length. That per-doc set joins the corpus
+    ONCE on the doc key and the rebuild is a per-row array expression
+    (``array_except`` of the position range, then ``element_at``): the
+    corpus text is never exploded, never anti-joined per token, and
+    never re-collected — the pre-r14 shape paid a (doc, pos, token)
+    explode, a (doc, pos)-keyed LEFT ANTI, a collect_list rebuild
+    shuffle of every corpus token, and a fourth execution of ``df`` for
+    the spine join-back; all four are gone (guide §2.3/§2.4: the only
+    thing that shuffles besides the span finder is the tiny position
+    set, and the heavy rows move once). The join carries a
+    ``shuffle_hash`` hint on the cov side (corpus-derived, so the
+    ``_no_static_broadcast`` house rule applies). All Catalyst.
     """
     spans = substring_spans(
         df, id_col, text_col, k=k, min_len=min_len, max_df=max_df,
         occ_cap=occ_cap,
     )
-    covered = (
+    # collect_set dedups overlapping spans' positions, so no separate
+    # DISTINCT pass is needed; group size is bounded by the doc length
+    cov = (
         spans.select(
             F.col("doc_b").alias("__doc"),
             F.explode(
@@ -619,7 +630,8 @@ def substring_trim(
                 )
             ).alias("__p"),
         )
-        .distinct()
+        .groupBy("__doc")
+        .agg(F.collect_set("__p").alias("__cov"))
     )
     toks = F.split(F.trim(F.col(text_col)), " ")
     # NULL-text rows are out of scope (matches the oracle's
@@ -627,33 +639,19 @@ def substring_trim(
     base = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("__doc"), toks.alias("__t")
     )
-    pos = base.select(
-        "__doc", F.posexplode("__t").alias("__p0", "__tok")
-    ).select("__doc", (F.col("__p0") + 1).alias("__p"), "__tok")
-    kept = pos.join(covered, ["__doc", "__p"], "left_anti")
-    rebuilt = kept.groupBy("__doc").agg(
+    cov0 = F.coalesce(F.col("__cov"), F.expr("CAST(array() AS array<int>)"))
+    # ascending kept positions: array_except preserves the first
+    # array's order and sequence(1, n) is ascending (split() always
+    # yields >= 1 element, so the sequence bounds are valid)
+    kept_pos = F.array_except(F.sequence(F.lit(1), F.size("__t")), cov0)
+    return base.join(cov.hint("shuffle_hash"), "__doc", "left").select(
+        F.col("__doc").alias(id_col),
+        F.size("__t").cast("long").alias("n_tokens"),
+        (F.size("__t") - F.size(kept_pos)).cast("long").alias("dup_tokens"),
         F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct("__p", "__tok"))
-                ),
-                lambda s: s["__tok"],
-            ),
+            F.transform(kept_pos, lambda p: F.element_at(F.col("__t"), p)),
             " ",
         ).alias("text_trimmed"),
-        F.count(F.lit(1)).alias("__kept"),
-    )
-    spine = base.select("__doc", F.size("__t").alias("n_tokens"))
-    return (
-        spine.join(rebuilt, "__doc", "left")
-        .select(
-            F.col("__doc").alias(id_col),
-            F.col("n_tokens").cast("long").alias("n_tokens"),
-            (
-                F.col("n_tokens") - F.coalesce(F.col("__kept"), F.lit(0))
-            ).cast("long").alias("dup_tokens"),
-            F.coalesce("text_trimmed", F.lit("")).alias("text_trimmed"),
-        )
     )
 
 
@@ -693,10 +691,16 @@ def c4_span_dedup(
     combinable, so the degenerate corpus-wide boilerplate span
     partial-aggregates to one row per task (count(*) does not need the
     two-stage COUNT DISTINCT staging: there is no distinct). Then one
-    hash-keyed join back (loser occurrences only), a narrow (doc, pos)
-    coverage distinct, a LEFT ANTI on (doc, pos), and the
-    ``paragraph_dedup`` rebuild shape — all Catalyst, no UDF, no
-    collect, every shuffle keyed on doc or hash.
+    hash-keyed join back (loser occurrences only), the loser spans fold
+    into one ``collect_set`` of INT sentence positions per doc (bounded
+    by the doc's own sentence count), and that set joins the corpus
+    ONCE on the doc key; the rebuild is a per-row array expression
+    (``array_except`` over the position range + ``element_at``) — the
+    corpus sentences are never exploded, anti-joined, or re-collected
+    (r14, same single-pass shape as ``substring_trim``; the pre-r14
+    form paid a (doc, pos, sentence) explode, a (doc, pos) LEFT ANTI, a
+    collect_list rebuild shuffle and a spine join-back). All Catalyst,
+    no UDF, no collect, every shuffle keyed on doc or hash.
     """
     if span <= 0:
         raise ValueError("span must be positive")
@@ -740,37 +744,31 @@ def c4_span_dedup(
             & (F.col("__start") == F.col("w.__start"))
         )
     )
-    covered = losers.select(
-        "__doc",
-        F.explode(
-            F.sequence(F.col("__start"), F.col("__start") + span - 1)
-        ).alias("__p"),
-    ).distinct()
-    pos = base.select(
-        "__doc", F.posexplode("__s").alias("__p0", "__sent")
-    ).select("__doc", (F.col("__p0") + 1).alias("__p"), "__sent")
-    kept = pos.join(covered, ["__doc", "__p"], "left_anti")
-    rebuilt = kept.groupBy("__doc").agg(
-        F.count(F.lit(1)).alias("__kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("__p", "__sent"))),
-                lambda s: s["__sent"],
-            ),
-            ". ",
-        ).alias("text_dedup"),
+    cov = (
+        losers.select(
+            "__doc",
+            F.explode(
+                F.sequence(F.col("__start"), F.col("__start") + span - 1)
+            ).alias("__p"),
+        )
+        .groupBy("__doc")
+        .agg(F.collect_set("__p").alias("__cov"))
     )
-    spine = base.select(
-        "__doc",
+    cov0 = F.coalesce(F.col("__cov"), F.expr("CAST(array() AS array<int>)"))
+    # sequence(1, 0) would generate a DESCENDING [1, 0], so the
+    # zero-sentence case (all-punctuation / whitespace text) is guarded
+    # to an empty position range explicitly
+    seq = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.expr("CAST(array() AS array<int>)")
+    )
+    kept_pos = F.array_except(seq, cov0)
+    return base.join(cov.hint("shuffle_hash"), "__doc", "left").select(
+        F.col("__doc").alias(id_col),
         n.cast("long").alias("n_sentences"),
         F.greatest(n - span + 1, F.lit(0)).cast("long").alias("n_spans"),
-    )
-    return spine.join(rebuilt, "__doc", "left").select(
-        F.col("__doc").alias(id_col),
-        "n_sentences",
-        "n_spans",
-        (F.col("n_sentences") - F.coalesce(F.col("__kept"), F.lit(0)))
-        .cast("long")
-        .alias("dup_sentences"),
-        F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+        (n - F.size(kept_pos)).cast("long").alias("dup_sentences"),
+        F.array_join(
+            F.transform(kept_pos, lambda p: F.element_at(F.col("__s"), p)),
+            ". ",
+        ).alias("text_dedup"),
     )

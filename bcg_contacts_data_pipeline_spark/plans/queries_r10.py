@@ -199,9 +199,17 @@ def q_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = docs.filter(F.col("doc_id") % 10 != 0)
     # yesterday's labeling: exact-dup components need no CC at all —
     # component label = min doc_id per identical text (NULL text rows
-    # join nothing and label themselves, same as the oracle's star join)
-    rep = hist.groupBy("text").agg(F.min("doc_id").alias("__m"))
-    old_labels = hist.join(rep, "text", "left").select(
+    # hash to NULL, join nothing and label themselves, same as the
+    # oracle's star join). The group/join key is sha2-256 of the text,
+    # not the text itself (r14, guide §2.3 "shuffle keys, not
+    # payloads"): both exchanges carried the FULL document as the key;
+    # the hash is the same collision-resistant equality decision
+    # paragraph_dedup documents, at 64 bytes per row
+    hist_h = hist.select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("__h")
+    )
+    rep = hist_h.groupBy("__h").agg(F.min("doc_id").alias("__m"))
+    old_labels = hist_h.join(rep, "__h", "left").select(
         F.col("doc_id").alias("node"),
         F.coalesce("__m", "doc_id").alias("comp"),
     )

@@ -342,12 +342,18 @@ def q_url_frontier_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     frontier table as tomorrow's state.
 
     Scale shape: the incremental-family contract — in-batch alias
-    collapse is one groupBy on the canonical key (O(batch)), then one
-    LEFT ANTI join against the frontier's canonical index; history is
-    touched only through that persisted index (recomputed here from
-    the fixture arithmetic because the oracle needs an independent
-    statement of it), never rescanned for pair work. Both sides key on
-    the high-cardinality canonical URL; at 100 TB the anti-join is the
+    collapse and the history anti-probe fold into ONE pass keyed on the
+    canonical URL (r14, guide §2.4): each qualifying discovery-log row
+    canonicalizes once and carries two flags (in today's batch / in the
+    frontier history), a single groupBy computes the batch aggregates
+    over flagged rows plus ``max(in_history)``, and the anti-join
+    becomes a post-aggregation filter — the pre-r14 shape scanned the
+    log twice, canonicalized the overlap rows twice, and paid three
+    canonical-URL shuffles (batch agg + history DISTINCT + the
+    anti-join) for what one map-side-combinable aggregate decides.
+    History stays touched only through its canonical index (recomputed
+    here from the fixture arithmetic because the oracle needs an
+    independent statement of it); at 100 TB the one shuffle is the
     standard new-key probe every crawl scheduler runs."""
     from bcg_contacts_data_pipeline_spark.functions.urls import (
         url_canonicalize,
@@ -358,17 +364,23 @@ def q_url_frontier_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     canon = url_canonicalize(
         _messy_url("event_id", "Delta", "/page/")
     ).alias("canonical_url")
+    in_batch = (rid % 6).isin(0, 2)
+    in_hist = rid % 3 != 0
 
-    batch = ev.filter((rid % 6).isin(0, 2)).select("event_id", canon)
-    history = ev.filter(rid % 3 != 0).select(canon).distinct()
-
+    flagged = ev.filter(in_batch | in_hist).select(
+        "event_id", canon, in_batch.alias("__b"), in_hist.alias("__h")
+    )
     return (
-        batch.groupBy("canonical_url")
+        flagged.groupBy("canonical_url")
         .agg(
-            F.min("event_id").alias("first_event"),
-            F.count(F.lit(1)).alias("n_discoveries"),
+            F.min(F.when(F.col("__b"), F.col("event_id"))).alias(
+                "first_event"
+            ),
+            F.count(F.when(F.col("__b"), F.lit(1))).alias("n_discoveries"),
+            F.max("__h").alias("__seen"),
         )
-        .join(history, "canonical_url", "left_anti")
+        .filter(~F.col("__seen") & (F.col("n_discoveries") > 0))
+        .drop("__seen")
     )
 
 

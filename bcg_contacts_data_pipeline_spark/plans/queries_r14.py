@@ -313,10 +313,13 @@ def q_curation_pipeline_v2_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: each rung inherits its certified operator's contract
     (df-capped pair generation, two-stage combinable shuffles, eager
-    checkpoints only inside the CC loop); the two frames consumed by
-    multiple downstream stages (`kept`, the trimmed corpus) are pinned
-    once — the same hot-set materialization rule the v1 ladder and the
-    r13 similarity fix follow."""
+    checkpoints only inside the CC loop); the three frames consumed by
+    multiple downstream stages (`kept`, the Gopher-gated corpus, the
+    trimmed corpus) are pinned once — the same hot-set materialization
+    rule the v1 ladder and the r13 similarity fix follow (`gdocs` was
+    unpinned until r14: `substring_trim` reads its input three times —
+    twice in the span finder's gram branches, once for the rebuild
+    spine — so the whole Gopher window pipeline re-executed per read)."""
     from bcg_contacts_data_pipeline_spark.functions.sampling import (
         assign_split,
     )
@@ -353,7 +356,8 @@ def q_curation_pipeline_v2_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("keep"))
         .select("doc_id")
     )
-    gdocs = kept.join(rep_ok, "doc_id", "left_semi")
+    # three consumers inside substring_trim (2x gram branches + spine)
+    gdocs = pin(kept.join(rep_ok, "doc_id", "left_semi"), None)
 
     trimmed = substring_trim(
         gdocs, "doc_id", "text", k=_SS_K, min_len=_SS_MIN_LEN,

@@ -363,6 +363,26 @@ def test_c4_span_dedup_crafted(spark):
     )
 
 
+def test_c4_span_dedup_zero_sentence_doc(spark):
+    """Pin the r14 single-pass rebuild's empty-range guard: a doc whose
+    text yields ZERO sentences (punctuation/whitespace only) must pass
+    through with empty text, not a descending sequence(1, 0) artifact."""
+    rows = [
+        (1, "!!! ?? ."),
+        (2, "A1. B2. C3. D4."),
+        (3, "X. A1. B2. C3."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in c4_span_dedup(df, "doc_id", "text").collect()
+    }
+    assert out[1] == dict(
+        doc_id=1, n_sentences=0, n_spans=0, dup_sentences=0, text_dedup=""
+    )
+    assert out[3]["dup_sentences"] == 3 and out[3]["text_dedup"] == "X"
+
+
 # ---------------------------------------------------------------------------
 # gopher_dup_lines (round 14): duplicate-line fraction rungs vs model
 # ---------------------------------------------------------------------------
