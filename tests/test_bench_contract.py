@@ -138,6 +138,11 @@ def test_bench_isolation_pass_adjudicates_big_deltas(tmp_path):
         SPARK_GRAFT_CPUS="4",
         SPARK_GRAFT_BENCH_RUNS="1",
         SPARK_GRAFT_CALIB_ROWS="50000000",
+        # the all-core probe's default 30M rows is sized for 32 cores;
+        # at the test's 4 cpus the 5 draws alone cost ~50 s of the
+        # subprocess timeout (measured r14: this test ran 247 s quiet
+        # and tipped past 300 s under suite co-tenancy)
+        SPARK_GRAFT_CALIB_PAR_ROWS="2000000",
         SPARK_GRAFT_BENCH_FULL=str(full),
     )
     proc = subprocess.run(
@@ -179,6 +184,7 @@ def test_rotation_cursor_survives_fitting_rounds(tmp_path):
         SPARK_GRAFT_CPUS="4",
         SPARK_GRAFT_BENCH_RUNS="1",
         SPARK_GRAFT_CALIB_ROWS="50000000",
+        SPARK_GRAFT_CALIB_PAR_ROWS="2000000",  # sized for 4 cpus, see above
         SPARK_GRAFT_BENCH_FULL=str(full),
         # env selection (not argv): runs a subset but writes the artifact
         SPARK_GRAFT_BENCH_QUERIES="hash_split,error_histogram",
@@ -210,6 +216,7 @@ def test_env_subset_refuses_default_artifact_path():
         SPARK_GRAFT_CPUS="4",
         SPARK_GRAFT_BENCH_RUNS="1",
         SPARK_GRAFT_CALIB_ROWS="50000000",
+        SPARK_GRAFT_CALIB_PAR_ROWS="2000000",  # sized for 4 cpus, see above
         SPARK_GRAFT_BENCH_QUERIES="hash_split",
     )
     env.pop("SPARK_GRAFT_BENCH_FULL", None)
