@@ -119,6 +119,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.2,
     max_df: int | None = None,
+    pins: PinScope | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing >= 1 shingle.
 
@@ -176,6 +177,17 @@ def ngram_jaccard_pairs(
             .select("sh")
             .localCheckpoint(eager=True)
         )
+        if pins is not None:
+            # a localCheckpoint's blocks are not released by unpersist —
+            # register the freeing routine so a scoped caller returns
+            # the session to its pre-call persistent-RDD count
+            # (tests/test_pins.py; found by the r14 continuation's
+            # fresh-session run of that gate)
+            from bcg_contacts_data_pipeline_spark.operators.graph import (
+                free_local_checkpoint,
+            )
+
+            pins.adopt(hot, free_local_checkpoint)
         shingles = shingles.join(hot, "sh", "left_anti")
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
 
@@ -408,8 +420,42 @@ def minhash_lsh_pairs(
     keeps the complete-candidate baseline the oracle-mirrored queries
     pin.
     """
+    return minhash_lsh_pairs_from_sigs(
+        minhash_signatures(df, id_col, text, n, num_hashes, seed),
+        id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        verify_threshold=verify_threshold,
+        pins=pins,
+        max_bucket=max_bucket,
+    )
+
+
+def minhash_lsh_pairs_from_sigs(
+    sigs: DataFrame,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    verify_threshold: float | None = 0.5,
+    pins: PinScope | None = None,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """``minhash_lsh_pairs`` over a PRECOMPUTED ``(id, sigs)`` frame —
+    the output of ``minhash_signatures`` with the same ``num_hashes``.
+
+    Entry point for callers that derive several corpus views from ONE
+    signature computation (r14 continuation, guide §2.3 — do the heavy
+    per-row work once, then multiply rows): the recall corpora build
+    corpus+copy by exploding ids at the SIGNATURE level, so each text
+    is tokenized/shingled/hashed once instead of once per copy. The
+    result is bit-identical because a signature is a pure per-row
+    function of the text.
+
+    ``sigs`` is pinned here (band-bucketing and the verify stage both
+    scan it) — the caching contract documented on ``minhash_lsh_join``
+    applies."""
     assert num_hashes % bands == 0
-    sigs = pin(minhash_signatures(df, id_col, text, n, num_hashes, seed), pins)
+    sigs = pin(sigs, pins)
     buckets = _band_buckets(sigs, id_col, num_hashes, bands)
     if max_bucket is not None:
         buckets = _drop_hot_buckets(buckets, ["band", "bh"], max_bucket)
@@ -520,9 +566,42 @@ def minhash_lsh_join(
     ``clearCache()`` between corpora; storage-memory eviction makes the
     leak a slowdown, not an OOM, but it is real on a shared cluster).
     """
+    return minhash_lsh_join_from_sigs(
+        minhash_signatures(left, left_id, left_text, n, num_hashes, seed),
+        left_id,
+        minhash_signatures(right, right_id, right_text, n, num_hashes, seed),
+        right_id,
+        num_hashes=num_hashes,
+        bands=bands,
+        verify_threshold=verify_threshold,
+        pins=pins,
+    )
+
+
+def minhash_lsh_join_from_sigs(
+    sigs_a: DataFrame,
+    left_id: str,
+    sigs_b: DataFrame,
+    right_id: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    verify_threshold: float | None = 0.5,
+    pins: PinScope | None = None,
+) -> DataFrame:
+    """``minhash_lsh_join`` over PRECOMPUTED signature frames. The
+    caller guarantees both frames come from the same permutation
+    family (one ``minhash_signatures`` n/num_hashes/seed) — that is
+    what makes signatures comparable across frames.
+
+    Lets a caller whose right corpus is a FILTER of the left reuse one
+    signature computation (r14 continuation, guide §2.3): filtering the
+    signature frame commutes with the per-row signature projection, so
+    ``sigs_b = sigs_a.filter(...)`` is bit-identical to re-signing the
+    filtered text — and scans the pinned left signatures instead of
+    re-shingling the eval corpus (decontaminate's shape)."""
     assert num_hashes % bands == 0
-    sl = pin(minhash_signatures(left, left_id, left_text, n, num_hashes, seed), pins)
-    sr = pin(minhash_signatures(right, right_id, right_text, n, num_hashes, seed), pins)
+    sl = pin(sigs_a, pins)
+    sr = pin(sigs_b, pins)
     bl = _band_buckets(sl, left_id, num_hashes, bands).select(
         F.col(left_id).alias("id_a"), "band", "bh"
     )
@@ -597,12 +676,36 @@ def simhash_pairs(
     trades the pigeonhole completeness guarantee inside dropped
     buckets for bounded pair volume; ``None`` keeps the complete
     baseline the oracle-mirrored queries pin."""
+    return simhash_pairs_from_sigs(
+        simhash64(df, id_col, text),
+        id_col,
+        max_hamming=max_hamming,
+        bands=bands,
+        pins=pins,
+        max_bucket=max_bucket,
+    )
+
+
+def simhash_pairs_from_sigs(
+    sims: DataFrame,
+    id_col: str,
+    max_hamming: int = 7,
+    bands: int = 8,
+    pins: PinScope | None = None,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """``simhash_pairs`` over a PRECOMPUTED ``(id, simhash)`` frame —
+    the output of ``simhash64``. Same rationale as
+    ``minhash_lsh_pairs_from_sigs`` (r14 continuation, guide §2.3): a
+    SimHash is a pure per-row function of the text, so corpus views
+    that repeat texts (the recall corpora's corpus+copy) explode ids
+    after ONE signature pass instead of hashing each text per copy."""
     assert 64 % bands == 0, "bands must divide 64"
     width = 64 // bands
     mask = (1 << width) - 1
     # cache: both sides of the candidate self-join scan the signatures;
     # without it the token-hash/bit-aggregation pipeline runs twice.
-    sims = pin(simhash64(df, id_col, text), pins)
+    sims = pin(sims, pins)
     slices = sims.select(
         F.col(id_col),
         F.col("simhash"),

@@ -949,6 +949,25 @@ def _docs_with_copy(docs: DataFrame) -> DataFrame:
     )
 
 
+def _sigs_with_copy(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Corpus ∪ id-offset copy at the SIGNATURE level (r14 continuation,
+    guide §2.3 — do the heavy per-row work once, then multiply rows):
+    the copy's text is identical by construction, so its signature is
+    identical, and exploding the ids AFTER the per-row signature
+    projection tokenizes/shingles/hashes each text ONCE instead of once
+    per copy. Bit-identical to running the signature operator over
+    ``_docs_with_copy``: a signature is a pure function of the text, so
+    both forms emit the same (id, signature) multiset — pinned by
+    tests/test_properties_r14.py's sig-level-copy equivalence tests."""
+    rest = [c for c in sigs.columns if c != id_col]
+    return sigs.select(
+        F.explode(
+            F.array(F.col(id_col), F.col(id_col) + F.lit(_COPY_OFFSET))
+        ).alias(id_col),
+        *rest,
+    )
+
+
 def _emb_with_copy(emb: DataFrame) -> DataFrame:
     """Corpus ∪ id-offset copy for the embedding recall corpora — the
     vector twin of ``_docs_with_copy``, same row-local explode instead
@@ -975,15 +994,17 @@ def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     excluded from the truth on both sides."""
     from bcg_contacts_data_pipeline_spark.functions.text import tokens
     from bcg_contacts_data_pipeline_spark.operators.similarity import (
-        minhash_lsh_pairs,
+        minhash_lsh_pairs_from_sigs,
+        minhash_signatures,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(
-        _docs_with_copy(docs),
+    # signatures once per text, ids exploded after (_sigs_with_copy)
+    pairs = minhash_lsh_pairs_from_sigs(
+        _sigs_with_copy(
+            minhash_signatures(docs, "doc_id", "text", n=3, num_hashes=64)
+        ),
         "doc_id",
-        "text",
-        n=3,
         num_hashes=64,
         bands=16,
         verify_threshold=0.5,
@@ -1019,20 +1040,31 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     that constructed truth is exactly 1.0, independently stated by the
     oracle. Docs with < 3 tokens have no shingles and are excluded on
     both sides. Same proof shape as minhash_recall, but exercising the
-    CROSS-FRAME join path (operators/similarity.py:minhash_lsh_join)."""
+    CROSS-FRAME join path (operators/similarity.py:minhash_lsh_join).
+
+    r14 continuation: the eval set IS a filter of the training corpus
+    and a signature is a pure per-row function of the text, so the
+    query signs the corpus ONCE and filters the SIGNATURE frame for the
+    eval side (filter commutes with the row-local projection —
+    bit-identical to re-signing the filtered text). The eval side then
+    scans the pinned corpus signatures instead of re-tokenizing/
+    re-shingling every tenth document (guide §2.3)."""
     from bcg_contacts_data_pipeline_spark.functions.text import tokens
     from bcg_contacts_data_pipeline_spark.operators.similarity import (
-        minhash_lsh_join,
+        minhash_lsh_join_from_sigs,
+        minhash_signatures,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    evalset = docs.filter(F.col("doc_id") % 10 == 0).select(
-        F.col("doc_id").alias("eval_id"), "text"
+    sl = minhash_signatures(
+        docs.select("doc_id", "text"), "doc_id", "text", n=3, num_hashes=64
     )
-    pairs = minhash_lsh_join(
-        docs.select("doc_id", "text"), "doc_id", "text",
-        evalset, "eval_id", "text",
-        n=3, num_hashes=64, bands=16, verify_threshold=0.5,
+    sr = sl.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("eval_id"), "sigs"
+    )
+    pairs = minhash_lsh_join_from_sigs(
+        sl, "doc_id", sr, "eval_id",
+        num_hashes=64, bands=16, verify_threshold=0.5,
     )
     truth = docs.filter(
         (F.col("doc_id") % 10 == 0)
@@ -1053,10 +1085,18 @@ def q_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     found; recall over the constructed truth is exactly 1.0. Docs with no
     tokens produce no signature and are excluded from the truth."""
     from bcg_contacts_data_pipeline_spark.functions.text import tokens
-    from bcg_contacts_data_pipeline_spark.operators.similarity import simhash_pairs
+    from bcg_contacts_data_pipeline_spark.operators.similarity import (
+        simhash64,
+        simhash_pairs_from_sigs,
+    )
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = simhash_pairs(_docs_with_copy(docs), "doc_id", "text", max_hamming=7)
+    # signatures once per text, ids exploded after (_sigs_with_copy)
+    pairs = simhash_pairs_from_sigs(
+        _sigs_with_copy(simhash64(docs, "doc_id", "text")),
+        "doc_id",
+        max_hamming=7,
+    )
     truth = docs.filter(
         (F.length(F.trim("text")) > 0) & (F.size(tokens(F.col("text"))) >= 1)
     ).select(

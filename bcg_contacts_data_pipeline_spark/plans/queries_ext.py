@@ -1061,7 +1061,7 @@ def curation_frame(
     )
 
     pairs = ngram_jaccard_pairs(
-        kept, "doc_id", "text", n=3, threshold=0.2, max_df=100
+        kept, "doc_id", "text", n=3, threshold=0.2, max_df=100, pins=pins
     )
     comp = connected_components(
         pairs, "id_a", "id_b", nodes=kept, node_col="doc_id", pins=pins

@@ -127,21 +127,23 @@ def minhash_recall_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     completeness certificate at 1x/10x."""
     from bcg_contacts_data_pipeline_spark.functions.text import tokens
     from bcg_contacts_data_pipeline_spark.operators.similarity import (
-        minhash_lsh_pairs,
+        minhash_lsh_pairs_from_sigs,
+        minhash_signatures,
     )
     from bcg_contacts_data_pipeline_spark.plans.queries import (
         _COPY_OFFSET,
-        _docs_with_copy,
         _recall_frame,
+        _sigs_with_copy,
         _t,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(
-        _docs_with_copy(docs),
+    # signatures once per text, ids exploded after (_sigs_with_copy)
+    pairs = minhash_lsh_pairs_from_sigs(
+        _sigs_with_copy(
+            minhash_signatures(docs, "doc_id", "text", n=3, num_hashes=64)
+        ),
         "doc_id",
-        "text",
-        n=3,
         num_hashes=64,
         bands=16,
         verify_threshold=0.5,

@@ -649,3 +649,89 @@ def test_nan_vectors_are_ineligible(spark):
     ids_seen = {r["query_id"] for r in tk} | {r["neighbor_id"] for r in tk}
     assert ids_seen == {1, 2, 5}
     assert all(r["score"] == r["score"] for r in tk)
+
+
+def test_sig_level_copy_equals_doc_level_copy_minhash(spark):
+    """r14 continuation pin: the recall corpora moved from signatures
+    OVER the exploded corpus+copy (_docs_with_copy) to exploding ids
+    AFTER one signature pass (_sigs_with_copy + *_from_sigs). A
+    signature is a pure per-row function of the text, so both
+    formulations must emit identical pair sets."""
+    from bcg_contacts_data_pipeline_spark.plans.queries import (
+        _docs_with_copy,
+        _sigs_with_copy,
+    )
+
+    df = doc_corpus(spark)
+    via_docs = sorted(
+        map(
+            tuple,
+            S.minhash_lsh_pairs(
+                _docs_with_copy(df), "doc_id", "text",
+                n=3, num_hashes=64, bands=16, verify_threshold=0.5,
+            ).collect(),
+        )
+    )
+    via_sigs = sorted(
+        map(
+            tuple,
+            S.minhash_lsh_pairs_from_sigs(
+                _sigs_with_copy(
+                    S.minhash_signatures(df, "doc_id", "text", 3, 64)
+                ),
+                "doc_id",
+                num_hashes=64, bands=16, verify_threshold=0.5,
+            ).collect(),
+        )
+    )
+    assert via_docs == via_sigs and len(via_sigs) > 0
+
+
+def test_sig_level_copy_equals_doc_level_copy_simhash(spark):
+    from bcg_contacts_data_pipeline_spark.plans.queries import (
+        _docs_with_copy,
+        _sigs_with_copy,
+    )
+
+    df = doc_corpus(spark)
+    via_docs = sorted(
+        map(
+            tuple,
+            S.simhash_pairs(
+                _docs_with_copy(df), "doc_id", "text", max_hamming=7
+            ).collect(),
+        )
+    )
+    via_sigs = sorted(
+        map(
+            tuple,
+            S.simhash_pairs_from_sigs(
+                _sigs_with_copy(S.simhash64(df, "doc_id", "text")),
+                "doc_id",
+                max_hamming=7,
+            ).collect(),
+        )
+    )
+    assert via_docs == via_sigs and len(via_sigs) > 0
+
+
+def test_filtered_sigs_equal_sigs_of_filtered_corpus(spark):
+    """decontaminate's r14 shape: eval-side signatures = FILTER of the
+    corpus signature frame. Must be row-identical to re-signing the
+    filtered text (filter commutes with the row-local projection)."""
+    df = doc_corpus(spark)
+    sl = S.minhash_signatures(df, "doc_id", "text", 3, 64)
+    from pyspark.sql import functions as F
+
+    filtered_sigs = sorted(
+        map(tuple, sl.filter(F.col("doc_id") % 2 == 0).collect())
+    )
+    signed_filtered = sorted(
+        map(
+            tuple,
+            S.minhash_signatures(
+                df.filter(F.col("doc_id") % 2 == 0), "doc_id", "text", 3, 64
+            ).collect(),
+        )
+    )
+    assert filtered_sigs == signed_filtered and len(filtered_sigs) > 0
