@@ -1710,13 +1710,22 @@ def prefix_filter_pairs(
             f"0 < t_num <= t_den with ints, got {t_num}/{t_den}"
         )
 
+    from pyspark.sql import Window
+
     shingles = shingle_hash_frame(df, id_col, text, n)
-    dfreq = _no_static_broadcast(
-        shingles.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-    )
+    # Document frequency as a whole-partition window count over the
+    # shingle key (guide §2.4): the former groupBy(sh) + join-back shape
+    # planned and executed the corpus shingle pipeline TWICE (df branch
+    # + join probe side) and paid three exchanges (df groupBy, probe
+    # re-shuffle, the join) to tag each posting with its df; the window
+    # computes the same count in ONE pass over ONE exchange. Skew
+    # exposure is unchanged: the join form already delivered every
+    # posting of a hot shingle to a single task on the probe side.
     # Per-doc shingle array sorted by the global (df asc, sh asc) order.
     per_doc = pin(
-        shingles.join(dfreq, "sh")
+        shingles.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("sh"))
+        )
         .groupBy(id_col)
         .agg(
             F.array_sort(

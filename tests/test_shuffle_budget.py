@@ -184,12 +184,16 @@ BUDGET = {
     "lang_weighted_median": 2,
     # the one fused profile aggregate (partial + final single-partition)
     "profile_unpivot": 2,
-    # df-frequency agg + per-doc grid agg + candidate/verify joins; the
+    # df tagging + per-doc grid agg + candidate/verify joins; the
     # pinned per-doc array frame prints under its three consumers.
     # r10: +10 from the no-static-broadcast SHUFFLE_HASH pins — the
-    # dfreq, candidate and both verify joins now shuffle both sides
+    # candidate and both verify joins shuffle both sides
     # (the old static broadcasts OOM'd at the 100x replica; PERF.md)
-    "prefix_jaccard_pairs": 19,
+    # r14 opt: 19 -> 15 — the df groupBy(sh)+join-back became ONE
+    # window count over the same sh partitioning, dropping the df-agg
+    # exchange and the probe-side re-shuffle from the cached per_doc
+    # subtree (OPTIMIZATION_r14.md change #22)
+    "prefix_jaccard_pairs": 15,
     # hourly agg feeds both join sides (one exchange each) + final agg
     "seasonal_naive_backtest": 3,
     # xmin scalar gather + the one sufficient-statistics aggregate
