@@ -41,8 +41,16 @@ def derby_url(db_path: str) -> str:
 
 def scratch_derby_url(key: str) -> str:
     """A session-stable embedded Derby database under the temp dir, keyed
-    by name (same key -> same DB across calls in one process)."""
-    digest = hashlib.sha256(key.encode()).hexdigest()[:16]
+    by name AND process id (same key -> same DB across calls in one
+    process). The pid in the key is load-bearing: embedded Derby holds a
+    single-JVM boot lock per database directory, so two processes that
+    derive the same path from the same key (e.g. a test suite and an
+    oracle sweep both building ``jdbc_stage_roundtrip`` against the same
+    sf_dir) collide with ``Another instance of Derby may have already
+    booted``. Keying by pid gives every process its own scratch DB; the
+    consumers' outputs are path-independent, so nothing observable
+    changes."""
+    digest = hashlib.sha256(f"{key}|{os.getpid()}".encode()).hexdigest()[:16]
     return derby_url(os.path.join(tempfile.gettempdir(), f"derby_{digest}"))
 
 

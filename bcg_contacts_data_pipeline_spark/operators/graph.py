@@ -22,7 +22,7 @@ counter (an aggregate). Edges are held in BOTH directions once
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from bcg_contacts_data_pipeline_spark.operators.pins import PinScope
@@ -165,8 +165,24 @@ def connected_components(
         # the lazy path caches the pre-adaptive 32-partition RDD carved
         # out at checkpoint-call time and every later round pays the
         # un-coalesced partitioning.
+        #
+        # The convergence count rides the checkpoint's own job as an
+        # observed metric (guide §7.3/§2.6 — per-round ACTIONS, not
+        # data, dominate the loop's fixed cost): the eager checkpoint
+        # already computes every row, so count_if(comp != old) costs
+        # nothing extra, and the separate post-checkpoint .count() job
+        # disappears — ONE job per round instead of two. Verified on
+        # this Spark: both Dataset.localCheckpoint and the reliable
+        # Dataset.checkpoint run through withAction, so CollectMetrics
+        # fires on the checkpoint job (probe in OPTIMIZATION_r15.md).
+        # `old` is never NULL (every node carries a self row), so
+        # count_if equals the old filter().count() exactly.
+        obs = Observation()
+        new_labels = new_labels.observe(
+            obs, F.count_if(F.col("comp") != F.col("old")).alias("changed")
+        )
         new_labels = _truncate(new_labels)
-        changed = new_labels.filter(F.col("comp") != F.col("old")).count()
+        changed = obs.get["changed"]
         # The new round is fully materialized (eager checkpoint + the
         # count action above); the previous round's blocks can never be
         # read again — free them now instead of waiting for GC.
@@ -223,8 +239,9 @@ def connected_components_star(
     Both are one aggregation + one join over the edge list — same
     per-round cost shape as a min-label round, far fewer rounds when
     the graph is deep. Convergence = the edge set is a fixed point
-    (checked with an order-insensitive xor/count fingerprint — no extra
-    join). The result is a star forest: every node points at its
+    (checked with an order-insensitive xor/count fingerprint that rides
+    the round's own checkpoint job as an observed metric — no extra
+    join, no extra action). The result is a star forest: every node points at its
     component's minimum, which matches ``connected_components``' label
     contract exactly (property-tested equivalence in
     tests/test_graph.py).
@@ -248,12 +265,24 @@ def connected_components_star(
             return df.checkpoint(eager=True)
         return df.localCheckpoint(eager=True)
 
-    def _fingerprint(e: DataFrame) -> tuple:
-        row = e.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.bit_xor(F.xxhash64("u", "v")).alias("x"),
-        ).collect()[0]
-        return (row["n"], row["x"])
+    def _truncate_fp(df: DataFrame) -> tuple[DataFrame, tuple]:
+        """Materialize a round's edge frame AND read its convergence
+        fingerprint from the SAME job: the order-insensitive
+        (count, xor-of-edge-hashes) pair rides the eager checkpoint as
+        an observed metric instead of a second collect action (guide
+        §7.3/§2.6 — per-round actions, not data, dominate a loop whose
+        contracted graph is tiny; same fusion as the CC loop's changed
+        count)."""
+        obs = Observation()
+        ck = _truncate(
+            df.observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.bit_xor(F.xxhash64("u", "v")).alias("x"),
+            )
+        )
+        m = obs.get
+        return ck, (m["n"], m["x"])
 
     def _large_star(e: DataFrame) -> DataFrame:
         # row-local explode, not a self-union (the connected_components
@@ -299,12 +328,11 @@ def connected_components_star(
             .distinct()
         )
 
-    e = _truncate(
+    e, fp = _truncate_fp(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
-    fp = _fingerprint(e)
     prev_ck: DataFrame | None = e
     for _ in range(max_iter):
         # the large-star result is materialized before small-star reads
@@ -314,10 +342,9 @@ def connected_components_star(
         # CC loop's label checkpoints). The intermediate's blocks are
         # freed as soon as the round's result exists.
         ls = _truncate(_large_star(e))
-        nxt = _truncate(_small_star(ls))
+        nxt, nfp = _truncate_fp(_small_star(ls))
         if checkpoint == "local":
             free_local_checkpoint(ls)
-        nfp = _fingerprint(nxt)
         if checkpoint == "local" and prev_ck is not None and prev_ck is not nxt:
             free_local_checkpoint(prev_ck)
         prev_ck = nxt

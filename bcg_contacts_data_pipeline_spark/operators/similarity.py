@@ -1673,12 +1673,13 @@ def prefix_filter_pairs(
     division for the Jaccard. Output matches ``ngram_jaccard_pairs``:
     (id_a, id_b, shared, size_a, size_b, jaccard).
 
-    Physical shape: shingle frame joins its own df-frequency (the one
-    heavy shuffle), per-doc sort is array_sort over a collected struct
-    array (no global rank — the (df, sh) pair itself is the total
-    order, so no single-partition window anywhere), candidates explode
-    only prefixes, and verification joins the candidate pairs back to
-    the pinned per-doc arrays by id.
+    Physical shape: each posting is tagged with its shingle's document
+    frequency by ONE window count over the shingle key (a single
+    exchange — no groupBy + join-back), per-doc sort is array_sort over
+    a collected struct array (no global rank — the (df, sh) pair itself
+    is the total order, so no single-partition window anywhere),
+    candidates explode only prefixes, and verification joins the
+    candidate pairs back to the pinned per-doc arrays by id.
 
     ``probe_pred`` (optional, a function of the id Column) switches the
     candidate join to the INCREMENTAL daily-crawl shape: only pairs
@@ -1718,9 +1719,14 @@ def prefix_filter_pairs(
     # planned and executed the corpus shingle pipeline TWICE (df branch
     # + join probe side) and paid three exchanges (df groupBy, probe
     # re-shuffle, the join) to tag each posting with its df; the window
-    # computes the same count in ONE pass over ONE exchange. Skew
-    # exposure is unchanged: the join form already delivered every
-    # posting of a hot shingle to a single task on the probe side.
+    # computes the same count in ONE pass over ONE exchange. Skew note:
+    # the join form already delivered every posting of a hot shingle to
+    # a single probe-side task, but it STREAMED them against a small df
+    # build map, whereas WindowExec BUFFERS each sh partition group
+    # (spilling past the in-memory threshold) — under extreme
+    # stop-shingle skew this is buffered-with-spill rather than
+    # streamed; memory-safe either way, and the max_df cap downstream
+    # is the real guard.
     # Per-doc shingle array sorted by the global (df asc, sh asc) order.
     per_doc = pin(
         shingles.withColumn(

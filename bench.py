@@ -42,6 +42,32 @@ def rotating_report_order(
     return core + rest, set(rest)
 
 
+def proc_stat_seconds() -> dict[str, float] | None:
+    """Cumulative host CPU seconds from the /proc/stat ``cpu`` line
+    (user+nice+system as ``busy``, plus ``steal`` and ``idle``), or None
+    off-Linux. Recorded as DELTAS around the board and around each
+    query so PERF adjudication can read hypervisor contention from the
+    artifact instead of prose: the r14 post-mortem found whole boards
+    inflated 1.5-10x by steal bursts the min-of-5 calibrations dodge
+    (cumulative steal ≈ cumulative user on this VM class). Additions
+    only — nothing existing in the stdout contract moves."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        if parts[0] != "cpu":
+            return None
+        tick = float(os.sysconf("SC_CLK_TCK"))
+        v = [int(x) / tick for x in parts[1:]]
+        # fields: user nice system idle iowait irq softirq steal ...
+        return {
+            "busy": v[0] + v[1] + v[2],
+            "idle": v[3],
+            "steal": v[7] if len(v) > 7 else 0.0,
+        }
+    except Exception:
+        return None
+
+
 def calibrate(spark, runs: int = 5) -> tuple[float, list[float]]:
     """Host-speed yardstick: a FIXED pure-JVM workload (bit_xor of
     xxhash64 over ``spark.range(8e9)`` by default, whole-stage codegen,
@@ -181,10 +207,13 @@ def main() -> None:
     # that scales with data volume.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
+    steal_per_query: dict[str, float] = {}
+    board_stat0 = proc_stat_seconds()
     for name, fn in QUERIES.items():
         if selected and name not in selected:
             continue
         best = None
+        stat0 = proc_stat_seconds()
         for _ in range(runs):
             start = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -195,6 +224,11 @@ def main() -> None:
             # pay another query's storage/GC pressure.
             spark.catalog.clearCache()
         timings[name] = round(best, 3)
+        stat1 = proc_stat_seconds()
+        if stat0 and stat1:
+            # host steal seconds burned across this query's timed runs —
+            # the contention signal the calibrations' min-of-5 dodges
+            steal_per_query[name] = round(stat1["steal"] - stat0["steal"], 2)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
@@ -244,6 +278,24 @@ def main() -> None:
         # below overwrites this with the advanced cursor when it runs)
         "rotation_next": prior_rotation,
     }
+    # Machine-readable host-contention record (VERDICT r14 ask #6,
+    # additions-only): board-level /proc/stat deltas on the stdout line
+    # (3 compact numbers), the per-query steal map in bench_full.json
+    # next to the timings — a query whose raw seconds inflated while its
+    # steal_s entry is large is host contention, not code.
+    board_stat1 = proc_stat_seconds()
+    if board_stat0 and board_stat1:
+        payload["host_busy_s"] = round(
+            board_stat1["busy"] - board_stat0["busy"], 1
+        )
+        payload["host_steal_s"] = round(
+            board_stat1["steal"] - board_stat0["steal"], 1
+        )
+        payload["host_idle_s"] = round(
+            board_stat1["idle"] - board_stat0["idle"], 1
+        )
+    if steal_per_query:
+        payload["steal_s"] = steal_per_query
 
     # Isolation pass: this host swings per-query wall times ±30% (one 9×
     # outlier on record), so a full-run delta alone can't distinguish a
@@ -296,6 +348,9 @@ def main() -> None:
     # driver-recorded time at least once every ~3 rounds instead of the
     # same slowest ~64 forever.
     stdout_payload = dict(payload)
+    # per-query steal map lives in bench_full.json only; the stdout line
+    # keeps the 3 board-level host_* numbers
+    stdout_payload.pop("steal_s", None)
     line = json.dumps(stdout_payload, separators=(",", ":"))
     budget = 1900
     if len(line) > budget and "isolated" in stdout_payload:
