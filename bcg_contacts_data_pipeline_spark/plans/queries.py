@@ -39,7 +39,12 @@ def register(name: str, oracle: str | None = None):
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # static-schema catalog read: skips the per-call footer-inference
+    # job (~100-160 ms each at sf0.1; guide §7.3 driver cost) for the 9
+    # stable tables; events and unknown names keep inference
+    from bcg_contacts_data_pipeline_spark.io.schemas import read_table
+
+    return read_table(spark, sf_dir, name)
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -86,15 +86,20 @@ def load_tables(
 ) -> dict[str, DataFrame]:
     """Load the harness parquet tables; optionally register temp views.
 
-    Plain ``spark.read.parquet`` so Catalyst keeps pushdown/pruning; no
-    caching here — callers cache only what they reuse.
+    Reads go through the static-schema catalog (io/schemas.py) where a
+    table is declared — no per-table footer-inference job — and plain
+    ``spark.read.parquet`` otherwise; Catalyst keeps pushdown/pruning
+    either way, and no caching happens here — callers cache only what
+    they reuse.
     """
+    from bcg_contacts_data_pipeline_spark.io.schemas import read_table
+
     out: dict[str, DataFrame] = {}
     for name in names:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if not os.path.exists(path):
             continue
-        df = spark.read.parquet(path)
+        df = read_table(spark, sf_dir, name)
         if register_views:
             df.createOrReplaceTempView(name)
         out[name] = df

@@ -375,3 +375,29 @@ def test_zorder_interleave_and_both_columns_skippable(spark, tmp_path):
             assert tight >= 0.7 * len(spreads), (col, spreads)
             checked += 1
     assert checked, "no multi-row-group file produced"
+
+
+def test_static_schemas_match_inference(spark):
+    """The static-schema catalog (io/schemas.py) must declare EXACTLY
+    what footer inference yields on the shipped fixtures, field for
+    field including nullability — the drift guard for the no-inference
+    read path. events is deliberately not in the catalog (its encoding
+    drifts by design; io/events.py handles it), asserted too so nobody
+    adds it back."""
+    import os
+
+    from bcg_contacts_data_pipeline_spark.io.schemas import TABLE_DDL
+
+    assert "events" not in TABLE_DDL
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        for name, ddl in TABLE_DDL.items():
+            path = f"{sf_dir}/{name}.parquet"
+            if not os.path.exists(path):
+                continue
+            inferred = spark.read.parquet(path).schema
+            declared = spark.read.schema(ddl).parquet(path).schema
+            assert declared == inferred, (
+                f"{name}@{sf_dir}: declared {declared.json()} != "
+                f"inferred {inferred.json()} — the testdata schema "
+                "drifted; update io/schemas.py:TABLE_DDL"
+            )
