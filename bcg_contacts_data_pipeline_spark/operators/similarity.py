@@ -76,21 +76,16 @@ def shingle_frame(
     )
 
 
-def shingle_hash_frame(
+def shingle_hash_arrays(
     df: DataFrame, id_col: str, text: Column | str, n: int = 3, parallelism: int = 64
 ) -> DataFrame:
-    """(id, sh) pairs — 64-bit hashes of distinct word n-grams.
-
-    Equivalent join/dedup behavior to ``xxhash64`` over
-    ``shingle_frame``'s strings, but the n-gram hash is combined from
-    per-token hashes (``xxhash64(h_i, h_{i+1}, h_{i+2})``) instead of
-    concatenating shingle STRINGS first: each token's characters are
-    hashed once per document instead of n times, and no 3M-row string
-    allocation happens at all (measured ~35% off the signature stage at
-    sf0.1). Tokens cannot contain whitespace, so the string form was
-    injective on token windows — the hash-of-hashes composition preserves
-    that up to 2^-64 collisions, which the string form already accepted
-    at its join key."""
+    """(id, __sh) — per-document array of the DISTINCT 64-bit word-ngram
+    hashes, the pre-explode form of :func:`shingle_hash_frame`. One row
+    per document; the heavy per-row work (tokenize, per-token xxhash64,
+    ngram hash combination) happens exactly once here, so a caller with
+    several shingle-frame consumers can materialize THIS compact frame
+    (8 bytes per distinct ngram, no text column, strictly smaller than
+    the exploded (id, sh) frame) and explode per consumer."""
     t = F.col(text) if isinstance(text, str) else text
     # Token-hash array materialized as an attribute before the ngram
     # lambda references it (same codegen-size guard as shingle_frame).
@@ -108,7 +103,27 @@ def shingle_hash_frame(
         ),
     ).otherwise(F.array().cast("array<bigint>"))
     return hashed.select(
-        F.col(id_col), F.explode(F.array_distinct(grams)).alias("sh")
+        F.col(id_col), F.array_distinct(grams).alias("__sh")
+    )
+
+
+def shingle_hash_frame(
+    df: DataFrame, id_col: str, text: Column | str, n: int = 3, parallelism: int = 64
+) -> DataFrame:
+    """(id, sh) pairs — 64-bit hashes of distinct word n-grams.
+
+    Equivalent join/dedup behavior to ``xxhash64`` over
+    ``shingle_frame``'s strings, but the n-gram hash is combined from
+    per-token hashes (``xxhash64(h_i, h_{i+1}, h_{i+2})``) instead of
+    concatenating shingle STRINGS first: each token's characters are
+    hashed once per document instead of n times, and no 3M-row string
+    allocation happens at all (measured ~35% off the signature stage at
+    sf0.1). Tokens cannot contain whitespace, so the string form was
+    injective on token windows — the hash-of-hashes composition preserves
+    that up to 2^-64 collisions, which the string form already accepted
+    at its join key."""
+    return shingle_hash_arrays(df, id_col, text, n, parallelism).select(
+        F.col(id_col), F.explode("__sh").alias("sh")
     )
 
 
@@ -145,19 +160,32 @@ def ngram_jaccard_pairs(
     - the join key is xxhash64(shingle), 8 bytes instead of a string
       (collisions would need two shingles of one corpus to share a 64-bit
       hash — negligible next to the corpus sizes this verifies);
-    - the shingle frame feeds three consumers and is deliberately NOT
-      persisted. NOT because of exchange reuse — re-verified round 6:
-      the executed plan contains ZERO ReusedExchange nodes, each
-      consumer recomputes the explode (the same non-dedup finding as
-      q15/q11) — but because the measured trade still favors
-      recomputation (1.41 s vs 1.57 s persisted at sf0.1): the explode
-      is a narrow projection while a persist materializes the EXPLODED
-      frame, which is strictly larger than its input, and serializes a
-      barrier in front of the join. The q15/q11 pin pattern applies to
-      SMALL aggregate outputs consumed twice; this is the opposite
-      shape (a large intermediate), where re-scan wins.
+    - the shingle frame feeds four consumer subtrees (df branch when
+      capped, sizes, both join sides) with zero exchange reuse between
+      them (re-verified round 6: no ReusedExchange nodes), so the heavy
+      per-row work — tokenize, per-token xxhash64, ngram combination —
+      ran once PER CONSUMER. The PRE-explode per-doc hash-array frame
+      is therefore materialized once (eager localCheckpoint) and each
+      consumer explodes the materialized arrays (r15). This supersedes
+      the r6 recompute-beats-persist measurement, which was about
+      persisting the EXPLODED (id, sh) frame — strictly larger than its
+      input and barriered in front of the join; the array form is
+      strictly SMALLER than the input (8 B per distinct ngram, no
+      text), and the r15 interleaved A/B measured the swap a wash at
+      sf0.1 fixtures (tiny texts) while removing three full
+      tokenize+hash corpus passes per call at scale. The EXPLODED frame
+      stays unmaterialized, exactly as r6 decided.
     """
-    shingles = shingle_hash_frame(df, id_col, text, n)
+    arrs = shingle_hash_arrays(df, id_col, text, n).localCheckpoint(
+        eager=True
+    )
+    if pins is not None:
+        from bcg_contacts_data_pipeline_spark.operators.graph import (
+            free_local_checkpoint,
+        )
+
+        pins.adopt(arrs, free_local_checkpoint)
+    shingles = arrs.select(F.col(id_col), F.explode("__sh").alias("sh"))
     if max_df is not None:
         # Materialize the hot set ONCE (r13, VERDICT r12 ask #3): the
         # capped shingle frame feeds four consumers (sizes via sa/sb,
